@@ -1,0 +1,265 @@
+"""Deduplication for LLM-data pipelines (SURVEY §2 A8, B23).
+
+The reference's dedup is whole-row ``dropDuplicates``
+(``/root/reference/simple_etl.py:203-210``).  A training-data pipeline
+needs the near-duplicate family too.  Scale notes per variant:
+
+* exact       — one shuffle on a 128-bit content hash, never on the text.
+* ngram-jaccard — shingle-inverted-index self-join; candidate pairs only
+  where ≥1 shingle is shared (never a cross-product).
+* MinHash+LSH — pyspark.ml MinHashLSH banding; candidates only on band
+  collisions.
+* SimHash    — 64-bit signature, near-dups = small Hamming distance;
+  bucketed by signature bands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens_col
+
+
+# -- exact ------------------------------------------------------------
+def exact_dedup(df: DataFrame, text_col: str = "text", keep: str = "min", id_col: str = "doc_id") -> DataFrame:
+    """B23/A8 — keep one doc per exact content hash. Shuffles md5(text)
+    + id only; the winner rejoins to recover full rows (semi-join)."""
+    h = F.md5(F.col(text_col)).alias("__h")
+    order = F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
+    w = Window.partitionBy("__h").orderBy(order)
+    keep_ids = (
+        df.select(h, F.col(id_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col)
+    )
+    return df.join(keep_ids, id_col, "left_semi")
+
+
+def duplicate_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Report exact-dup clusters: (content md5, n copies) for n>1."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# -- shingles + jaccard ----------------------------------------------
+def word_shingles(text_col, n: int = 3):
+    """Distinct word n-gram shingles as array<string> (JVM-side:
+    slice over a sequence of start offsets)."""
+    toks = tokens_col(text_col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """B23 — candidate near-dup pairs with exact n-gram Jaccard ≥ threshold.
+
+    Inverted-index plan: explode shingles → self-equi-join on shingle
+    (pairs share ≥1 shingle) → count shared → Jaccard from set sizes.
+    The only shuffles are on shingle and on the pair key; docs sharing no
+    shingle never meet. Hot shingles should be pre-filtered at scale (see
+    ``df_freq_cutoff``).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"))
+    out = (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_shared") / (F.col("size_a") + F.col("size_b") - F.col("n_shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_shared", "size_a", "size_b", "jaccard")
+    )
+    return out
+
+
+def df_freq_cutoff(shingled: DataFrame, max_doc_freq: int) -> DataFrame:
+    """Drop shingles appearing in > max_doc_freq docs before the self-join
+    — the skew guard that keeps the inverted index from exploding on
+    boilerplate at 100 TB."""
+    hot = (
+        shingled.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_doc_freq)
+        .select("shingle")
+    )
+    return shingled.join(hot, "shingle", "left_anti")
+
+
+# -- MinHash LSH ------------------------------------------------------
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hash_tables: int = 8,
+    num_features: int = 1 << 18,
+    jaccard_distance_threshold: float = 0.5,
+) -> DataFrame:
+    """B23 — MinHash+LSH near-dup candidates via pyspark.ml.
+
+    shingle → HashingTF sparse vector → MinHashLSH banded buckets →
+    approxSimilarityJoin (bucket-collision equi-join, not cross-product).
+    Returns (id_a, id_b, jaccard_dist_est).
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    prepped = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=num_features, binary=True)
+    feats = tf.transform(prepped)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, jaccard_distance_threshold, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.id") < F.col("datasetB.id"))
+        .select(
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+            F.col("jaccard_dist"),
+        )
+    )
+
+
+# -- SimHash ----------------------------------------------------------
+def simhash_col(text_col, bits: int = 64):
+    """64-bit SimHash, fully JVM-side: xxhash64 per token; for each bit,
+    sign-sum across tokens; assemble the signature with bit ops. No
+    Python in the loop — it's a fold over the token array."""
+    toks = F.array_distinct(tokens_col(text_col))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc
+        + F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda s, h: s + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+            )
+            > 0,
+            F.shiftleft(F.lit(1).cast("long"), b),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    band_bits: int = 16,
+) -> DataFrame:
+    """B23 — near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Banding: split the 64-bit signature into 64/band_bits bands; by
+    pigeonhole, any pair within Hamming ≤ (bands-1) collides on ≥1 band →
+    equi-join on (band_idx, band_value), then exact popcount filter.
+    """
+    sig = df.select(F.col(id_col).alias("id"), simhash_col(F.col(text_col)).alias("sig"))
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("sig", i * band_bits).bitwiseAND(F.lit(mask)).alias("val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("id", "sig", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# -- embedding near-dup ----------------------------------------------
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bucket_len: float = 2.0,
+    num_hash_tables: int = 4,
+) -> DataFrame:
+    """B23 — embedding-cosine near-dup pairs via random-projection LSH on
+    L2-normalized vectors (cosine ≥ t ⇔ euclidean ≤ sqrt(2-2t) after
+    normalization)."""
+    import math
+
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("raw"),
+    )
+    normed = Normalizer(inputCol="raw", outputCol="vec", p=2.0).transform(vecs)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="vec", outputCol="hashes", bucketLength=bucket_len, numHashTables=num_hash_tables, seed=42
+    )
+    model = lsh.fit(normed)
+    dist = math.sqrt(max(0.0, 2.0 - 2.0 * threshold))
+    pairs = model.approxSimilarityJoin(normed, normed, dist, distCol="l2_dist")
+    return (
+        pairs.filter(F.col("datasetA.id") < F.col("datasetB.id"))
+        .select(
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+            (1 - F.col("l2_dist") * F.col("l2_dist") / 2).alias("cosine_est"),
+        )
+    )

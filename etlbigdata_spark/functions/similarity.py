@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (SURVEY §2 B24).
+
+Two paths, per the north star:
+
+* brute-force cosine top-k — the exact baseline; broadcast the (small)
+  query set against the corpus so the corpus is scanned once with NO
+  shuffle of the vectors; per-query top-k via window.
+* LSH-bucketed ANN — the scale path: random-projection buckets make the
+  join candidate-only.  An IVF sketch (centroid assignment + probe) is
+  included as the third tier.
+
+Dot products run as JVM higher-order functions (``zip_with`` +
+``aggregate``), not Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<numeric> columns, JVM-side."""
+    a = a.cast("array<double>")
+    b = b.cast("array<double>")
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    include_self: bool = False,
+) -> DataFrame:
+    """B24 exact baseline — for each query vector, the top-k most cosine-
+    similar corpus vectors.
+
+    Plan: broadcast-cross-join (queries are small by contract) → cosine in
+    codegen → ``row_number`` window per query.  The corpus is read once,
+    partition-parallel; the only shuffle is the final per-query top-k,
+    whose input is already cut to k rows per (query, partition) by the
+    window's partial rank — at 100 TB the vectors themselves never move.
+    """
+    query_id_col = query_id_col or id_col
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    joined = c.crossJoin(F.broadcast(q))
+    if not include_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        cosine_sim(F.col("__qvec"), F.col("__cvec")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_len: float = 2.0,
+    num_hash_tables: int = 4,
+    max_l2: float = 1.4,
+) -> DataFrame:
+    """B24 ANN scale path — BucketedRandomProjectionLSH over L2-normalized
+    vectors; candidates only where buckets collide, then exact re-rank.
+    Recall tuned by ``num_hash_tables``/``bucket_len`` (tested by
+    recall@k against :func:`cosine_topk`, not hash equality)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    def prep(df: DataFrame, ident: str) -> DataFrame:
+        v = df.select(
+            F.col(id_col).alias(ident),
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("raw"),
+        )
+        return Normalizer(inputCol="raw", outputCol="vec", p=2.0).transform(v).drop("raw")
+
+    c, q = prep(corpus, "neighbor_id"), prep(queries, "query_id")
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="vec", outputCol="hashes", bucketLength=bucket_len,
+        numHashTables=num_hash_tables, seed=42,
+    )
+    model = lsh.fit(c)
+    pairs = model.approxSimilarityJoin(c, q, max_l2, distCol="l2")
+    scored = (
+        pairs.filter(F.col("datasetA.neighbor_id") != F.col("datasetB.query_id"))
+        .select(
+            F.col("datasetB.query_id").alias("query_id"),
+            F.col("datasetA.neighbor_id").alias("neighbor_id"),
+            # on unit vectors: cos = 1 - l2²/2
+            (1 - F.col("l2") * F.col("l2") / 2).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, list]:
+    """B24 IVF building block — sample centroids deterministically, assign
+    every vector to its nearest centroid (broadcast argmin, JVM-side).
+    Partitioning the corpus by ``centroid`` turns later queries into
+    probes of a few partitions instead of full scans."""
+    cents = [
+        (i, [float(x) for x in r[vec_col]])
+        for i, r in enumerate(corpus.select(vec_col).orderBy(F.xxhash64(id_col)).limit(n_centroids).collect())
+    ]
+    cent_arr = F.array(*[F.array(*[F.lit(x) for x in vec]) for _, vec in cents])
+    scores = F.transform(
+        cent_arr, lambda cv: _dot(F.col(vec_col).cast("array<double>"), cv) / (_norm(cv) + F.lit(1e-12))
+    )
+    best = F.array_position(scores, F.array_max(scores)) - 1
+    assigned = corpus.withColumn("centroid", best.cast("int"))
+    return assigned, cents

@@ -1,0 +1,130 @@
+"""Text analysis for LLM-data pipelines (SURVEY §2 B25).
+
+The reference shipped ``nltk`` in requirements but never used it
+(``/root/reference/requirements.txt:68``, SURVEY §2 "dead surface") —
+this module is that foreshadowed capability, built entirely from
+JVM-side ``pyspark.sql.functions`` (no Python in the hot path): at
+100 TB a per-row Python tokenizer is the difference between hours and
+weeks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small: broadcast as literals into codegen.
+_LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "las", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "une"],
+    "de": ["der", "die", "und", "den", "das", "von", "zu", "mit", "sich", "auf"],
+    "zh": ["的", "了", "和", "是", "在", "我", "有", "他", "这", "不"],
+}
+
+TOKEN_PATTERN = r"[A-Za-z0-9_]+"
+
+
+def tokens_col(text: Column | str, lowercase: bool = True) -> Column:
+    """Whitespace tokens as array<string>; '\\s+' regex split, empty-token
+    trimmed (leading split artifact)."""
+    c = F.col(text) if isinstance(text, str) else text
+    if lowercase:
+        c = F.lower(c)
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+
+
+def token_count_col(text: Column | str, pattern: str = TOKEN_PATTERN) -> Column:
+    """BPE-ish token estimate: count of regex word-chunks (B25 token
+    counting). ``regexp_extract_all`` keeps it inside codegen."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), 0))
+
+
+def add_text_stats(df: DataFrame, text_col: str = "text", prefix: str = "") -> DataFrame:
+    """Per-document stats: chars, words, tokens, avg word length,
+    punctuation ratio, stopword ratio (en) — the raw inputs to quality
+    scoring. One projection, no shuffle."""
+    t = F.col(text_col)
+    toks = tokens_col(t)
+    n_chars = F.length(t)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    en_stop = F.array(*[F.lit(w) for w in _LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.array_intersect(toks, en_stop))
+    return (
+        df.withColumn(f"{prefix}n_chars_calc", n_chars)
+        .withColumn(f"{prefix}n_words", F.size(toks))
+        .withColumn(f"{prefix}n_tokens", token_count_col(t))
+        .withColumn(
+            f"{prefix}avg_word_len",
+            F.when(F.size(toks) > 0, (F.length(F.regexp_replace(t, r"\s+", "")) / F.size(toks))),
+        )
+        .withColumn(f"{prefix}punct_ratio", F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)))
+        .withColumn(
+            f"{prefix}stopword_kinds",
+            n_stop,  # distinct stopword kinds present (array_intersect is set-wise)
+        )
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", out_col: str = "quality") -> DataFrame:
+    """Heuristic quality in [0,1]: length band + punctuation sanity +
+    stopword presence. Mirrors the public C4/Gopher-style filters in
+    spirit; every term is a built-in expression."""
+    stats = add_text_stats(df, text_col, prefix="__q_")
+    words = F.col("__q_n_words")
+    len_score = F.when((words >= 5) & (words <= 100_000), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_score = F.when(F.col("__q_punct_ratio") <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    stop_score = F.when(F.col("__q_stopword_kinds") >= 2, F.lit(1.0)).otherwise(F.lit(0.5))
+    out = stats.withColumn(out_col, (len_score + punct_score + stop_score) / F.lit(3.0))
+    return out.drop(*[c for c in out.columns if c.startswith("__q_")])
+
+
+def language_scores(text: Column | str) -> Column:
+    """Map lang → stopword-hit count (set-wise) for the heuristic language
+    ID. All langs computed in one projection."""
+    toks = tokens_col(text)
+    pairs = []
+    for lang, words in _LANG_STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        pairs += [F.lit(lang), F.size(F.array_intersect(toks, arr))]
+    return F.create_map(*pairs)
+
+
+def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """B25 — n-gram/stopword language ID. Argmax over the per-language
+    score map via sort of (score, lang) structs; deterministic tiebreak on
+    lang asc; 'und' when nothing matched."""
+    scores = language_scores(text_col)
+    entries = F.map_entries(scores)  # array<struct<key,value>>
+    best = F.sort_array(
+        F.transform(entries, lambda e: F.struct(e["value"].alias("score"), e["key"].alias("lang"))),
+        asc=False,
+    )[0]
+    # sort desc of (score, lang) → tie prefers lexicographically LAST lang;
+    # flip to asc-first tiebreak by sorting (score desc) via negated score
+    best_tie = F.sort_array(
+        F.transform(entries, lambda e: F.struct((-e["value"]).alias("neg"), e["key"].alias("lang"))),
+        asc=True,
+    )[0]
+    return df.withColumn(
+        out_col, F.when(best["score"] > 0, best_tie["lang"]).otherwise(F.lit("und"))
+    )
+
+
+def fingerprint_col(text: Column | str, modulus: int = 1_000_000_007) -> Column:
+    """B25 — deterministic polynomial rolling hash of the document, fully
+    JVM-side: fold over characters with acc = (acc*31 + code) % m. Stable
+    across runs/engines (no JVM hashCode dependence)."""
+    c = F.col(text) if isinstance(text, str) else text
+    chars = F.split(c, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * F.lit(31) + F.coalesce(F.ascii(ch), F.lit(0))) % F.lit(modulus),
+    )
+
+
+def add_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
+    return df.withColumn(out_col, fingerprint_col(text_col))

@@ -1,0 +1,75 @@
+"""Aggregation operators (SURVEY §2 B4-B7).
+
+The reference has no groupBy at all (SURVEY §2 "notably absent") — this
+module is pure north-star surface.  Everything is built-in Spark
+aggregation (hash-agg with map-side partial aggregation, AQE-coalesced
+shuffles); the helpers standardize naming so oracle comparison is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_AGG_FNS = {
+    "count": F.count,
+    "sum": F.sum,
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "first": F.first,
+    "last": F.last,
+    "stddev": F.stddev_samp,
+    "var": F.var_samp,
+    "collect_list": F.collect_list,
+    "collect_set": F.collect_set,
+    "count_distinct": F.countDistinct,
+    "approx_count_distinct": F.approx_count_distinct,
+}
+
+
+def _build_aggs(aggs: dict[str, tuple[str, str]]) -> list[Column]:
+    """aggs: {out_name: (fn, col)} → aliased agg columns."""
+    cols = []
+    for out_name, (fn, col) in aggs.items():
+        if fn not in _AGG_FNS:
+            raise ValueError(f"unknown agg fn {fn!r}; one of {sorted(_AGG_FNS)}")
+        cols.append(_AGG_FNS[fn](col).alias(out_name))
+    return cols
+
+
+def group_agg(df: DataFrame, by: list[str], aggs: dict[str, tuple[str, str]]) -> DataFrame:
+    """B4 — hash aggregate with group-by; partial (map-side) aggregation is
+    automatic, so the shuffle carries pre-combined rows, not raw data."""
+    return df.groupBy(*by).agg(*_build_aggs(aggs))
+
+
+def rollup_agg(df: DataFrame, by: list[str], aggs: dict[str, tuple[str, str]]) -> DataFrame:
+    """B6 — hierarchical subtotals (GROUP BY ROLLUP)."""
+    return df.rollup(*by).agg(*_build_aggs(aggs))
+
+
+def cube_agg(df: DataFrame, by: list[str], aggs: dict[str, tuple[str, str]]) -> DataFrame:
+    """B6 — all grouping-set combinations (GROUP BY CUBE)."""
+    return df.cube(*by).agg(*_build_aggs(aggs))
+
+
+def distinct_counts(df: DataFrame, columns: list[str], approx: bool = False) -> DataFrame:
+    """B5 — exact or HLL count-distinct per column, one pass."""
+    fn = F.approx_count_distinct if approx else F.countDistinct
+    return df.agg(*[fn(c).alias(f"n_{c}") for c in columns])
+
+
+def top_k(df: DataFrame, order_by: list[Column], k: int) -> DataFrame:
+    """B7 — global top-k. Spark's sort+limit already does a per-partition
+    partial top-k then merges — no full sort of the table."""
+    return df.orderBy(*order_by).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame, partition_by: list[str], order_by: list[Column], k: int, rank_col: str = "rn"
+) -> DataFrame:
+    """B7 — top-k per group via row_number window; single shuffle on the
+    group key. ``order_by`` should include a tiebreaker for determinism."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)

@@ -1,0 +1,147 @@
+"""Join family (SURVEY §2 A16, B9).
+
+The reference has exactly one join: single-key equi-join with
+left/inner/right/outer picked from a dropdown
+(``/root/reference/simple_etl.py:322-351``).  Here the full family:
+equi/semi/anti/cross/theta plus two CUSTOM compositions Spark lacks as
+built-ins — as-of join and point-in-interval range join — both built to
+shuffle once on the equi key rather than explode a range cross-product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+JOIN_TYPES = {"inner", "left", "right", "outer", "full", "left_semi", "left_anti", "cross"}
+
+
+def join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str | list[str],
+    right_on: str | list[str] | None = None,
+    how: str = "inner",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """A16/B9 — equi-join on one or more key pairs.
+
+    Both key columns are kept, matching the ref's observed Spark behavior
+    (``simple_etl.py:340-342``).  ``broadcast_right=True`` adds the hint
+    for dimension tables; otherwise Catalyst/AQE picks the strategy
+    (sort-merge for fact-fact, broadcast under the size threshold).
+    """
+    if how not in JOIN_TYPES:
+        raise ValueError(f"unknown join type {how!r}")
+    left_keys = [left_on] if isinstance(left_on, str) else list(left_on)
+    right_keys = left_keys if right_on is None else (
+        [right_on] if isinstance(right_on, str) else list(right_on)
+    )
+    cond = None
+    for lk, rk in zip(left_keys, right_keys):
+        c = left[lk] == right[rk]
+        cond = c if cond is None else (cond & c)
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, cond, how)
+
+
+def theta_join(left: DataFrame, right: DataFrame, condition, how: str = "inner") -> DataFrame:
+    """B9 — arbitrary non-equi condition; small right side should be
+    broadcast by the caller or Catalyst falls back to BNLJ."""
+    return left.join(right, condition, how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str | None = None,
+    direction: str = "backward",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """B9 CUSTOM — as-of join: for each left row, the nearest right row at
+    or before (``backward``) / at or after (``forward``) its timestamp,
+    within equal ``on`` keys.
+
+    Spark-first plan (no built-in ASOF): tag and union both sides, then a
+    single window pass per key carries the most recent right payload onto
+    each left row.  ONE shuffle on the key — never the range-explosion a
+    naive ``l.ts >= r.ts`` theta join produces, so it survives 100× scale
+    (cf. DuckDB's native ``ASOF JOIN``, which the oracle uses).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    keys = [on] if isinstance(on, str) else list(on)
+    right_ts = right_ts or left_ts
+
+    payload_cols = [c for c in right.columns if c not in keys]
+    right_tagged = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.struct(*[F.col(c) for c in payload_cols]).alias("__payload"),
+    )
+    left_tagged = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast(right_tagged.schema["__payload"].dataType).alias("__payload"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__row"),
+    )
+    right_tagged = right_tagged.withColumn("__row", F.lit(None).cast(left_tagged.schema["__row"].dataType))
+
+    unioned = left_tagged.unionByName(right_tagged)
+    if direction == "backward":
+        # right (tag 0) sorts before left at equal ts → inclusive match
+        order = [F.col("__ts").asc(), F.col("__is_left").asc()]
+    else:
+        order = [F.col("__ts").desc(), F.col("__is_left").asc()]
+    w = Window.partitionBy(*keys).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    matched = unioned.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+
+    out = matched.filter(F.col("__is_left") == 1).select(
+        *[F.col(f"__row.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__match.{c}").alias(f"{right_prefix}{c}") for c in payload_cols],
+    )
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_point: str,
+    right_lower: str,
+    right_upper: str,
+    bucket_width: int,
+) -> DataFrame:
+    """B9 CUSTOM — point-in-interval join: left.point ∈ [right.lower,
+    right.upper] within equal keys.
+
+    Both sides are bucketed to ``floor(x / bucket_width)`` — intervals
+    explode to the buckets they overlap via ``sequence`` — so the match is
+    an equi-join on (key, bucket) plus a residual filter.  Turns an
+    unbounded theta join into a shuffle-bounded equi-join; pick
+    ``bucket_width`` near the typical interval length so the explosion
+    factor stays ~2.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    lb = F.floor(F.col(left_point) / bucket_width).alias("__bucket")
+    left_b = left.withColumn("__bucket", F.floor(F.col(left_point) / bucket_width))
+    right_b = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lower) / bucket_width),
+                F.floor(F.col(right_upper) / bucket_width),
+            )
+        ),
+    )
+    cond = [left_b[k] == right_b[k] for k in keys] + [left_b["__bucket"] == right_b["__bucket"]]
+    joined = left_b.join(right_b, cond)
+    out = joined.filter(
+        (F.col(left_point) >= F.col(right_lower)) & (F.col(left_point) <= F.col(right_upper))
+    )
+    drop = ["__bucket"] + keys
+    return out.drop(right_b["__bucket"]).drop(left_b["__bucket"]).drop(*[right_b[k] for k in keys])

@@ -1,0 +1,71 @@
+"""SparkSession factory.
+
+The reference re-created its session lazily per Streamlit rerun
+(``/root/reference/simple_etl.py:159``) and shuttled every table through
+pandas per click.  Here the session is built once, tuned for a
+multi-executor deployment, and all data stays resident as lazy DataFrames.
+
+Defaults are chosen for the 100 TB design point and scale down fine to
+``local[N]``:
+
+* AQE on (runtime join-strategy switch, skew-join splitting, shuffle
+  coalescing) — this is the knob that replaces hand-tuned plans at scale.
+* Arrow on — every pandas/driver edge (previews, pandas UDFs) is batched.
+* ``spark.sql.shuffle.partitions`` sized to cores locally; on a real
+  cluster AQE coalescing makes the initial number mostly irrelevant.
+* UTC session timezone so timestamp semantics match the oracle engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def build_session(
+    app_name: str = "etlbigdata_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) the tuned SparkSession.
+
+    ``master=None`` defers to an existing session / spark-submit config so
+    the same code runs unchanged on a cluster; tests pass ``local[N]``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
+    elif not SparkSession.getActiveSession():
+        builder = builder.master(f"local[{cpus}]")
+
+    n_shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    conf = {
+        "spark.sql.shuffle.partitions": str(n_shuffle),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        # 128 MiB input splits: big enough to amortize task overhead,
+        # small enough that a 100 TB scan still yields ~800k tasks that
+        # schedule incrementally.
+        "spark.sql.files.maxPartitionBytes": "134217728",
+        # Dimension tables (region/nation/supplier/part) broadcast.
+        "spark.sql.autoBroadcastJoinThreshold": "64m",
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.ui.showConsoleProgress": "false",
+        "spark.ui.enabled": "false",
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,159 @@
+"""Structured Streaming operators (SURVEY §2 B19-B22).
+
+The reference has no streaming at all (SURVEY §2 "notably absent").
+Model: ``readStream`` sources → the same DataFrame transforms →
+``writeStream`` sinks; event-time windows + watermarks for late data;
+``applyInPandasWithState`` for custom state.  Tests replay the
+``events`` table as a file stream with ``availableNow`` triggers for
+deterministic micro-batching.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# -- sources (B19) ----------------------------------------------------
+def read_file_stream(
+    spark: SparkSession, path: str, schema: T.StructType, fmt: str = "parquet",
+    max_files_per_trigger: int = 1, **opts,
+) -> DataFrame:
+    """File-replay source: each trigger consumes ≤ N new files — the
+    deterministic replay harness for the golden tests."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .options(**opts)
+        .format(fmt)
+        .load(path)
+    )
+
+
+def read_rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    return spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+
+
+# -- event-time windows (B20) + watermark (B21) ----------------------
+def tumbling_counts(
+    df: DataFrame, ts_col: str, window_len: str, keys: list[str] | None = None,
+    watermark: str | None = None, value_col: str | None = None,
+) -> DataFrame:
+    """Tumbling event-time window agg; with ``watermark`` set, state for
+    windows older than (max event time - watermark) is evicted and late
+    rows beyond it are dropped (B21)."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    group = [F.window(F.col(ts_col), window_len).alias("win")] + [F.col(k) for k in (keys or [])]
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col:
+        aggs.append(F.sum(value_col).alias(f"sum_{value_col}"))
+    return df.groupBy(*group).agg(*aggs).select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        *[F.col(k) for k in (keys or [])],
+        *[F.col(c) for c in ("n_events",) if True],
+        *([F.col(f"sum_{value_col}")] if value_col else []),
+    )
+
+
+def sliding_counts(
+    df: DataFrame, ts_col: str, window_len: str, slide: str,
+    keys: list[str] | None = None, watermark: str | None = None,
+) -> DataFrame:
+    """Sliding window — each event lands in window_len/slide windows."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    group = [F.window(F.col(ts_col), window_len, slide).alias("win")] + [F.col(k) for k in (keys or [])]
+    return df.groupBy(*group).agg(F.count(F.lit(1)).alias("n_events")).select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        *[F.col(k) for k in (keys or [])],
+        "n_events",
+    )
+
+
+def session_counts(
+    df: DataFrame, ts_col: str, gap: str, keys: list[str], watermark: str = "10 minutes"
+) -> DataFrame:
+    """Session windows (B20): dynamic-length, gap-closed; watermark is
+    mandatory for state cleanup in streaming mode."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("win"), *[F.col(k) for k in keys])
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            *[F.col(k) for k in keys],
+            "n_events",
+        )
+    )
+
+
+# -- stateful ops (B22) ----------------------------------------------
+def streaming_dedup(df: DataFrame, keys: list[str], ts_col: str | None = None, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming dropDuplicates: with a watermark the dedup state is
+    bounded (keys older than the watermark are evicted) — unbounded
+    otherwise, which does not survive at scale."""
+    if ts_col:
+        return df.withWatermark(ts_col, watermark).dropDuplicates(keys + [ts_col])
+    return df.dropDuplicates(keys)
+
+
+def stateful_running_agg(
+    df: DataFrame, key_col: str, value_col: str, ts_col: str, watermark: str = "10 minutes"
+):
+    """Custom per-key state via applyInPandasWithState: running sum + count
+    per key across micro-batches (the B22 extension hook; replace the body
+    for arbitrary state machines)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("running_sum", T.DoubleType()),
+            T.StructField("running_count", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("s", T.DoubleType()), T.StructField("c", T.LongType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        s, c = state.get if state.exists else (0.0, 0)
+        for pdf in pdfs:
+            s += float(pdf[value_col].sum())
+            c += int(len(pdf))
+        state.update((s, c))
+        yield pd.DataFrame({"key": [key[0]], "running_sum": [s], "running_count": [c]})
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col))
+        .applyInPandasWithState(update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout)
+    )
+
+
+# -- sinks (B19) ------------------------------------------------------
+def write_stream_memory(df: DataFrame, name: str, output_mode: str = "complete"):
+    """Memory sink for tests/goldens."""
+    return df.writeStream.format("memory").queryName(name).outputMode(output_mode)
+
+
+def write_stream_foreach_batch(df: DataFrame, fn: Callable[[DataFrame, int], None], output_mode: str = "update"):
+    """foreachBatch — the escape hatch to any batch sink (JDBC, upsert...)."""
+    return df.writeStream.foreachBatch(fn).outputMode(output_mode)
+
+
+def run_available_now(writer, checkpoint_dir: str):
+    """Drain all available input deterministically (availableNow trigger),
+    block until done — the micro-batch replay used by the golden tests."""
+    q = writer.option("checkpointLocation", checkpoint_dir).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return q
