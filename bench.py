@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + BASELINE.md protocol).
+
+Runs the headline queries from the declared workload at
+``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Per-query timing is wall-clock of plan-build + execution to a driver-side
+fetch (``collect``), median of BENCH_RUNS runs after one warm-up, matching
+the measurement protocol in BASELINE.md (one reused SparkSession, JVM
+startup excluded).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etlbigdata_spark import workload  # noqa: E402
+from etlbigdata_spark.session import build_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+
+# Headline set: the three BASELINE.md anchor queries plus one representative
+# per capability family (agg, window, join, text, dedup, similarity, json).
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_top_orders",
+    "q05_region_revenue",
+    "q06_revenue_delta",
+    "b07_topk_group",
+    "b09_asof",
+    "b10_running_sum",
+    "b15_json",
+    "b16_pivot",
+    "t01_text_stats",
+    "t02_token_count",
+    "d01_dup_groups",
+    "d03_minhash",
+    "s01_cosine_topk",
+    "st02_sessions",
+]
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def time_query(spark, name: str) -> float:
+    fn = workload.QUERIES[name]
+    fn(spark, SF_DIR).limit(1).collect()  # warm-up (plan + IO caches)
+    samples = []
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).collect()
+        samples.append(time.perf_counter() - t0)
+    return statistics.median(samples)
+
+
+def main() -> None:
+    spark = build_session(app_name="etlbigdata_spark_bench", master=f"local[{CPUS}]")
+    timings = {}
+    for name in HEADLINE:
+        try:
+            timings[name] = round(time_query(spark, name), 4)
+        except Exception as exc:  # a broken query should not zero the bench
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            timings[name] = None
+    ok = [v for v in timings.values() if v is not None]
+    total = round(sum(ok), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total_wallclock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+                "runs_per_query": RUNS,
+                "n_queries": len(ok),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -42,6 +42,7 @@ def cosine_topk(
     vec_col: str = "embedding",
     query_id_col: str | None = None,
     include_self: bool = False,
+    round_to: int | None = None,
 ) -> DataFrame:
     """B24 exact baseline — for each query vector, the top-k most cosine-
     similar corpus vectors.
@@ -60,11 +61,12 @@ def cosine_topk(
     joined = c.crossJoin(F.broadcast(q))
     if not include_self:
         joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
-    scored = joined.select(
-        "query_id",
-        "neighbor_id",
-        cosine_sim(F.col("__qvec"), F.col("__cvec")).alias("cosine"),
-    )
+    cos = cosine_sim(F.col("__qvec"), F.col("__cvec"))
+    if round_to is not None:
+        # ranking on the rounded value keeps ties (and thus order, via the
+        # neighbor_id tiebreak) reproducible across engines/runs
+        cos = F.round(cos, round_to)
+    scored = joined.select("query_id", "neighbor_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 

@@ -23,7 +23,7 @@ def stratified_sample(df: DataFrame, col: str, fractions: dict, seed: int = 42) 
 
 def null_profile(df: DataFrame) -> DataFrame:
     """B27 — per-column null count + rate, single pass (one aggregate, no
-    per-column jobs). Output long-form: (column, n_null, null_rate)."""
+    per-column jobs). Output long-form: (col_name, n_null, null_rate)."""
     total = F.count(F.lit(1))
     aggs = [total.alias("__total")]
     for c in df.columns:
@@ -31,7 +31,7 @@ def null_profile(df: DataFrame) -> DataFrame:
     row = df.agg(*aggs)
     stacked = row.select(
         F.expr(
-            "stack({n}, {args}) as (column, n_null)".format(
+            "stack({n}, {args}) as (col_name, n_null)".format(
                 n=len(df.columns),
                 args=", ".join(f"'{c}', __null_{c}" for c in df.columns),
             )
@@ -39,7 +39,7 @@ def null_profile(df: DataFrame) -> DataFrame:
         F.col("__total"),
     )
     return stacked.select(
-        "column",
+        "col_name",
         "n_null",
         (F.col("n_null") / F.col("__total")).alias("null_rate"),
     )

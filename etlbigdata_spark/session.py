@@ -58,6 +58,14 @@ def build_session(
         # Dimension tables (region/nation/supplier/part) broadcast.
         "spark.sql.autoBroadcastJoinThreshold": "64m",
         "spark.sql.parquet.filterPushdown": "true",
+        # Spark 4 ICU case mappings: the ICU class's static init costs ~30 s
+        # of CPU on first use (com.ibm.icu CaseMapImpl tables). JVM case
+        # mappings are correct for our ASCII-dominant workloads and skip it.
+        "spark.sql.icu.caseMappings.enabled": "false",
+        # timestamp[ns] parquet columns (events.ts) read as long nanos
+        # instead of erroring; converted at the reader edge (see
+        # sources/readers.read_parquet_ts).
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.ui.showConsoleProgress": "false",
         "spark.ui.enabled": "false",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),

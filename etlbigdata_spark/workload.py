@@ -1,0 +1,1070 @@
+"""Declared query workload: one entry per implemented operator
+(SURVEY.md §2), each with a DuckDB oracle SQL twin where SQL can express
+the semantics.
+
+Cross-engine hash discipline (the driver compares value hashes):
+
+* Money/metric sums are computed in DECIMAL(18,4) — the source doubles
+  are exact at ≤4 dp (verified against the testdata), and decimal
+  addition is exact and associative, so Spark's partial-aggregation
+  order and DuckDB's sequential order produce bit-identical results;
+  final cast to DOUBLE for a stable output type.
+* Raw column values (parquet doubles, strings, ints) pass through
+  untouched — identical bytes in both engines.
+* Derived floats that can't be made exact (cosine similarity) are
+  rounded *before* any ranking so order and ties agree everywhere.
+* Every computed column is aliased identically in both dialects.
+* DuckDB ``SUM(INTEGER)`` widens to HUGEINT — every integer sum in the
+  oracle is wrapped in ``CAST(... AS BIGINT)`` to match Spark's long.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import dedup as fdedup
+from .functions import similarity as fsim
+from .functions import text as ftext
+from .operators import aggregates, cleaning, joins, pivot, sampling, setops
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # parquet timestamp[ns] surfaces as long nanos (legacy.parquet.
+        # nanosAsLong); the data is µs-resolution, so this is lossless
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def D(c) -> F.Column:
+    """Exact-decimal view of a ≤4dp money/metric double column."""
+    return (F.col(c) if isinstance(c, str) else c).cast("decimal(18,4)")
+
+
+def _dec1() -> F.Column:
+    return F.lit(1).cast("decimal(18,4)")
+
+
+# ---------------------------------------------------------------------
+# TPC-H-style core (SURVEY §7 M0/M2; B1-B7)
+# ---------------------------------------------------------------------
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 hash aggregate — TPC-H Q1-like pricing summary."""
+    li = load(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-09-02").cast("timestamp")
+    return (
+        li.filter(F.col("l_shipdate") <= cutoff)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(D("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(D("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(D("l_extendedprice") * (_dec1() - D("l_discount"))).cast("double").alias("sum_disc_price"),
+            F.sum(D("l_extendedprice") * (_dec1() - D("l_discount")) * (_dec1() + D("l_tax")))
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(D("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(D("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(D("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4+B7+B9 — join3 + agg + deterministic top-10 (TPC-H Q3-like)."""
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    revenue = F.sum(D("l_extendedprice") * (_dec1() - D("l_discount"))).cast("double").alias("revenue")
+    return (
+        joins.join(cust, orders, "c_custkey", "o_custkey")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("o_date"))
+        .agg(revenue)
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+Q03_SQL = """
+SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M0 proof query (SURVEY §7): 4 joins + agg + sort; dims broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    revenue = F.sum(D("l_extendedprice") * (_dec1() - D("l_discount"))).cast("double").alias("revenue")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(revenue)
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+Q05_SQL = """
+SELECT r_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY revenue DESC
+"""
+
+
+def q06_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 — selective predicate + scalar aggregate (TPC-H Q6-like)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_quantity") < 24)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+        )
+        .agg(F.sum(D("l_extendedprice") * D("l_discount")).cast("double").alias("promo_revenue"))
+    )
+
+
+Q06_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue
+FROM lineitem
+WHERE l_quantity < 24 AND l_discount >= 0.05 AND l_discount <= 0.07
+"""
+
+
+# ---------------------------------------------------------------------
+# Part A reference parity (SURVEY §2 A6-A16)
+# ---------------------------------------------------------------------
+def a06_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — UNION ALL (multiset) of two overlapping subsets, name-aligned."""
+    orders = load(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "F")
+    b = orders.filter(F.col("o_totalprice") > 100000)
+    return (
+        setops.union_all([a, b])
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+A06_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_rows
+FROM (
+  SELECT * FROM orders WHERE o_orderstatus = 'F'
+  UNION ALL
+  SELECT * FROM orders WHERE o_totalprice > 100000
+)
+GROUP BY o_orderstatus
+"""
+
+
+def a07_fill_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — type-dispatched null fill (text→'N/A', numeric→0)."""
+    cust = load(spark, sf_dir, "customer")
+    dirty = cust.select(
+        F.when(F.col("c_mktsegment") == "BUILDING", None)
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+        F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal")).alias("balance"),
+    )
+    filled = cleaning.fill_nulls(dirty, text_fill="N/A", numeric_fill=0)
+    return filled.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(D("balance")).cast("double").alias("sum_balance"),
+    )
+
+
+A07_SQL = """
+SELECT COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'N/A') AS segment,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(COALESCE(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0) AS DECIMAL(18,4))) AS DOUBLE) AS sum_balance
+FROM customer
+GROUP BY COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'N/A')
+"""
+
+
+def a08_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — duplicate-row elimination on a projection."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", F.col("l_shipdate").cast("date").alias("ship_date")
+    )
+    return cleaning.deduplicate(li)
+
+
+A08_SQL = """
+SELECT DISTINCT l_returnflag, l_linestatus, CAST(l_shipdate AS DATE) AS ship_date
+FROM lineitem
+"""
+
+
+def a10_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — conditional exact-value replace in one column."""
+    orders = load(spark, sf_dir, "orders")
+    replaced = cleaning.replace_value(orders, "o_orderpriority", "1-URGENT", "URGENT")
+    return replaced.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+A10_SQL = """
+SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'URGENT' ELSE o_orderpriority END AS o_orderpriority,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY 1
+"""
+
+
+def a11_filter_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 — substring-predicate filter."""
+    part = load(spark, sf_dir, "part")
+    hits = cleaning.filter_contains(part, "p_name", "widget")
+    return hits.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_parts"))
+
+
+A11_SQL = """
+SELECT p_brand, COUNT(*) AS n_parts
+FROM part
+WHERE p_name LIKE '%widget%'
+GROUP BY p_brand
+"""
+
+
+def a13_split_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13+A14 — split column on delimiter; merge columns with separator."""
+    part = load(spark, sf_dir, "part")
+    out = cleaning.split_column(part, "p_name", " ", n_parts=2)
+    out = cleaning.merge_columns(out, ["p_brand", "p_type"], "|", "brand_type")
+    return out.select("p_partkey", "p_name_1", "p_name_2", "brand_type")
+
+
+A13_SQL = """
+SELECT p_partkey,
+       split_part(p_name, ' ', 1) AS p_name_1,
+       split_part(p_name, ' ', 2) AS p_name_2,
+       concat_ws('|', p_brand, p_type) AS brand_type
+FROM part
+"""
+
+
+def a15_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 — type casts (timestamp→date, double→int) then aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    li = cleaning.cast_column(li, "l_shipdate", "date")
+    li = cleaning.cast_column(li, "l_quantity", "integer")
+    return li.groupBy(F.col("l_shipdate").alias("ship_date")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
+
+
+A15_SQL = """
+SELECT CAST(l_shipdate AS DATE) AS ship_date,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(CAST(l_quantity AS INTEGER) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY 1
+"""
+
+
+def a16_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 — single-key equi-join (the reference's one join), then agg."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    j = joins.join(orders, cust, "o_custkey", "c_custkey", how="inner")
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(D("o_totalprice")).cast("double").alias("total_value"),
+    )
+
+
+A16_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------
+# Part B relational (SURVEY §2 B5-B16, B27)
+# ---------------------------------------------------------------------
+def b05_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return aggregates.distinct_counts(li, ["l_orderkey", "l_partkey", "l_suppkey"])
+
+
+B05_SQL = """
+SELECT COUNT(DISTINCT l_orderkey) AS n_l_orderkey,
+       COUNT(DISTINCT l_partkey)  AS n_l_partkey,
+       COUNT(DISTINCT l_suppkey)  AS n_l_suppkey
+FROM lineitem
+"""
+
+
+def b06_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return aggregates.rollup_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("sum", F.col("l_quantity").cast("long")),
+            "n_rows": ("count", F.lit(1)),
+        },
+    )
+
+
+B06_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def b07_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    top = aggregates.top_k_per_group(
+        orders,
+        ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+    )
+    return top.select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+
+
+B07_SQL = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+"""
+
+
+def b08_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    o = orders.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return setops.intersect(f, o)
+
+
+B08_INTERSECT_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+def b08_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    o = orders.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return setops.except_(f, o, keep_duplicates=False)
+
+
+B08_EXCEPT_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+def b09_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    with_orders = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+    return with_orders.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+B09_SEMI_SQL = """
+SELECT c_nationkey, COUNT(*) AS n_customers
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+"""
+
+
+def b09_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    no_orders = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    return no_orders.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+B09_ANTI_SQL = """
+SELECT c_nationkey, COUNT(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+"""
+
+
+def b09_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9 CUSTOM — as-of join: each purchase matched to the latest click at
+    or before it, per user (union+window plan; oracle uses native ASOF)."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    out = joins.asof_join(purchases, clicks, on="user_id", left_ts="ts", direction="backward")
+    return out.select("event_id", "user_id", "r_click_id")
+
+
+B09_ASOF_SQL = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, ts, MAX(event_id) AS click_id
+           FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+SELECT p.event_id, p.user_id, c.click_id AS r_click_id
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def b10_window_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+B10_NAV_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       lag(o_totalprice)  OVER w AS prev_price,
+       lead(o_totalprice) OVER w AS next_price,
+       CAST(row_number()  OVER w AS INTEGER) AS order_seq
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+"""
+
+
+def b10_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(D("o_totalprice")).over(w).cast("double").alias("running_total"),
+    )
+
+
+B10_RUN_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+FROM orders
+"""
+
+
+def b11_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    name = F.col("c_name")
+    return cust.select(
+        "c_custkey",
+        F.upper(name).alias("up"),
+        F.lower(name).alias("low"),
+        F.substring(name, 1, 10).alias("sub10"),
+        F.length(name).alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.regexp_extract(name, r"([0-9]+)", 1).alias("digits"),
+        F.regexp_replace(name, r"[0-9]", "").alias("no_digits"),
+        F.levenshtein(F.substring(name, 1, 8), F.lit("Customer")).alias("lev"),
+    )
+
+
+B11_SQL = """
+SELECT c_custkey,
+       upper(c_name) AS up,
+       lower(c_name) AS low,
+       substr(c_name, 1, 10) AS sub10,
+       CAST(length(c_name) AS INTEGER) AS name_len,
+       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+       regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+       regexp_replace(c_name, '[0-9]', '', 'g') AS no_digits,
+       CAST(levenshtein(substr(c_name, 1, 8), 'Customer') AS INTEGER) AS lev
+FROM customer WHERE c_custkey <= 200
+"""
+
+
+def b12_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    od = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        od.cast("date").alias("order_date"),
+        F.year(od).alias("yr"),
+        F.month(od).alias("mo"),
+        F.dayofmonth(od).alias("dy"),
+        F.date_trunc("month", od).cast("date").alias("month_start"),
+        F.date_add(od.cast("date"), 30).alias("plus30"),
+        F.datediff(od.cast("date"), F.lit("1995-01-01").cast("date")).alias("days_since"),
+    )
+
+
+B12_SQL = """
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(year(o_orderdate) AS INTEGER)  AS yr,
+       CAST(month(o_orderdate) AS INTEGER) AS mo,
+       CAST(day(o_orderdate) AS INTEGER)   AS dy,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30,
+       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since
+FROM orders WHERE o_orderkey <= 2000
+"""
+
+
+def b13_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    ext = F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(ext).alias("fl"),
+        F.ceil(ext).alias("ce"),
+        F.abs(F.col("l_discount") - 0.05).alias("ab"),
+        F.sqrt(ext).alias("sq"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty2"),
+        F.greatest("l_discount", "l_tax").alias("gr"),
+        F.least("l_discount", "l_tax").alias("le"),
+    )
+
+
+B13_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+       CAST(ceil(l_extendedprice)  AS BIGINT) AS ce,
+       abs(l_discount - 0.05) AS ab,
+       sqrt(l_extendedprice) AS sq,
+       l_quantity * l_quantity AS qty2,
+       greatest(l_discount, l_tax) AS gr,
+       least(l_discount, l_tax) AS le
+FROM lineitem WHERE l_orderkey <= 500
+"""
+
+
+def b14_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    l2 = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, v: acc + v * v))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at(vec, 1).alias("first_val"),
+        F.element_at(vec, -1).alias("last_val"),
+        F.array_max(vec).alias("max_val"),
+        F.array_min(vec).alias("min_val"),
+        F.round(l2, 6).alias("l2_norm"),
+    )
+
+
+B14_SQL = """
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       CAST(embedding[1] AS DOUBLE)  AS first_val,
+       CAST(embedding[-1] AS DOUBLE) AS last_val,
+       CAST(list_max(embedding) AS DOUBLE) AS max_val,
+       CAST(list_min(embedding) AS DOUBLE) AS min_val,
+       round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2_norm
+FROM embeddings
+"""
+
+
+def b15_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int").alias("k")
+    return (
+        ev.select(k, "user_id", D("value").alias("v"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("v").cast("double").alias("sum_value"),
+        )
+    )
+
+
+B15_SQL = """
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1
+"""
+
+
+def b16_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").withColumn("qty", F.col("l_quantity").cast("long"))
+    return pivot.pivot(
+        li, group_by=["l_returnflag"], pivot_col="l_linestatus", value_col="qty",
+        agg="sum", values=["F", "O"],
+    )
+
+
+B16_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS "F",
+       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS "O"
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def b17_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B17 — seeded Bernoulli sample (no cross-engine oracle: RNG streams
+    differ by engine; driver records a rows-only check)."""
+    li = load(spark, sf_dir, "lineitem")
+    return sampling.sample(li, fraction=0.01, seed=42).select("l_orderkey", "l_linenumber")
+
+
+def b27_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return sampling.null_profile(orders)
+
+
+def _b27_sql() -> str:
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
+    parts = [
+        f"SELECT '{c}' AS col_name, CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
+        f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS null_rate FROM orders"
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+B27_SQL = _b27_sql()
+
+
+# ---------------------------------------------------------------------
+# LLM-pipeline: text analysis (B25)
+# ---------------------------------------------------------------------
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+
+def t01_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = ftext.tokens_col("text")
+    per_doc = docs.select("lang", F.size(toks).alias("n_words"), "n_chars")
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_words").cast("long")).alias("total_words"),
+        (F.sum(F.col("n_words").cast("double")) / F.count(F.lit(1))).alias("avg_words"),
+        (F.sum(F.col("n_chars").cast("double")) / F.count(F.lit(1))).alias("avg_chars"),
+    )
+
+
+T01_SQL = f"""
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS total_words,
+       CAST(SUM(len({_TOKS_SQL})) AS DOUBLE) / COUNT(*) AS avg_words,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+def t02_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_tok = ftext.token_count_col(F.lower(F.col("text")), pattern="[a-z0-9]+")
+    return docs.select("source", n_tok.alias("n_tok")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tok").cast("long")).alias("total_tokens"),
+        F.max("n_tok").alias("max_tokens"),
+    )
+
+
+T02_SQL = """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS total_tokens,
+       CAST(MAX(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS INTEGER) AS max_tokens
+FROM documents
+GROUP BY source
+"""
+
+
+def t03_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    scored = ftext.quality_score(docs, "text", out_col="quality")
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("quality").alias("sum_quality"),
+    )
+
+
+_EN_STOP_SQL = "['the','and','of','to','in','is','that','it','for','was']"
+T03_SQL = f"""
+WITH stats AS (
+  SELECT lang,
+         len({_TOKS_SQL}) AS n_words,
+         CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+           / length(text) AS punct_ratio,
+         len(list_intersect({_TOKS_SQL}, {_EN_STOP_SQL})) AS stop_kinds
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+       SUM((
+         (CASE WHEN n_words >= 5 AND n_words <= 100000 THEN 1.0 ELSE 0.0 END) +
+         (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END) +
+         (CASE WHEN stop_kinds >= 2 THEN 1.0 ELSE 0.5 END)
+       ) / 3.0) AS sum_quality
+FROM stats
+GROUP BY lang
+"""
+
+
+def t04_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pred = ftext.language_id(docs, "text", out_col="lang_pred")
+    return pred.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def _t04_sql() -> str:
+    from .functions.text import _LANG_STOPWORDS
+
+    score_exprs = []
+    for lang, words in _LANG_STOPWORDS.items():
+        lst = "[" + ",".join(f"'{w}'" for w in words) + "]"
+        score_exprs.append(f"len(list_intersect({_TOKS_SQL}, {lst})) AS s_{lang}")
+    langs_sorted = sorted(_LANG_STOPWORDS)  # asc tiebreak, matching Spark impl
+    case = " ".join(f"WHEN s_{lg} = m THEN '{lg}'" for lg in langs_sorted)
+    return f"""
+WITH scores AS (SELECT lang, {', '.join(score_exprs)} FROM documents),
+     best AS (SELECT lang, greatest(s_en, s_es, s_fr, s_de, s_zh) AS m, * FROM scores)
+SELECT lang, CASE WHEN m = 0 THEN 'und' {case} END AS lang_pred, COUNT(*) AS n_docs
+FROM best
+GROUP BY 1, 2
+"""
+
+
+T04_SQL = _t04_sql()
+
+
+# ---------------------------------------------------------------------
+# LLM-pipeline: dedup (B23) & similarity (B24) & multimodal (B26)
+# ---------------------------------------------------------------------
+def d01_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return fdedup.duplicate_groups(docs, "text")
+
+
+D01_SQL = """
+SELECT md5(text) AS text_hash, COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+HAVING COUNT(*) > 1
+"""
+
+
+def d02_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B23 — exact n-gram Jaccard near-dup pairs on a doc_id-strided subset
+    (the exact path is the oracle; MinHash below is the scale path)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    return fdedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+
+
+D02_SQL = f"""
+WITH docs AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        FOR i IN generate_series(1, greatest(len(toks) - 2, 0))]) AS shingles
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents WHERE doc_id % 20 = 0)
+),
+sh    AS (SELECT doc_id, unnest(shingles) AS shingle FROM docs),
+sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_shared,
+       CAST(sa.set_size AS BIGINT) AS size_a,
+       CAST(sb.set_size AS BIGINT) AS size_b,
+       CAST(n_shared AS DOUBLE) / (sa.set_size + sb.set_size - n_shared) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_shared AS DOUBLE) / (sa.set_size + sb.set_size - n_shared) >= 0.2
+"""
+
+
+def d03_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B23 — MinHash+LSH candidates (approximate: no SQL oracle; judged by
+    recall against d02's exact pairs in tests)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    return fdedup.minhash_candidates(docs, "doc_id", "text", jaccard_distance_threshold=0.8)
+
+
+def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B23 — SimHash near-dup pairs (banded; engine-specific hash → rows-only)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    return fdedup.simhash_near_dups(docs, "doc_id", "text", max_hamming=8)
+
+
+def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24 — exact brute-force cosine top-5 for 5 query vectors."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return fsim.cosine_topk(emb, queries, k=5, round_to=6)
+
+
+S01_SQL = """
+WITH q AS (SELECT vec_id AS query_id,    CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+     c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT query_id, neighbor_id,
+         round(list_cosine_similarity(qv, cv), 6) AS cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC,
+                                     neighbor_id ASC) AS rank
+  FROM q, c
+  WHERE neighbor_id <> query_id
+)
+WHERE rank <= 5
+"""
+
+
+def s02_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24 — ANN via random-projection LSH (approximate: judged by
+    recall@k against s01 in tests, not hash equality)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return fsim.lsh_topk(emb, queries, k=5)
+
+
+def t05_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B25 — polynomial rolling-hash document fingerprint (rows-only: no
+    portable SQL fold in the oracle dialect)."""
+    docs = load(spark, sf_dir, "documents")
+    return ftext.add_fingerprint(docs, "text").select("doc_id", "fingerprint")
+
+
+def mm01_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B26 — binary media column + typed metadata struct (checksum/size)."""
+    from .functions.multimodal import attach_media_meta
+
+    docs = load(spark, sf_dir, "documents").withColumn("blob", F.encode(F.col("text"), "utf-8"))
+    meta = attach_media_meta(docs, "blob", media_type="text/plain")
+    return meta.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.checksum").alias("checksum"),
+    )
+
+
+MM01_SQL = """
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS checksum
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------
+# Streaming semantics in batch form (B20) — the streaming engine itself
+# is exercised by replay tests (tests/test_streaming.py)
+# ---------------------------------------------------------------------
+def st01_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "1 hour")
+    return (
+        ev.groupBy(win.alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(D("value")).cast("double").alias("sum_value"))
+        .select(
+            F.year("win.start").alias("yr"),
+            F.month("win.start").alias("mo"),
+            F.dayofmonth("win.start").alias("dy"),
+            F.hour("win.start").alias("hr"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ST01_SQL = """
+SELECT CAST(year(tb) AS INTEGER) AS yr, CAST(month(tb) AS INTEGER) AS mo,
+       CAST(day(tb) AS INTEGER) AS dy, CAST(hour(tb) AS INTEGER) AS hr,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM (SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS tb, event_type, value FROM events)
+GROUP BY 1, 2, 3, 4, 5
+"""
+
+
+def st02_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    sessions = ev.groupBy(
+        F.session_window(F.col("ts"), "30 minutes").alias("win"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_ev"))
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.col("n_ev").cast("long")).alias("n_events"),
+    )
+
+
+ST02_SQL = """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+s AS (SELECT user_id, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid FROM d)
+SELECT user_id, COUNT(DISTINCT sid) AS n_sessions, COUNT(*) AS n_events
+FROM s
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q03_top_orders": q03_top_orders,
+    "q05_region_revenue": q05_region_revenue,
+    "q06_revenue_delta": q06_revenue_delta,
+    "a06_union_all": a06_union_all,
+    "a07_fill_nulls": a07_fill_nulls,
+    "a08_dedup": a08_dedup,
+    "a10_replace": a10_replace,
+    "a11_filter_contains": a11_filter_contains,
+    "a13_split_merge": a13_split_merge,
+    "a15_cast": a15_cast,
+    "a16_join": a16_join,
+    "b05_count_distinct": b05_count_distinct,
+    "b06_rollup": b06_rollup,
+    "b07_topk_group": b07_topk_group,
+    "b08_intersect": b08_intersect,
+    "b08_except": b08_except,
+    "b09_semi": b09_semi,
+    "b09_anti": b09_anti,
+    "b09_asof": b09_asof,
+    "b10_window_nav": b10_window_nav,
+    "b10_running_sum": b10_running_sum,
+    "b11_strings": b11_strings,
+    "b12_dates": b12_dates,
+    "b13_math": b13_math,
+    "b14_arrays": b14_arrays,
+    "b15_json": b15_json,
+    "b16_pivot": b16_pivot,
+    "b17_sample": b17_sample,
+    "b27_profile": b27_profile,
+    "t01_text_stats": t01_text_stats,
+    "t02_token_count": t02_token_count,
+    "t03_quality": t03_quality,
+    "t04_language_id": t04_language_id,
+    "t05_fingerprint": t05_fingerprint,
+    "d01_dup_groups": d01_dup_groups,
+    "d02_jaccard_pairs": d02_jaccard_pairs,
+    "d03_minhash": d03_minhash,
+    "d04_simhash": d04_simhash,
+    "s01_cosine_topk": s01_cosine_topk,
+    "s02_lsh_topk": s02_lsh_topk,
+    "mm01_binary_meta": mm01_binary_meta,
+    "st01_tumbling": st01_tumbling,
+    "st02_sessions": st02_sessions,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "q01_pricing_summary": Q01_SQL,
+    "q03_top_orders": Q03_SQL,
+    "q05_region_revenue": Q05_SQL,
+    "q06_revenue_delta": Q06_SQL,
+    "a06_union_all": A06_SQL,
+    "a07_fill_nulls": A07_SQL,
+    "a08_dedup": A08_SQL,
+    "a10_replace": A10_SQL,
+    "a11_filter_contains": A11_SQL,
+    "a13_split_merge": A13_SQL,
+    "a15_cast": A15_SQL,
+    "a16_join": A16_SQL,
+    "b05_count_distinct": B05_SQL,
+    "b06_rollup": B06_SQL,
+    "b07_topk_group": B07_SQL,
+    "b08_intersect": B08_INTERSECT_SQL,
+    "b08_except": B08_EXCEPT_SQL,
+    "b09_semi": B09_SEMI_SQL,
+    "b09_anti": B09_ANTI_SQL,
+    "b09_asof": B09_ASOF_SQL,
+    "b10_window_nav": B10_NAV_SQL,
+    "b10_running_sum": B10_RUN_SQL,
+    "b11_strings": B11_SQL,
+    "b12_dates": B12_SQL,
+    "b13_math": B13_SQL,
+    "b14_arrays": B14_SQL,
+    "b15_json": B15_SQL,
+    "b16_pivot": B16_SQL,
+    "b27_profile": B27_SQL,
+    "t01_text_stats": T01_SQL,
+    "t02_token_count": T02_SQL,
+    "t03_quality": T03_SQL,
+    "t04_language_id": T04_SQL,
+    "d01_dup_groups": D01_SQL,
+    "d02_jaccard_pairs": D02_SQL,
+    "s01_cosine_topk": S01_SQL,
+    "mm01_binary_meta": MM01_SQL,
+    "st01_tumbling": ST01_SQL,
+    "st02_sessions": ST02_SQL,
+    # rows-only (approximate / engine-specific RNG or hash): b17_sample,
+    # t05_fingerprint, d03_minhash, d04_simhash, s02_lsh_topk
+}

@@ -1,0 +1,72 @@
+"""Differential oracle: every declared query vs its DuckDB SQL twin
+(SURVEY §5.2 item 2) — a local replica of the driver's correctness gate.
+
+Canonicalization mirrors the driver's described compare: columns sorted
+by name, rows sorted, floats normalized (round to 9 significant-ish
+decimal places), then exact match.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from etlbigdata_spark import workload
+
+
+def _canon_value(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # enough to absorb representation noise, tight enough to catch bugs
+        return round(v, 6)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def _canon_rows(columns, rows):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = [tuple(_canon_value(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return [columns[i] for i in order], out
+
+
+ORACLE_NAMES = sorted(workload.ORACLE_SQL)
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_query_matches_oracle(spark, duck, sf_dir, name):
+    sdf = workload.QUERIES[name](spark, sf_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    rel = duck.sql(workload.ORACLE_SQL[name])
+    duck_cols = list(rel.columns)
+    duck_rows = rel.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column names differ: spark={sorted(spark_cols)} duckdb={sorted(duck_cols)}"
+    )
+    s_cols, s_rows = _canon_rows(spark_cols, spark_rows)
+    d_cols, d_rows = _canon_rows(duck_cols, duck_rows)
+    assert len(s_rows) == len(d_rows), f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:5]} (cols {s_cols})"
+
+
+NO_ORACLE = sorted(set(workload.QUERIES) - set(workload.ORACLE_SQL))
+
+
+@pytest.mark.parametrize("name", NO_ORACLE)
+def test_rows_only_queries_run(spark, sf_dir, name):
+    df = workload.QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
