@@ -86,7 +86,9 @@ def split_column(df: DataFrame, column: str, delimiter: str, n_parts: int = 2) -
     parts = F.split(F.col(column), delimiter)
     out = df
     for i in range(n_parts):
-        out = out.withColumn(f"{column}_{i + 1}", parts.getItem(i))
+        # F.get (not getItem): null on missing index — ANSI mode would
+        # otherwise raise INVALID_ARRAY_INDEX for rows with fewer parts
+        out = out.withColumn(f"{column}_{i + 1}", F.get(parts, i))
     return out
 
 
@@ -108,7 +110,10 @@ def cast_column(df: DataFrame, column: str, type_name: str, date_format: str | N
         raise ValueError(f"unsupported cast type {type_name!r}; one of {sorted(_CAST_TYPES)}")
     if t == "date" and date_format:
         return df.withColumn(column, F.to_date(F.col(column), date_format))
-    return df.withColumn(column, F.col(column).cast(_CAST_TYPES[t]))
+    # try_cast, not cast: null-on-error is the documented semantics (the
+    # ref's Spark 3 cast and the checkpoint's to_datetime(errors='coerce')
+    # both coerce); Spark 4's ANSI-mode cast would raise instead
+    return df.withColumn(column, F.col(column).try_cast(_CAST_TYPES[t]))
 
 
 def rename_columns(df: DataFrame, mapping: dict[str, str]) -> DataFrame:

@@ -976,6 +976,358 @@ GROUP BY user_id
 
 
 # ---------------------------------------------------------------------
+# Coverage round 2: SQL entry, projection/filter surface, cube, range
+# join, rank family, explode, unpivot, pandas UDF, transpose, Q7/Q10
+# ---------------------------------------------------------------------
+def q07_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9 — two independent dimension chains (supplier-nation and
+    customer-nation, both broadcast) + year bucketing (TPC-H Q7-like)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") <= F.lit("1996-12-31").cast("timestamp"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(D("l_extendedprice") * (_dec1() - D("l_discount"))).cast("double").alias("volume"))
+    )
+
+
+Q07_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS volume
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         l_extendedprice, l_discount
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+    AND n1.n_name <> n2.n_name
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4+B7+B9 — revenue lost to returns per customer, top 20 (Q10-like)."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(D("l_extendedprice") * (_dec1() - D("l_discount"))).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def a09_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — row count as a 1×1 frame (ref: df.count(), simple_etl.py:204)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+A09_SQL = "SELECT COUNT(*) AS n_rows FROM lineitem"
+
+
+def a12_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 — whole-table transpose (driver-bound faithful port of the
+    ref's pandas .T, guarded by a row cap; pivot/unpivot is the scale
+    path — see b16)."""
+    region = load(spark, sf_dir, "region").orderBy("r_regionkey")
+    return cleaning.transpose(region)
+
+
+A12_SQL = """
+WITH t AS (
+  SELECT list(CAST(r_regionkey AS VARCHAR) ORDER BY r_regionkey) AS ks,
+         list(r_name ORDER BY r_regionkey) AS ns
+  FROM region
+)
+SELECT 'r_regionkey' AS "column",
+       ks[1] AS row_0, ks[2] AS row_1, ks[3] AS row_2, ks[4] AS row_3, ks[5] AS row_4
+FROM t
+UNION ALL
+SELECT 'r_name', ns[1], ns[2], ns[3], ns[4], ns[5] FROM t
+"""
+
+
+def b01_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 — SQL entry point: temp-view catalog + spark.sql (CTE + agg +
+    window in one statement; Catalyst is the parser/planner)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(B01_SQL)
+
+
+# one dialect-shared statement: runs verbatim on Spark AND DuckDB
+B01_SQL = """
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+  FROM orders
+  GROUP BY CAST(date_trunc('month', o_orderdate) AS DATE)
+)
+SELECT month_start,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(rev - lag(rev) OVER (ORDER BY month_start) AS DOUBLE) AS delta
+FROM m
+"""
+
+
+def b02_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 — projection / rename / computed column / drop."""
+    cust = load(spark, sf_dir, "customer")
+    out = cust.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    out = cleaning.rename_columns(out, {"c_name": "name", "c_mktsegment": "segment"})
+    out = cleaning.with_column(out, "balance_tier", "CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END")
+    return out.drop("c_acctbal")
+
+
+B02_SQL = """
+SELECT c_custkey, c_name AS name, c_mktsegment AS segment,
+       CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS balance_tier
+FROM customer
+"""
+
+
+def b03_general_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 — IN, BETWEEN, LIKE-suffix, regex, null-test in one predicate."""
+    orders = load(spark, sf_dir, "orders")
+    kept = orders.filter(
+        F.col("o_orderstatus").isin("F", "O")
+        & F.col("o_totalprice").between(1000, 200000)
+        & F.col("o_orderpriority").rlike("^[123]-")
+        & F.col("o_orderdate").isNotNull()
+    )
+    return kept.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(D("o_totalprice")).cast("double").alias("total"),
+    )
+
+
+B03_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM orders
+WHERE o_orderstatus IN ('F','O')
+  AND o_totalprice BETWEEN 1000 AND 200000
+  AND regexp_matches(o_orderpriority, '^[123]-')
+  AND o_orderdate IS NOT NULL
+GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
+def b06_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 — CUBE (all grouping sets)."""
+    li = load(spark, sf_dir, "lineitem")
+    return aggregates.cube_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {"sum_qty": ("sum", F.col("l_quantity").cast("long")), "n_rows": ("count", F.lit(1))},
+    )
+
+
+B06_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+_BANDS = [
+    ("F", "low", 0.0, 49999.99), ("F", "mid", 50000.0, 149999.99),
+    ("F", "high", 150000.0, 299999.99), ("F", "top", 300000.0, 999999.99),
+    ("O", "low", 0.0, 49999.99), ("O", "mid", 50000.0, 149999.99),
+    ("O", "high", 150000.0, 299999.99), ("O", "top", 300000.0, 999999.99),
+    ("P", "low", 0.0, 49999.99), ("P", "mid", 50000.0, 149999.99),
+    ("P", "high", 150000.0, 299999.99), ("P", "top", 300000.0, 999999.99),
+]
+
+
+def b09_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9 CUSTOM — point-in-interval range join (bucketed equi-join plan,
+    no theta cross-product): order price into per-status bands."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    bands = spark.createDataFrame(_BANDS, "o_orderstatus string, band string, lo double, hi double")
+    j = joins.range_join(
+        orders, bands, on="o_orderstatus",
+        left_point="o_totalprice", right_lower="lo", right_upper="hi",
+        bucket_width=50_000,
+    )
+    return j.groupBy("o_orderstatus", "band").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(D("o_totalprice")).cast("double").alias("total"),
+    )
+
+
+B09_RANGE_SQL = """
+WITH bands(o_orderstatus, band, lo, hi) AS (VALUES {rows})
+SELECT o.o_orderstatus, b.band, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM orders o
+JOIN bands b ON o.o_orderstatus = b.o_orderstatus
+            AND o.o_totalprice >= b.lo AND o.o_totalprice <= b.hi
+GROUP BY o.o_orderstatus, b.band
+""".format(rows=", ".join(f"('{s}','{b}',{lo},{hi})" for s, b, lo, hi in _BANDS))
+
+
+def b10_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10 — rank / dense_rank / percent_rank / cume_dist / ntile."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 3000)
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc())
+    wt = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.ntile(4).over(wt).alias("quartile"),
+    )
+
+
+B10_RANKS_SQL = """
+SELECT o_orderpriority, o_orderkey,
+       CAST(rank()       OVER w AS INTEGER) AS rnk,
+       CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+       round(percent_rank() OVER w, 6) AS prnk,
+       round(cume_dist()    OVER w, 6) AS cd,
+       CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS quartile
+FROM orders
+WHERE o_orderkey <= 3000
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC)
+"""
+
+
+def b14_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B14 — explode a computed array + re-aggregate: token frequencies."""
+    docs = load(spark, sf_dir, "documents")
+    toks = ftext.tokens_col("text")
+    return (
+        docs.select(F.explode(toks).alias("token"))
+        .filter(F.length("token") > 3)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(100)
+    )
+
+
+B14_EXPLODE_SQL = f"""
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest({_TOKS_SQL}) AS token FROM documents)
+WHERE length(token) > 3
+GROUP BY token
+HAVING COUNT(*) >= 5
+ORDER BY n DESC, token ASC
+LIMIT 100
+"""
+
+
+def b16_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16 — wide→long unpivot (native melt), then per-metric aggregate."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_quantity").alias("qty"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_discount").alias("disc"),
+    )
+    long = pivot.unpivot(li, ids=["l_orderkey", "l_linenumber"],
+                         value_cols=["qty", "price", "disc"],
+                         var_name="metric", value_name="val")
+    return long.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(D("val")).cast("double").alias("total"),
+    )
+
+
+B16_UNPIVOT_SQL = """
+SELECT metric, COUNT(*) AS n, CAST(SUM(CAST(val AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM (
+  SELECT 'qty'  AS metric, l_quantity      AS val FROM lineitem
+  UNION ALL SELECT 'price', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'disc',  l_discount      FROM lineitem
+)
+GROUP BY metric
+"""
+
+
+def b18_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B18 — Arrow-vectorized scalar pandas UDF (sigmoid credit score).
+    The UDF math is SQL-expressible so the oracle can hash-check the
+    Arrow round-trip; rounding absorbs libm ULP differences."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _sigmoid(v):  # pd.Series -> pd.Series, Arrow-batched
+        import numpy as np
+
+        return 1.0 / (1.0 + np.exp(-v / 1000.0))
+
+    # no type hints: module-level `from __future__ import annotations`
+    # stringifies them, which pandas_udf's hint inference can't resolve
+    sigmoid_score = pandas_udf(_sigmoid, returnType="double")
+
+    cust = load(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.round(sigmoid_score(F.col("c_acctbal")), 6).alias("score"),
+    )
+
+
+B18_SQL = """
+SELECT c_custkey, round(1.0 / (1.0 + exp(-c_acctbal / 1000.0)), 6) AS score
+FROM customer
+"""
+
+
+def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B23 — embedding-cosine near-dup pairs via random-projection LSH
+    (approximate: recall-tested against the exact path, rows-only here).
+    Threshold 0.35: the synthetic embeddings are near-orthogonal (max
+    pairwise cosine ≈ 0.51), so a production-style 0.9 would be correct
+    but vacuously empty."""
+    emb = load(spark, sf_dir, "embeddings")
+    return fdedup.embedding_near_dups(emb, threshold=0.35, num_hash_tables=6)
+
+
+# ---------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -983,6 +1335,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q03_top_orders": q03_top_orders,
     "q05_region_revenue": q05_region_revenue,
     "q06_revenue_delta": q06_revenue_delta,
+    "q07_nation_volume": q07_nation_volume,
+    "q10_returned_items": q10_returned_items,
+    "a09_count": a09_count,
+    "a12_transpose": a12_transpose,
+    "b01_sql": b01_sql,
+    "b02_projection": b02_projection,
+    "b03_general_filter": b03_general_filter,
+    "b06_cube": b06_cube,
+    "b09_range": b09_range,
+    "b10_ranks": b10_ranks,
+    "b14_explode": b14_explode,
+    "b16_unpivot": b16_unpivot,
+    "b18_pandas_udf": b18_pandas_udf,
+    "d05_embedding_neardup": d05_embedding_neardup,
     "a06_union_all": a06_union_all,
     "a07_fill_nulls": a07_fill_nulls,
     "a08_dedup": a08_dedup,
@@ -1030,6 +1396,19 @@ ORACLE_SQL: dict[str, str] = {
     "q03_top_orders": Q03_SQL,
     "q05_region_revenue": Q05_SQL,
     "q06_revenue_delta": Q06_SQL,
+    "q07_nation_volume": Q07_SQL,
+    "q10_returned_items": Q10_SQL,
+    "a09_count": A09_SQL,
+    "a12_transpose": A12_SQL,
+    "b01_sql": B01_SQL,
+    "b02_projection": B02_SQL,
+    "b03_general_filter": B03_SQL,
+    "b06_cube": B06_CUBE_SQL,
+    "b09_range": B09_RANGE_SQL,
+    "b10_ranks": B10_RANKS_SQL,
+    "b14_explode": B14_EXPLODE_SQL,
+    "b16_unpivot": B16_UNPIVOT_SQL,
+    "b18_pandas_udf": B18_SQL,
     "a06_union_all": A06_SQL,
     "a07_fill_nulls": A07_SQL,
     "a08_dedup": A08_SQL,
@@ -1066,5 +1445,6 @@ ORACLE_SQL: dict[str, str] = {
     "st01_tumbling": ST01_SQL,
     "st02_sessions": ST02_SQL,
     # rows-only (approximate / engine-specific RNG or hash): b17_sample,
-    # t05_fingerprint, d03_minhash, d04_simhash, s02_lsh_topk
+    # t05_fingerprint, d03_minhash, d04_simhash, s02_lsh_topk,
+    # d05_embedding_neardup
 }

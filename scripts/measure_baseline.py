@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Measure the BASELINE engines (BASELINE.md protocol): DuckDB and pandas
+on the headline queries at sf0.1, to fill the BASELINE.md table.
+
+DuckDB runs the oracle SQL verbatim. pandas runs hand-written equivalents
+of the three anchor queries only (the reference's engine class can't
+express most of the rest without bespoke code — that absence is the
+point of the comparison).
+
+Usage: python scripts/measure_baseline.py [sf_dir]
+Prints one JSON line: {"duckdb": {...}, "pandas": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from etlbigdata_spark import workload  # noqa: E402
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+
+HEADLINE = [
+    "q01_pricing_summary", "q03_top_orders", "q05_region_revenue",
+    "q06_revenue_delta", "b07_topk_group", "b09_asof", "b10_running_sum",
+    "b15_json", "b16_pivot", "t01_text_stats", "t02_token_count",
+    "d01_dup_groups", "s01_cosine_topk", "st02_sessions",
+]
+
+
+def _median(fn) -> float:
+    fn()  # warm-up
+    return statistics.median(
+        [(lambda t0: (fn(), time.perf_counter() - t0)[1])(time.perf_counter()) for _ in range(RUNS)]
+    )
+
+
+def duckdb_times() -> dict[str, float]:
+    import duckdb
+
+    con = duckdb.connect()
+    for t in workload.TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    out = {}
+    for name in HEADLINE:
+        sql = workload.ORACLE_SQL.get(name)
+        if sql is None:
+            continue
+        out[name] = round(_median(lambda: con.sql(sql).fetchall()), 4)
+    return out
+
+
+def pandas_times() -> dict[str, float]:
+    import pandas as pd
+
+    # reads happen inside each query: Spark and the DuckDB views also
+    # re-scan the parquet per execution, so the baseline pays it too
+    def q01():
+        li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+        d = li[li.l_shipdate <= pd.Timestamp("1998-09-02")]
+        g = d.assign(
+            disc_price=d.l_extendedprice * (1 - d.l_discount),
+            charge=d.l_extendedprice * (1 - d.l_discount) * (1 + d.l_tax),
+        ).groupby(["l_returnflag", "l_linestatus"])
+        return g.agg(
+            sum_qty=("l_quantity", "sum"), sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"), sum_charge=("charge", "sum"),
+            avg_qty=("l_quantity", "mean"), avg_price=("l_extendedprice", "mean"),
+            avg_disc=("l_discount", "mean"), count_order=("l_quantity", "size"),
+        ).reset_index()
+
+    def q03():
+        li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+        orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+        cust = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+        c = cust[cust.c_mktsegment == "BUILDING"]
+        j = c.merge(orders, left_on="c_custkey", right_on="o_custkey").merge(
+            li, left_on="o_orderkey", right_on="l_orderkey"
+        )
+        j = j.assign(rev=j.l_extendedprice * (1 - j.l_discount))
+        g = j.groupby(["o_orderkey", "o_orderdate"])["rev"].sum().reset_index()
+        return g.sort_values(["rev", "o_orderkey"], ascending=[False, True]).head(10)
+
+    def q05():
+        li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+        orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+        cust = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+        nation = pd.read_parquet(f"{SF_DIR}/nation.parquet")
+        region = pd.read_parquet(f"{SF_DIR}/region.parquet")
+        j = (
+            li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+            .merge(cust, left_on="o_custkey", right_on="c_custkey")
+            .merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+            .merge(region, left_on="n_regionkey", right_on="r_regionkey")
+        )
+        j = j.assign(rev=j.l_extendedprice * (1 - j.l_discount))
+        return j.groupby("r_name")["rev"].sum().sort_values(ascending=False).reset_index()
+
+    return {name: round(_median(fn), 4) for name, fn in [
+        ("q01_pricing_summary", q01), ("q03_top_orders", q03), ("q05_region_revenue", q05),
+    ]}
+
+
+if __name__ == "__main__":
+    print(json.dumps({
+        "duckdb": duckdb_times(),
+        "pandas": pandas_times(),
+        "sf": SF_DIR,
+        "runs": RUNS,
+    }))

@@ -1,0 +1,113 @@
+"""Source/sink round-trips (SURVEY §2 A1-A3, A18-A19, B26)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etlbigdata_spark.engine import Engine
+from etlbigdata_spark.functions.multimodal import (
+    attach_media_meta,
+    extract_media_features,
+)
+from etlbigdata_spark.sources import readers, writers
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return Engine(spark=spark)
+
+
+def _sample(spark):
+    return spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b,with,commas", -2.0), (3, None, 0.0)],
+        "k long, s string, v double",
+    )
+
+
+def test_parquet_roundtrip(engine, tmp_path):
+    df = _sample(engine.spark)
+    path = str(tmp_path / "t.parquet")
+    engine.save_parquet(df, path)
+    back = engine.load_parquet(path, name="rt_parquet")
+    assert back.schema == df.schema
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+
+
+def test_parquet_partitioned_write_prunes(engine, tmp_path):
+    df = engine.spark.range(100).withColumn("part", (F.col("id") % 4).cast("int"))
+    path = str(tmp_path / "part.parquet")
+    writers.write_parquet(df, path, partition_by=["part"])
+    back = readers.read_parquet(engine.spark, path).filter(F.col("part") == 2)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert back.count() == 25
+    assert "PartitionFilters: [isnotnull(part" in plan  # partition pruning reached the scan
+
+
+def test_csv_roundtrip_rfc4180(engine, tmp_path):
+    """A19 — commas/nulls survive (the ref's RDD text sink would not:
+    simple_etl.py:384 joins with ',' unquoted)."""
+    df = _sample(engine.spark)
+    path = str(tmp_path / "t.csv")
+    engine.save_csv(df, path)
+    back = readers.read_csv(engine.spark, path, schema=df.schema)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+
+
+def test_csv_all_strings_fallback(engine, tmp_path):
+    df = _sample(engine.spark)
+    path = str(tmp_path / "s.csv")
+    engine.save_csv(df, path)
+    back = readers.read_csv(engine.spark, path, all_strings=True)
+    assert all(t == "string" for _, t in back.dtypes)  # ref's dirty-data mode (simple_etl.py:168-169)
+
+
+def test_json_roundtrip(engine, tmp_path):
+    df = _sample(engine.spark)
+    path = str(tmp_path / "t.json")
+    writers.write_json(df, path)
+    back = readers.read_json(engine.spark, path, schema=df.schema)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+
+
+def test_excel_reader_gated(engine, tmp_path):
+    pd = pytest.importorskip("pandas")
+    pytest.importorskip("openpyxl")
+    path = str(tmp_path / "t.xlsx")
+    pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}).to_excel(path, index=False)
+    back = readers.read_excel(engine.spark, path)
+    assert back.count() == 2
+
+
+def test_binary_files_and_media_meta(engine, tmp_path):
+    """B26 — binaryFile ingestion + typed metadata struct."""
+    (tmp_path / "m").mkdir()
+    (tmp_path / "m" / "a.bin").write_bytes(b"hello world")
+    (tmp_path / "m" / "b.bin").write_bytes(b"\x00\x01\x02")
+    df = readers.read_binary_files(engine.spark, str(tmp_path / "m"), glob="*.bin")
+    meta = attach_media_meta(df, "content", uri_col="path", media_type="application/test")
+    rows = {r["media_meta"]["n_bytes"] for r in meta.select("media_meta").collect()}
+    assert rows == {11, 3}
+    one = meta.filter(F.col("media_meta.n_bytes") == 11).select("media_meta.checksum").collect()[0][0]
+    import hashlib
+
+    assert one == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_media_feature_plumbing(engine, tmp_path):
+    """B26 — mapInPandas featurizer: schema/batch plumbing real, codec stubbed."""
+    df = engine.spark.createDataFrame(
+        [("k1", bytearray(b"abc")), ("k2", bytearray(b""))], "key string, blob binary"
+    )
+    out = extract_media_features(df, "key", "blob", batch_partitions=2)
+    rows = {r["key"]: r for r in out.collect()}
+    assert set(rows) == {"k1", "k2"}
+    assert len(rows["k1"]["feature"]) == 8
+    assert rows["k1"]["n_frames"] == 1
+
+
+def test_media_strict_stub_raises(engine):
+    df = engine.spark.createDataFrame([("k", bytearray(b"x"))], "key string, blob binary")
+    with pytest.raises(NotImplementedError, match="codec"):
+        extract_media_features(df, "key", "blob", strict=True)

@@ -1,0 +1,213 @@
+"""Per-operator unit tests (SURVEY §5.2 item 1): small literal frames,
+edge cases — nulls, empty inputs, ties, boundaries."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from etlbigdata_spark.functions import text as ftext
+from etlbigdata_spark.operators import aggregates, cleaning, joins, pivot, setops
+
+
+# -- cleaning (Part A) -------------------------------------------------
+def test_fill_nulls_type_dispatch(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), (None, None)], "s string, x double"
+    )
+    out = {tuple(r) for r in cleaning.fill_nulls(df, "N/A", 0).collect()}
+    assert out == {("a", 1.0), ("N/A", 0.0)}
+
+
+def test_replace_value_typed_comparison(spark):
+    """The ref string-compares against numeric columns (simple_etl.py:225);
+    we cast the literal to the column type — '1' still matches int 1."""
+    df = spark.createDataFrame([(1,), (2,)], "x int")
+    out = sorted(r.x for r in cleaning.replace_value(df, "x", "1", "9").collect())
+    assert out == [2, 9]
+
+
+def test_replace_value_null_safe(spark):
+    df = spark.createDataFrame([Row(x="a"), Row(x=None)], "x string")
+    out = {r.x for r in cleaning.replace_value(df, "x", None, "filled").collect()}
+    assert out == {"a", "filled"}
+
+
+def test_split_column_regex_delimiter(spark):
+    df = spark.createDataFrame([("a1b22c",)], "s string")
+    out = cleaning.split_column(df, "s", r"\d+", n_parts=3).collect()[0]
+    assert (out.s_1, out.s_2, out.s_3) == ("a", "b", "c")
+
+
+def test_split_column_missing_part_is_null(spark):
+    df = spark.createDataFrame([("only",)], "s string")
+    out = cleaning.split_column(df, "s", "-", n_parts=2).collect()[0]
+    assert out.s_1 == "only" and out.s_2 is None
+
+
+def test_merge_columns_skips_nulls(spark):
+    df = spark.createDataFrame([("a", None, "c")], "x string, y string, z string")
+    out = cleaning.merge_columns(df, ["x", "y", "z"], "|", "m").collect()[0]
+    assert out.m == "a|c"  # concat_ws null-skip (SURVEY §2 A14)
+
+
+def test_cast_column_null_on_error(spark):
+    df = spark.createDataFrame([("12",), ("oops",)], "s string")
+    out = [r.s for r in cleaning.cast_column(df, "s", "integer").collect()]
+    assert sorted(x for x in out if x is not None) == [12] and None in out
+
+
+def test_cast_column_date_format(spark):
+    df = spark.createDataFrame([("05/01/2024",)], "d string")
+    out = cleaning.cast_column(df, "d", "date", date_format="dd/MM/yyyy").collect()[0]
+    assert str(out.d) == "2024-01-05"
+
+
+def test_cast_rejects_unknown_type(spark):
+    df = spark.createDataFrame([("x",)], "s string")
+    with pytest.raises(ValueError, match="unsupported cast type"):
+        cleaning.cast_column(df, "s", "tensor")
+
+
+def test_transpose_small_table(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    out = cleaning.transpose(df.orderBy("k"))
+    rows = {r["column"]: (r["row_0"], r["row_1"]) for r in out.collect()}
+    assert rows == {"k": ("1", "2"), "v": ("a", "b")}
+
+
+def test_transpose_guard(spark):
+    with pytest.raises(ValueError, match="driver"):
+        cleaning.transpose(spark.range(100), max_rows=10)
+
+
+def test_dedup_count(spark):
+    df = spark.createDataFrame([(1,), (1,), (2,)], "x int")
+    out, removed = cleaning.dedup_count(df)
+    assert removed == 1 and out.count() == 2
+
+
+# -- set ops -----------------------------------------------------------
+def test_union_all_aligns_by_name_and_null_fills(spark):
+    a = spark.createDataFrame([(1, "x")], "k int, a string")
+    b = spark.createDataFrame([("y", 2)], "b string, k int")
+    out = setops.union_all([a, b]).collect()
+    by_k = {r.k: r for r in out}
+    assert by_k[1].a == "x" and by_k[1].b is None
+    assert by_k[2].b == "y" and by_k[2].a is None  # pandas-concat semantics (A6)
+
+
+def test_union_all_requires_two(spark):
+    with pytest.raises(ValueError):
+        setops.union_all([spark.range(1)])
+
+
+def test_intersect_all_keeps_multiplicity(spark):
+    a = spark.createDataFrame([(1,), (1,), (2,)], "x int")
+    b = spark.createDataFrame([(1,), (1,)], "x int")
+    assert setops.intersect(a, b, keep_duplicates=True).count() == 2
+    assert setops.intersect(a, b).count() == 1
+
+
+# -- joins -------------------------------------------------------------
+def test_join_multi_key(spark):
+    l = spark.createDataFrame([(1, "a", 10)], "k1 int, k2 string, v int")
+    r = spark.createDataFrame([(1, "a", 99), (1, "b", 0)], "j1 int, j2 string, w int")
+    out = joins.join(l, r, ["k1", "k2"], ["j1", "j2"]).collect()
+    assert len(out) == 1 and out[0].w == 99
+
+
+def test_join_rejects_unknown_how(spark):
+    df = spark.range(1)
+    with pytest.raises(ValueError):
+        joins.join(df, df, "id", how="sideways")
+
+
+def test_asof_backward_inclusive_and_nulls(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "p1"), (1, 5, "p2"), (2, 3, "p3")], "uid int, t int, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 8, 200.0), (3, 1, 999.0)], "uid int, t int, px double"
+    )
+    out = joins.asof_join(left, right, on="uid", left_ts="t")
+    by_tag = {r.tag: r.r_px for r in out.collect()}
+    assert by_tag == {"p1": 200.0, "p2": 100.0, "p3": None}  # t=5 matches inclusively; uid 2 has no match
+
+
+def test_asof_forward(spark):
+    left = spark.createDataFrame([(1, 4, "a")], "uid int, t int, tag string")
+    right = spark.createDataFrame([(1, 3, 1.0), (1, 6, 2.0)], "uid int, t int, px double")
+    out = joins.asof_join(left, right, on="uid", left_ts="t", direction="forward").collect()
+    assert out[0].r_px == 2.0  # nearest at-or-after
+
+
+def test_range_join_boundaries(spark):
+    pts = spark.createDataFrame([("k", 0), ("k", 10), ("k", 11), ("k", 25)], "g string, p int")
+    ivs = spark.createDataFrame([("k", 0, 10), ("k", 20, 30)], "g string, lo int, hi int")
+    out = joins.range_join(pts, ivs, on="g", left_point="p", right_lower="lo", right_upper="hi", bucket_width=7)
+    got = sorted((r.p, r.lo) for r in out.collect())
+    assert got == [(0, 0), (10, 0), (25, 20)]  # inclusive both ends; 11 unmatched
+
+
+# -- aggregates / pivot ------------------------------------------------
+def test_group_agg_and_unknown_fn(spark):
+    df = spark.createDataFrame([("a", 1), ("a", 3), ("b", 5)], "g string, v int")
+    out = aggregates.group_agg(df, ["g"], {"total": ("sum", "v"), "n": ("count", "v")})
+    assert {(r.g, r.total, r.n) for r in out.collect()} == {("a", 4, 2), ("b", 5, 1)}
+    with pytest.raises(ValueError):
+        aggregates.group_agg(df, ["g"], {"x": ("median_of_medians", "v")})
+
+
+def test_top_k_per_group_ties_deterministic(spark):
+    df = spark.createDataFrame([("g", 1, 5), ("g", 2, 5), ("g", 3, 1)], "g string, id int, v int")
+    out = aggregates.top_k_per_group(df, ["g"], [F.col("v").desc(), F.col("id").asc()], k=1)
+    assert [r.id for r in out.collect()] == [1]
+
+
+def test_pivot_unpivot_roundtrip(spark):
+    df = spark.createDataFrame(
+        [("r1", "a", 1), ("r1", "b", 2), ("r2", "a", 3)], "k string, c string, v int"
+    )
+    wide = pivot.pivot(df, ["k"], "c", "v", agg="sum", values=["a", "b"])
+    long = pivot.unpivot(wide, ["k"], ["a", "b"], "c", "v").filter(F.col("v").isNotNull())
+    assert {tuple(r) for r in long.collect()} == {tuple(r) for r in df.collect()}
+
+
+# -- text functions ----------------------------------------------------
+def test_tokens_and_counts(spark):
+    df = spark.createDataFrame([("Hello  world foo",), ("",)], "text string")
+    out = df.select(
+        F.size(ftext.tokens_col("text")).alias("n"),
+        ftext.token_count_col(F.col("text")).alias("t"),
+    ).collect()
+    assert (out[0].n, out[0].t) == (3, 3)
+    assert (out[1].n, out[1].t) == (0, 0)
+
+
+def test_language_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog is in that house",),
+         ("el perro y la casa de los gatos en madrid",),
+         ("zzz qqq xxx",)],
+        "text string",
+    )
+    out = [r.lang_pred for r in ftext.language_id(df, "text").collect()]
+    assert out == ["en", "es", "und"]
+
+
+def test_fingerprint_deterministic(spark):
+    df = spark.createDataFrame([("abc",), ("abc",), ("abd",)], "text string")
+    fps = [r.fingerprint for r in ftext.add_fingerprint(df, "text").collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_quality_score_bounds(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog sat for it was warm",), ("!!!",)], "text string"
+    )
+    out = [r.quality for r in ftext.quality_score(df, "text").collect()]
+    assert out[0] == 1.0
+    assert 0.0 <= out[1] < out[0]

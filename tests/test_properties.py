@@ -1,0 +1,79 @@
+"""Property-based spot checks (SURVEY §5.2 item 5): round-trips and
+algebraic invariants over generated frames."""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from etlbigdata_spark.operators import cleaning, joins, pivot, setops
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+words = st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=8)
+
+
+@given(pairs=st.lists(st.tuples(words, words), min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_merge_split_roundtrip(spark, pairs):
+    """split(merge(a, b)) recovers a and b when the separator is absent."""
+    df = spark.createDataFrame(pairs, "a string, b string")
+    merged = cleaning.merge_columns(df, ["a", "b"], "|", "m")
+    split = cleaning.split_column(merged, "m", r"\|", n_parts=2)
+    got = {(r.m_1, r.m_2) for r in split.collect()}
+    assert got == set(pairs)
+
+
+@given(
+    xs=st.lists(st.integers(-100, 100), min_size=0, max_size=10),
+    ys=st.lists(st.integers(-100, 100), min_size=0, max_size=10),
+)
+@settings(**_SETTINGS)
+def test_union_count_additive(spark, xs, ys):
+    a = spark.createDataFrame([(x,) for x in xs] or [(0,)], "v int").limit(len(xs))
+    b = spark.createDataFrame([(y,) for y in ys] or [(0,)], "v int").limit(len(ys))
+    assert setops.union_all([a, b]).count() == len(xs) + len(ys)
+
+
+@given(
+    left=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)), min_size=1, max_size=10),
+    right=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)), min_size=0, max_size=10),
+)
+@settings(**_SETTINGS)
+def test_join_containment(spark, left, right):
+    """inner ⊆ left-join rows; left join preserves left cardinality for
+    unique right keys."""
+    l = spark.createDataFrame(left, "k int, v int")
+    r = spark.createDataFrame(right or [(99, 0)], "k int, w int").dropDuplicates(["k"])
+    inner = joins.join(l, r, "k", how="inner").count()
+    outer = joins.join(l, r, "k", how="left").count()
+    assert inner <= outer
+    assert outer == len(left)
+
+
+@given(rows=st.lists(st.tuples(st.integers(0, 3), st.sampled_from("ab"), st.integers(-5, 5)), min_size=1, max_size=12))
+@settings(**_SETTINGS)
+def test_pivot_preserves_group_sums(spark, rows):
+    df = spark.createDataFrame(rows, "k int, c string, v int")
+    wide = pivot.pivot(df, ["k"], "c", "v", agg="sum", values=["a", "b"])
+    total_wide = wide.select(
+        F.sum(F.coalesce(F.col("a"), F.lit(0)) + F.coalesce(F.col("b"), F.lit(0))).alias("t")
+    ).collect()[0].t
+    assert total_wide == sum(v for _, _, v in rows)
+
+
+@given(vals=st.lists(st.integers(-1000, 1000), min_size=1, max_size=15))
+@settings(**_SETTINGS)
+def test_dedup_idempotent(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "v int")
+    once = cleaning.deduplicate(df)
+    assert once.count() == len(set(vals))
+    assert cleaning.deduplicate(once).count() == once.count()

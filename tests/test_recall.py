@@ -1,0 +1,91 @@
+"""Recall bounds for the approximate paths (SURVEY §2 B23/B24 oracle
+column: 'recall/precision on planted dups', 'ANN by recall@k')."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etlbigdata_spark.functions import dedup as fdedup
+from etlbigdata_spark.functions import similarity as fsim
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") % 10 == 0)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_minhash_recall_vs_exact_jaccard(docs):
+    """MinHash+LSH candidates must recover ≥80% of truly-similar pairs
+    (exact n-gram Jaccard ≥ 0.5) at a generous distance threshold."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in fdedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    if not exact:
+        pytest.skip("no high-jaccard pairs in this slice")
+    approx = {
+        (r.id_a, r.id_b)
+        for r in fdedup.minhash_candidates(docs, "doc_id", "text", jaccard_distance_threshold=0.7).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"minhash recall {recall:.2f} over {len(exact)} exact pairs"
+
+
+def test_simhash_finds_exact_duplicates(docs, spark):
+    """Hamming distance 0 pairs must include every exact-text duplicate."""
+    dup_pairs = (
+        docs.alias("a")
+        .join(docs.alias("b"), (F.col("a.text") == F.col("b.text")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    exact = {(r.id_a, r.id_b) for r in dup_pairs.collect()}
+    if not exact:
+        pytest.skip("no exact dups in this slice")
+    sim = {
+        (r.id_a, r.id_b)
+        for r in fdedup.simhash_near_dups(docs, "doc_id", "text", max_hamming=0).collect()
+    }
+    assert exact <= sim
+
+
+def test_exact_dedup_keeps_one_per_hash(docs):
+    out = fdedup.exact_dedup(docs, "text", id_col="doc_id")
+    assert out.count() == docs.select("text").distinct().count()
+    # deterministic winner: the min doc_id of each group survives
+    mins = {r[0] for r in docs.groupBy("text").agg(F.min("doc_id")).select("min(doc_id)").collect()}
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    assert kept == mins
+
+
+def test_lsh_topk_recall_at_5(emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = fsim.cosine_topk(emb, queries, k=5).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = fsim.lsh_topk(emb, queries, k=5, num_hash_tables=8, max_l2=2.0).collect()
+    got = {}
+    for r in approx:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth]
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.6, f"ANN recall@5 {avg:.2f}"
+
+
+def test_embedding_near_dups_symmetry_free(emb):
+    pairs = fdedup.embedding_near_dups(emb, threshold=0.95).collect()
+    assert all(r.id_a < r.id_b for r in pairs)  # each pair reported once
+
+
+def test_ivf_assign_covers_corpus(emb):
+    assigned, cents = fsim.ivf_assign(emb, n_centroids=8)
+    assert assigned.count() == emb.count()
+    n_used = assigned.select("centroid").distinct().count()
+    assert 1 <= n_used <= 8

@@ -1,0 +1,126 @@
+"""Reference-parity pipeline (SURVEY §5.2 item 3).
+
+Re-creates the semantics of the reference's deliberately-dirty fixture
+(`/root/reference/data_penjualan.csv`: exact dup row, missing Quantity,
+missing Region, inconsistent 'Jkt' vs 'Jakarta', FK into master_produk —
+SURVEY §5.1) as inline data, then runs the exact cleaning pipeline the
+reference supports (fill → dedup → replace → cast → join → filter)
+through the Engine + Pipeline API, fused into ONE Catalyst plan instead
+of the reference's per-click materialization (simple_etl.py:197 et al.).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from etlbigdata_spark.engine import Engine
+from etlbigdata_spark.plans.pipeline import Pipeline
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return Engine(spark=spark)
+
+
+@pytest.fixture(scope="module")
+def sales(engine):
+    rows = [
+        ("TRX-101", "P-001", 2, "Jakarta", "Paid", "2024-01-05"),
+        ("TRX-101", "P-001", 2, "Jakarta", "Paid", "2024-01-05"),  # exact dup
+        ("TRX-102", "P-002", None, "Bandung", "Pending", "2024-01-06"),  # missing qty
+        ("TRX-103", "P-003", 1, None, "Paid", "2024-01-07"),  # missing region
+        ("TRX-104", "P-001", 3, "Jkt", "Paid", "2024-01-08"),  # inconsistent value
+        ("TRX-105", "P-004", 5, "Surabaya", "Cancelled", "2024-01-09"),
+    ]
+    df = engine.spark.createDataFrame(
+        rows, "trx_id string, product_id string, quantity int, region string, status string, sale_date string"
+    )
+    return engine.catalog.register("sales", df)
+
+
+@pytest.fixture(scope="module")
+def products(engine):
+    rows = [(f"P-00{i}", f"Product {i}", 1000.0 * i) for i in range(1, 6)]
+    df = engine.spark.createDataFrame(rows, "product_id string, product_name string, price double")
+    return engine.catalog.register("products", df)
+
+
+def test_reference_cleaning_pipeline(engine, sales, products):
+    pipe = Pipeline(
+        [
+            {"op": "fill_nulls", "text_fill": "N/A", "numeric_fill": 0},
+            {"op": "dedup"},
+            {"op": "replace_value", "column": "region", "old": "Jkt", "new": "Jakarta"},
+            {"op": "cast_column", "column": "sale_date", "type_name": "date"},
+            {"op": "filter_contains", "column": "status", "needle": "Paid"},
+            {"op": "join", "right": "products", "left_on": "product_id", "how": "left"},
+            {"op": "merge_columns", "columns": ["trx_id", "region"], "separator": "|", "new_name": "trx_region"},
+            {"op": "split_column", "column": "trx_id", "delimiter": "-", "n_parts": 2},
+            {"op": "sort", "by": ["trx_id"]},
+        ]
+    )
+    out = pipe.apply(sales, catalog=engine.catalog)
+    rows = out.collect()
+
+    assert [r["trx_id"] for r in rows] == ["TRX-101", "TRX-103", "TRX-104"]  # dedup + Paid filter
+    by_id = {r["trx_id"]: r for r in rows}
+    assert by_id["TRX-103"]["region"] == "N/A"  # null fill
+    assert by_id["TRX-104"]["region"] == "Jakarta"  # value replace
+    assert by_id["TRX-101"]["product_name"] == "Product 1"  # FK join
+    assert by_id["TRX-101"]["sale_date"] == dt.date(2024, 1, 5)  # cast
+    assert by_id["TRX-104"]["trx_region"] == "TRX-104|Jakarta"  # merge
+    assert by_id["TRX-101"]["trx_id_1"] == "TRX" and by_id["TRX-101"]["trx_id_2"] == "101"  # split
+
+
+def test_pipeline_is_one_fused_plan(engine, sales):
+    """The whole op list lands in one optimized plan (no per-op
+    materialization): the physical plan exists before any action runs."""
+    pipe = Pipeline(
+        [
+            {"op": "fill_nulls", "text_fill": "N/A"},
+            {"op": "filter_contains", "column": "status", "needle": "Paid"},
+            {"op": "select", "columns": ["trx_id", "status"]},
+        ]
+    )
+    out = pipe.apply(sales)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Scan" in plan  # single plan from filter back to the source
+
+
+def test_union_via_pipeline(engine, sales):
+    a = sales.filter("status = 'Paid'")
+    engine.catalog.register("paid", a)
+    pipe = Pipeline([{"op": "union", "others": ["paid"]}])
+    out = pipe.apply(sales, catalog=engine.catalog)
+    assert out.count() == sales.count() + a.count()
+
+
+def test_unknown_op_rejected():
+    with pytest.raises(ValueError, match="unknown op"):
+        Pipeline([{"op": "not_a_thing"}])
+
+
+def test_engine_sql_over_catalog(engine, sales, products):
+    """B1 — SQL entry point resolves catalog names (temp views)."""
+    out = engine.sql(
+        """
+        SELECT p.product_name, SUM(s.quantity) AS total_qty
+        FROM sales s JOIN products p ON s.product_id = p.product_id
+        WHERE s.status = 'Paid'
+        GROUP BY p.product_name
+        ORDER BY total_qty DESC, product_name
+        """
+    ).collect()
+    assert [(r["product_name"], r["total_qty"]) for r in out] == [
+        ("Product 1", 7),  # TRX-101 (2, counted once post-dup? no dedup here: 2+2+3)
+        ("Product 3", 1),
+    ]
+
+
+def test_catalog_drop(engine):
+    engine.catalog.register("tmp_t", engine.spark.range(3))
+    assert "tmp_t" in engine.catalog
+    engine.catalog.drop("tmp_t")
+    assert "tmp_t" not in engine.catalog

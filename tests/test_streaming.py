@@ -1,0 +1,180 @@
+"""Structured Streaming replay goldens (SURVEY §2 B19-B22, §5.2 item 4).
+
+Deterministic micro-batch replay: synthetic event files written one per
+batch, consumed with maxFilesPerTrigger=1 under an availableNow trigger
+into a memory sink. Shuffle partitions are pinned by the session fixture
+(SURVEY §7 hard-parts item 3).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etlbigdata_spark.streaming import ops
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+_ARROW_SCHEMA = pa.schema(
+    [
+        ("event_id", pa.int64()),
+        ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()),
+        ("value", pa.float64()),
+    ]
+)
+
+
+def _ts(h: int, m: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, h, m, 0)
+
+
+def _write_batch(path, rows) -> None:
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "value"])
+    pq.write_table(pa.Table.from_pandas(pdf, schema=_ARROW_SCHEMA), path)
+
+
+@pytest.fixture()
+def stream_dir(tmp_path):
+    d = tmp_path / "stream"
+    d.mkdir()
+    _write_batch(
+        d / "batch_000.parquet",
+        [
+            (1, _ts(10, 0), 1, 1.0),
+            (2, _ts(10, 5), 1, 2.0),
+            (3, _ts(11, 0), 2, 3.0),
+        ],
+    )
+    _write_batch(
+        d / "batch_001.parquet",
+        [
+            (4, _ts(10, 2), 1, 4.0),  # late: window 10:00 closed by watermark
+            (5, _ts(11, 5), 2, 5.0),
+            (5, _ts(11, 5), 2, 5.0),  # exact duplicate for the dedup test
+        ],
+    )
+    # the file source orders by modification time: pin mtimes far apart so
+    # batch_000 is deterministically the first micro-batch
+    import os
+    import time
+
+    now = time.time()
+    os.utime(d / "batch_000.parquet", (now - 100, now - 100))
+    os.utime(d / "batch_001.parquet", (now, now))
+    return str(d)
+
+
+def _replay(writer, tmp_path, name):
+    ops.run_available_now(writer, checkpoint_dir=str(tmp_path / f"ckpt_{name}"))
+
+
+def test_tumbling_replay_matches_batch(spark, stream_dir, tmp_path):
+    """B19+B20 — windowed agg over file replay == same agg in batch mode."""
+    stream = ops.read_file_stream(spark, stream_dir, EVENT_SCHEMA)
+    agg = ops.tumbling_counts(stream, "ts", "10 minutes", keys=["user_id"], value_col="value")
+    _replay(ops.write_stream_memory(agg, "tumbling_golden", "complete"), tmp_path, "tumble")
+
+    got = {
+        (r["window_start"], r["user_id"]): (r["n_events"], r["sum_value"])
+        for r in spark.table("tumbling_golden").collect()
+    }
+    batch = ops.tumbling_counts(
+        spark.read.schema(EVENT_SCHEMA).parquet(stream_dir), "ts", "10 minutes",
+        keys=["user_id"], value_col="value",
+    )
+    want = {
+        (r["window_start"], r["user_id"]): (r["n_events"], r["sum_value"])
+        for r in batch.collect()
+    }
+    assert got == want
+    assert got[(_ts(10, 0), 1)] == (3, 7.0)  # complete mode: late row included
+
+
+def test_sliding_window_counts(spark, stream_dir, tmp_path):
+    """B20 — sliding windows: each event lands in window/slide windows."""
+    stream = ops.read_file_stream(spark, stream_dir, EVENT_SCHEMA)
+    agg = ops.sliding_counts(stream, "ts", "20 minutes", "10 minutes")
+    _replay(ops.write_stream_memory(agg, "sliding_golden", "complete"), tmp_path, "slide")
+    rows = {r["window_start"]: r["n_events"] for r in spark.table("sliding_golden").collect()}
+    # event at 10:00 belongs to [9:50,10:10) and [10:00,10:20)
+    assert rows[_ts(9, 50)] == 1 + 2  # 10:00 + 10:02,10:05 in [9:50,10:10)
+    assert rows[_ts(10, 0)] == 3  # 10:00, 10:02, 10:05
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """B21 — append mode + watermark. The watermark advances one batch
+    behind the data that sets it (observed on this Spark: the drop fires
+    once the window's state is evicted — the SURVEY §7 'off-by-one-batch'
+    pitfall), so the late row arrives two batches after the 11:00 event:
+
+    batch 0: 10:00, 10:05, 11:00  → watermark after commit = 10:50
+    batch 1: 11:05                → 10:00-window evicted & emitted (n=2)
+    batch 2: 10:02 (late → DROPPED), 11:07
+    """
+    d = tmp_path / "late_stream"
+    d.mkdir()
+    _write_batch(d / "b0.parquet", [(1, _ts(10, 0), 1, 1.0), (2, _ts(10, 5), 1, 2.0), (3, _ts(11, 0), 2, 3.0)])
+    _write_batch(d / "b1.parquet", [(4, _ts(11, 5), 2, 4.0)])
+    _write_batch(d / "b2.parquet", [(5, _ts(10, 2), 1, 5.0), (6, _ts(11, 7), 2, 6.0)])
+    import os
+    import time
+
+    now = time.time()
+    for i, f in enumerate(["b0", "b1", "b2"]):
+        os.utime(d / f"{f}.parquet", (now - 100 + i * 10,) * 2)
+
+    stream = ops.read_file_stream(spark, str(d), EVENT_SCHEMA)
+    agg = ops.tumbling_counts(stream, "ts", "10 minutes", watermark="10 minutes")
+    _replay(ops.write_stream_memory(agg, "late_golden", "append"), tmp_path, "late")
+    rows = {r["window_start"]: r["n_events"] for r in spark.table("late_golden").collect()}
+    assert rows == {_ts(10, 0): 2}  # late 10:02 dropped; 11:00 window still open
+
+
+def test_streaming_dedup(spark, stream_dir, tmp_path):
+    """B22 — streaming dropDuplicates with watermark-bounded state."""
+    stream = ops.read_file_stream(spark, stream_dir, EVENT_SCHEMA)
+    deduped = ops.streaming_dedup(stream, ["event_id"], ts_col="ts", watermark="1 hour")
+    _replay(ops.write_stream_memory(deduped, "dedup_golden", "append"), tmp_path, "dedup")
+    ids = sorted(r["event_id"] for r in spark.table("dedup_golden").collect())
+    assert ids == [1, 2, 3, 4, 5]  # duplicate event 5 collapsed
+
+
+def test_stateful_running_agg(spark, stream_dir, tmp_path):
+    """B22 — applyInPandasWithState running sum/count across micro-batches."""
+    stream = ops.read_file_stream(spark, stream_dir, EVENT_SCHEMA)
+    running = ops.stateful_running_agg(stream, "user_id", "value", "ts")
+    _replay(ops.write_stream_memory(running, "state_golden", "update"), tmp_path, "state")
+    # last emitted row per key carries the final running state
+    final = {}
+    for r in spark.table("state_golden").collect():
+        final[r["key"]] = (r["running_sum"], r["running_count"])
+    assert final[1] == (7.0, 3)  # 1+2+4 (dedup not applied here)
+    assert final[2] == (13.0, 3)  # 3+5+5
+
+
+def test_foreach_batch_sink(spark, stream_dir, tmp_path):
+    """B19 — foreachBatch escape hatch: one call per micro-batch."""
+    stream = ops.read_file_stream(spark, stream_dir, EVENT_SCHEMA)
+    seen: list[tuple[int, int]] = []
+
+    def sink(df, epoch_id: int) -> None:
+        seen.append((epoch_id, df.count()))
+
+    _replay(ops.write_stream_foreach_batch(stream, sink, "append"), tmp_path, "feb")
+    assert len(seen) == 2  # one per file (maxFilesPerTrigger=1)
+    assert sum(n for _, n in seen) == 6
