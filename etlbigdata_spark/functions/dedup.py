@@ -7,10 +7,10 @@ needs the near-duplicate family too.  Scale notes per variant:
 * exact       — one shuffle on a 128-bit content hash, never on the text.
 * ngram-jaccard — shingle-inverted-index self-join; candidate pairs only
   where ≥1 shingle is shared (never a cross-product).
-* MinHash+LSH — pyspark.ml MinHashLSH banding; candidates only on band
-  collisions.
-* SimHash    — 64-bit signature, near-dups = small Hamming distance;
-  bucketed by signature bands.
+* MinHash+LSH — DataFrame-native seeded-xxhash64 signatures (explode +
+  min-agg), banded; candidates only on band collisions.
+* SimHash    — 64-bit signature over shingles via per-bit sign-sum aggs;
+  near-dups = small Hamming distance; bucketed by signature bands.
 """
 
 from __future__ import annotations
@@ -78,6 +78,9 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
     )
+    # the shingle table feeds three consumers (sizes + both join sides);
+    # persist it so the tokenizer runs once, not four times
+    sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
@@ -119,34 +122,63 @@ def minhash_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
-    num_hash_tables: int = 8,
-    num_features: int = 1 << 18,
+    num_hashes: int = 16,
     jaccard_distance_threshold: float = 0.5,
+    max_shingle_doc_freq: int | None = None,
 ) -> DataFrame:
-    """B23 — MinHash+LSH near-dup candidates via pyspark.ml.
+    """B23 — MinHash+LSH near-dup candidates, DataFrame-native.
 
-    shingle → HashingTF sparse vector → MinHashLSH banded buckets →
-    approxSimilarityJoin (bucket-collision equi-join, not cross-product).
-    Returns (id_a, id_b, jaccard_dist_est).
+    Plan: explode shingles ONCE → ``num_hashes`` seeded ``xxhash64``
+    columns per shingle → ``groupBy(id).min`` builds the signature with
+    map-side partial aggregation (the tokenizer runs once per doc, and the
+    signature reduction is associative, so this scales like a word count)
+    → band on every signature position (r=1, b=num_hashes:
+    P[candidate] = 1-(1-J)^b, ≈1 for J≥0.5 at b=16) → self-equi-join on
+    (band, value) → estimate Jaccard as the fraction of agreeing
+    signature positions → filter. Everything stays in whole-stage codegen
+    on longs — no ml pipeline, no sparse vectors, no Python.
+    ``max_shingle_doc_freq`` drops boilerplate shingles before hashing
+    (the 100 TB skew guard). Returns (id_a, id_b, jaccard_dist estimate).
     """
-    from pyspark.ml.feature import HashingTF, MinHashLSH
-
-    prepped = df.select(
+    sh = df.select(
         F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
-    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=num_features, binary=True)
-    feats = tf.transform(prepped)
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42)
-    model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, jaccard_distance_threshold, distCol="jaccard_dist")
-    return (
-        pairs.filter(F.col("datasetA.id") < F.col("datasetB.id"))
-        .select(
-            F.col("datasetA.id").alias("id_a"),
-            F.col("datasetB.id").alias("id_b"),
-            F.col("jaccard_dist"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    if max_shingle_doc_freq:
+        sh = df_freq_cutoff(sh, max_shingle_doc_freq)
+    hcols = [F.min(F.xxhash64(F.lit(i), "shingle")).alias(f"__h{i}") for i in range(num_hashes)]
+    sig = (
+        sh.groupBy("id")
+        .agg(*hcols)
+        .select("id", F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("sig"))
+    )
+    sig = sig.persist()  # both self-join sides read it
+    banded = sig.selectExpr("id", "sig", "posexplode(sig) AS (band, val)")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
         )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.withColumn("jaccard_dist", 1 - agree / F.lit(num_hashes))
+        .filter(F.col("jaccard_dist") <= jaccard_distance_threshold)
+        .select("id_a", "id_b", "jaccard_dist")
     )
 
 
@@ -188,14 +220,47 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 3,
     band_bits: int = 16,
+    shingle_n: int = 3,
 ) -> DataFrame:
     """B23 — near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Features are word ``shingle_n``-gram shingles, not unigram tokens: on
+    a shared-vocabulary corpus unigram signatures cluster (every doc uses
+    the same common words) and the banded join degenerates toward a
+    cross-product; shingles keep unrelated docs near Hamming 32.
+    Note the banding only GUARANTEES recall for
+    max_hamming < 64/band_bits (pigeonhole); the default (3 < 4) holds.
 
     Banding: split the 64-bit signature into 64/band_bits bands; by
     pigeonhole, any pair within Hamming ≤ (bands-1) collides on ≥1 band →
     equi-join on (band_idx, band_value), then exact popcount filter.
+
+    Signature plan: explode distinct tokens → hash → 64 per-bit sign sums
+    as aggregate columns (map-side combine; scales like a word count,
+    unlike a per-row fold whose cost is tokens×64 in one expression) →
+    assemble the signature from the sums.
     """
-    sig = df.select(F.col(id_col).alias("id"), simhash_col(F.col(text_col)).alias("sig"))
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("tok"),
+    )
+    # signs precomputed in a projection (one xxhash64 per row), aggs stay
+    # plain sums — conditional+hash inside 64 agg expressions costs ~40%
+    # more in the hash-agg update path
+    signed = toks.select("id", F.xxhash64("tok").alias("__h")).select(
+        "id",
+        *[
+            (F.shiftright("__h", b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"__s{b}")
+            for b in range(64)
+        ],
+    )
+    per_doc = signed.groupBy("id").agg(*[F.sum(f"__s{b}").alias(f"__s{b}") for b in range(64)])
+    sig_expr = F.lit(0).cast("long")
+    for b in range(64):
+        sig_expr = sig_expr + F.when(
+            F.col(f"__s{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+    sig = per_doc.select("id", sig_expr.alias("sig")).persist()
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     banded = sig.select(

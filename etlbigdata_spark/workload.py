@@ -814,9 +814,9 @@ HAVING COUNT(*) > 1
 
 
 def d02_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B23 — exact n-gram Jaccard near-dup pairs on a doc_id-strided subset
+    """B23 — exact n-gram Jaccard near-dup pairs over the full corpus
     (the exact path is the oracle; MinHash below is the scale path)."""
-    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    docs = load(spark, sf_dir, "documents")
     return fdedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
 
 
@@ -825,7 +825,7 @@ WITH docs AS (
   SELECT doc_id,
          list_distinct([array_to_string(toks[i:i+2], ' ')
                         FOR i IN generate_series(1, greatest(len(toks) - 2, 0))]) AS shingles
-  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents WHERE doc_id % 20 = 0)
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
 ),
 sh    AS (SELECT doc_id, unnest(shingles) AS shingle FROM docs),
 sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
@@ -848,14 +848,14 @@ WHERE CAST(n_shared AS DOUBLE) / (sa.set_size + sb.set_size - n_shared) >= 0.2
 def d03_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B23 — MinHash+LSH candidates (approximate: no SQL oracle; judged by
     recall against d02's exact pairs in tests)."""
-    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    docs = load(spark, sf_dir, "documents")
     return fdedup.minhash_candidates(docs, "doc_id", "text", jaccard_distance_threshold=0.8)
 
 
 def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B23 — SimHash near-dup pairs (banded; engine-specific hash → rows-only)."""
-    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
-    return fdedup.simhash_near_dups(docs, "doc_id", "text", max_hamming=8)
+    docs = load(spark, sf_dir, "documents")
+    return fdedup.simhash_near_dups(docs, "doc_id", "text", max_hamming=3)
 
 
 def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1317,6 +1317,143 @@ FROM customer
 """
 
 
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4+B9 — join + conditional aggregation (TPC-H Q12-like: late
+    shipments per return flag, split by priority class)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(urgent).alias("high_line_count"),
+            F.sum(1 - urgent).alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+"""
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4+B9 — broadcast dim join + conditional share-of-total (Q14-like)."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    rev = D("l_extendedprice") * (_dec1() - D("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0).cast("decimal(18,4)"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (F.sum(promo).cast("double") * 100.0 / F.sum(rev).cast("double")).alias("promo_pct")
+        )
+    )
+
+
+Q14_SQL = """
+SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) * 100.0
+       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4+B7+B9 — HAVING pushdown + semi-join pattern (Q18-like: orders
+    whose total quantity exceeds a threshold, with customer context)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "o_orderkey", F.col("o_orderdate").cast("date").alias("o_date"), "o_totalprice", "total_qty")
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
+        .limit(50)
+    )
+
+
+Q18_SQL = """
+SELECT c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_date, o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS BIGINT)) > 150
+) big
+JOIN orders   ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey ASC
+LIMIT 50
+"""
+
+
+def b10_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10 — RANGE frame (value-based window): for each order, count of
+    the customer's orders priced within ±1000 of it."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 500)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").asc())
+        .rangeBetween(-1000, 1000)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("n_similar_priced"),
+    )
+
+
+B10_RANGE_SQL = """
+SELECT o_custkey, o_orderkey,
+       COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice ASC
+                      RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS n_similar_priced
+FROM orders
+WHERE o_custkey <= 500
+"""
+
+
+def b15_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15 — from_json with an explicit schema into a typed struct, then
+    aggregate on the parsed fields (st json path b15 uses get_json_object;
+    this is the schema-ful variant)."""
+    ev = load(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json(F.col("props"), "k INT, tags ARRAY<STRING>").alias("p"),
+    )
+    return (
+        parsed.select("event_type", F.col("p.k").alias("k"), F.size("p.tags").alias("n_tags"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("k").cast("long")).alias("sum_k"),
+            F.sum(F.col("n_tags").cast("long")).alias("sum_tags"),
+        )
+    )
+
+
+B15_FROM_JSON_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       CAST(SUM(len(CAST(json_extract(props, '$.tags') AS VARCHAR[]))) AS BIGINT) AS sum_tags
+FROM events
+GROUP BY event_type
+"""
+
+
 def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B23 — embedding-cosine near-dup pairs via random-projection LSH
     (approximate: recall-tested against the exact path, rows-only here).
@@ -1337,6 +1474,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q06_revenue_delta": q06_revenue_delta,
     "q07_nation_volume": q07_nation_volume,
     "q10_returned_items": q10_returned_items,
+    "q12_shipmode_priority": q12_shipmode_priority,
+    "q14_promo_share": q14_promo_share,
+    "q18_large_orders": q18_large_orders,
+    "b10_range_frame": b10_range_frame,
+    "b15_from_json": b15_from_json,
     "a09_count": a09_count,
     "a12_transpose": a12_transpose,
     "b01_sql": b01_sql,
@@ -1398,6 +1540,11 @@ ORACLE_SQL: dict[str, str] = {
     "q06_revenue_delta": Q06_SQL,
     "q07_nation_volume": Q07_SQL,
     "q10_returned_items": Q10_SQL,
+    "q12_shipmode_priority": Q12_SQL,
+    "q14_promo_share": Q14_SQL,
+    "q18_large_orders": Q18_SQL,
+    "b10_range_frame": B10_RANGE_SQL,
+    "b15_from_json": B15_FROM_JSON_SQL,
     "a09_count": A09_SQL,
     "a12_transpose": A12_SQL,
     "b01_sql": B01_SQL,

@@ -12,8 +12,10 @@ from etlbigdata_spark.functions import similarity as fsim
 
 
 @pytest.fixture(scope="module")
-def docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") % 10 == 0)
+def docs(spark):
+    # sf0.01 explicitly: the planted near-dup pairs (25 at J≥0.5) exist in
+    # the full corpus there; sf0.001 and strided slices have none
+    return spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
 
 
 @pytest.fixture(scope="module")
@@ -38,8 +40,10 @@ def test_minhash_recall_vs_exact_jaccard(docs):
     assert recall >= 0.8, f"minhash recall {recall:.2f} over {len(exact)} exact pairs"
 
 
-def test_simhash_finds_exact_duplicates(docs, spark):
-    """Hamming distance 0 pairs must include every exact-text duplicate."""
+def test_simhash_finds_exact_duplicates(spark):
+    """Hamming distance 0 pairs must include every exact-text duplicate
+    (sf0.1: the only SF with exact-dup rows — 8 groups)."""
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     dup_pairs = (
         docs.alias("a")
         .join(docs.alias("b"), (F.col("a.text") == F.col("b.text")) & (F.col("a.doc_id") < F.col("b.doc_id")))
