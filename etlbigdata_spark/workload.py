@@ -1454,6 +1454,145 @@ GROUP BY event_type
 """
 
 
+def q04_priority_with_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9 semi-join via EXISTS (Q4-like): count orders per priority that
+    have at least one line item shipped >60 days after the order date.
+    Non-equi semi-join condition — Catalyst keeps it a single left-semi
+    (no decorrelation needed because we express it directly)."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    slow = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)),
+        "left_semi",
+    )
+    return slow.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+Q04_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9+B4 — left outer join + two-level aggregation (Q13-like):
+    distribution of customers by order count, including zero-order
+    customers (the outer join is the point)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) per_cust
+GROUP BY c_count
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4+B9 — decorrelated per-group average subquery (Q17-like): weekly
+    revenue from line items whose quantity is below 20% of the part's
+    average quantity. The correlated scalar subquery is expressed as an
+    agg + re-join, which is exactly the plan an optimizer decorrelates
+    to; the per-part avg side is small → broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    avg_qty = (
+        li.groupBy("l_partkey")
+        .agg((F.sum(D("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"))
+        .withColumnRenamed("l_partkey", "ap_partkey")
+    )
+    return (
+        li.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg((F.sum(D("l_extendedprice")).cast("double") / 7.0).alias("avg_weekly_revenue"))
+    )
+
+
+Q17_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_weekly_revenue
+FROM lineitem li
+JOIN (SELECT l_partkey AS ap_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey) ap
+  ON li.l_partkey = ap.ap_partkey
+WHERE l_quantity < 0.2 * avg_qty
+"""
+
+
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3+B9 — OR-of-ANDs predicate spanning both join sides (Q19-like).
+    Catalyst extracts the common l_partkey=p_partkey conjunct so the join
+    stays an equi-join (broadcast on part) with the disjunction as a
+    post-join filter — the classic CNF-extraction test."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    cond = (F.col("l_partkey") == F.col("p_partkey")) & (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30))
+    )
+    return li.join(F.broadcast(part), cond).agg(
+        F.sum(D("l_extendedprice") * (_dec1() - D("l_discount"))).cast("double").alias("revenue")
+    )
+
+
+Q19_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9 anti-join + scalar subquery (Q22-like): per nation, customers
+    with above-average balance and no orders. The global average is a
+    1-row broadcast (crossJoin), the no-orders test a left-anti join."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(D("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    idle = rich.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(D("c_acctbal")).cast("double").alias("totacctbal"),
+    )
+
+
+Q22_SQL = """
+SELECT c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+                   FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+"""
+
+
 def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B23 — embedding-cosine near-dup pairs via random-projection LSH
     (approximate: recall-tested against the exact path, rows-only here).
@@ -1477,6 +1616,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q12_shipmode_priority": q12_shipmode_priority,
     "q14_promo_share": q14_promo_share,
     "q18_large_orders": q18_large_orders,
+    "q04_priority_with_late_lines": q04_priority_with_late_lines,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q19_disjunctive_predicates": q19_disjunctive_predicates,
+    "q22_idle_rich_customers": q22_idle_rich_customers,
     "b10_range_frame": b10_range_frame,
     "b15_from_json": b15_from_json,
     "a09_count": a09_count,
@@ -1543,6 +1687,11 @@ ORACLE_SQL: dict[str, str] = {
     "q12_shipmode_priority": Q12_SQL,
     "q14_promo_share": Q14_SQL,
     "q18_large_orders": Q18_SQL,
+    "q04_priority_with_late_lines": Q04_SQL,
+    "q13_customer_distribution": Q13_SQL,
+    "q17_small_quantity_revenue": Q17_SQL,
+    "q19_disjunctive_predicates": Q19_SQL,
+    "q22_idle_rich_customers": Q22_SQL,
     "b10_range_frame": B10_RANGE_SQL,
     "b15_from_json": B15_FROM_JSON_SQL,
     "a09_count": A09_SQL,
