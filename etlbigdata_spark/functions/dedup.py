@@ -49,7 +49,14 @@ def duplicate_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
 # -- shingles + jaccard ----------------------------------------------
 def word_shingles(text_col, n: int = 3):
     """Distinct word n-gram shingles as array<string> (JVM-side:
-    slice over a sequence of start offsets)."""
+    slice over a sequence of start offsets).
+
+    NOTE: embeds the tokenizer inside the higher-order lambda, so the
+    regex split re-evaluates per shingle (interpreted HOF path, no
+    subexpression elimination) — fine for one-off column use, ~2× slower
+    than the two-step plan for corpus work. The dedup pipelines use
+    ``exploded_shingles`` instead, which tokenizes into a materialized
+    array attribute first."""
     toks = tokens_col(text_col)
     return F.array_distinct(
         F.transform(
@@ -57,6 +64,28 @@ def word_shingles(text_col, n: int = 3):
             lambda i: F.array_join(F.slice(toks, i, n), " "),
         )
     )
+
+
+def shingles_from_tokens(toks_col, n: int = 3):
+    """Distinct word n-gram shingles from an already-materialized token
+    array column — the lambda only slices the array attribute, so the
+    tokenizer runs exactly once per document."""
+    t = F.col(toks_col) if isinstance(toks_col, str) else toks_col
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(t) - F.lit(n - 1), F.lit(0))),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
+        )
+    )
+
+
+def exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, out_col: str = "shingle"
+) -> DataFrame:
+    """(id, shingle) rows: tokenize into an array attribute in one
+    projection, shingle+explode from it in the next."""
+    toked = df.select(F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("__toks"))
+    return toked.select("id", F.explode(shingles_from_tokens("__toks", n)).alias(out_col))
 
 
 def ngram_jaccard_pairs(
@@ -74,10 +103,7 @@ def ngram_jaccard_pairs(
     shingle never meet. Hot shingles should be pre-filtered at scale (see
     ``df_freq_cutoff``).
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
-    )
+    sh = exploded_shingles(df, id_col, text_col, n)
     # the shingle table feeds three consumers (sizes + both join sides);
     # persist it so the tokenizer runs once, not four times
     sh = sh.persist()
@@ -140,10 +166,7 @@ def minhash_candidates(
     ``max_shingle_doc_freq`` drops boilerplate shingles before hashing
     (the 100 TB skew guard). Returns (id_a, id_b, jaccard_dist estimate).
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
-    )
+    sh = exploded_shingles(df, id_col, text_col, shingle_n)
     if max_shingle_doc_freq:
         sh = df_freq_cutoff(sh, max_shingle_doc_freq)
     hcols = [F.min(F.xxhash64(F.lit(i), "shingle")).alias(f"__h{i}") for i in range(num_hashes)]
@@ -240,10 +263,7 @@ def simhash_near_dups(
     unlike a per-row fold whose cost is tokens×64 in one expression) →
     assemble the signature from the sums.
     """
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("tok"),
-    )
+    toks = exploded_shingles(df, id_col, text_col, shingle_n, out_col="tok")
     # signs precomputed in a projection (one xxhash64 per row), aggs stay
     # plain sums — conditional+hash inside 64 agg expressions costs ~40%
     # more in the hash-agg update path
