@@ -1593,6 +1593,49 @@ GROUP BY c_nationkey
 """
 
 
+def b06_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 — explicit GROUPING SETS (beyond rollup/cube): the statement is
+    dialect-shared and runs verbatim on Spark and DuckDB."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(B06_GSETS_SQL)
+
+
+B06_GSETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus), ())
+"""
+
+
+def b09_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9 — genuine theta join (inequality-only predicate → broadcast
+    nested-loop on the small side): per supplier nation, how many
+    customers hold a larger balance than the nation's richest supplier.
+    Aggregate the big side BEFORE the theta join so the NL join is
+    dims×dims, not rows×rows — the 100 TB shape for band predicates."""
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    max_s = supp.groupBy("s_nationkey").agg(F.max("s_acctbal").alias("max_s_bal"))
+    # bucket customers by balance? Not needed: theta side is pre-aggregated
+    return (
+        cust.join(F.broadcast(max_s), F.col("c_acctbal") > F.col("max_s_bal"))
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_richer_cust"))
+    )
+
+
+B09_THETA_SQL = """
+SELECT s_nationkey, COUNT(*) AS n_richer_cust
+FROM customer
+JOIN (SELECT s_nationkey, MAX(s_acctbal) AS max_s_bal
+      FROM supplier GROUP BY s_nationkey) ms
+  ON c_acctbal > max_s_bal
+GROUP BY s_nationkey
+"""
+
+
 def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B23 — embedding-cosine near-dup pairs via random-projection LSH
     (approximate: recall-tested against the exact path, rows-only here).
@@ -1621,6 +1664,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q19_disjunctive_predicates": q19_disjunctive_predicates,
     "q22_idle_rich_customers": q22_idle_rich_customers,
+    "b06_grouping_sets": b06_grouping_sets,
+    "b09_theta": b09_theta,
     "b10_range_frame": b10_range_frame,
     "b15_from_json": b15_from_json,
     "a09_count": a09_count,
@@ -1692,6 +1737,8 @@ ORACLE_SQL: dict[str, str] = {
     "q17_small_quantity_revenue": Q17_SQL,
     "q19_disjunctive_predicates": Q19_SQL,
     "q22_idle_rich_customers": Q22_SQL,
+    "b06_grouping_sets": B06_GSETS_SQL,
+    "b09_theta": B09_THETA_SQL,
     "b10_range_frame": B10_RANGE_SQL,
     "b15_from_json": B15_FROM_JSON_SQL,
     "a09_count": A09_SQL,
