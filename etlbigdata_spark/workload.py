@@ -1636,6 +1636,43 @@ GROUP BY s_nationkey
 """
 
 
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4+B9 — argmax via scalar subquery over a derived aggregate
+    (Q15-like): the supplier(s) with maximum shipped revenue in a
+    quarter. The revenue CTE is computed once and reused for both the
+    MAX and the equality filter (Spark: same DataFrame reused → AQE
+    shuffle reuse; the 1-row max side is a broadcast)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(D("l_extendedprice") * (_dec1() - D("l_discount"))).alias("total_rev_dec")
+    )
+    max_rev = rev.agg(F.max("total_rev_dec").alias("max_rev"))
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_rev_dec") == F.col("max_rev"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.col("total_rev_dec").cast("double").alias("total_rev"))
+    )
+
+
+Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total_rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_rev_dec AS DOUBLE) AS total_rev
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev_dec = (SELECT MAX(total_rev_dec) FROM rev)
+"""
+
+
 def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B23 — embedding-cosine near-dup pairs via random-projection LSH
     (approximate: recall-tested against the exact path, rows-only here).
@@ -1666,6 +1703,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q22_idle_rich_customers": q22_idle_rich_customers,
     "b06_grouping_sets": b06_grouping_sets,
     "b09_theta": b09_theta,
+    "q15_top_supplier": q15_top_supplier,
     "b10_range_frame": b10_range_frame,
     "b15_from_json": b15_from_json,
     "a09_count": a09_count,
@@ -1739,6 +1777,7 @@ ORACLE_SQL: dict[str, str] = {
     "q22_idle_rich_customers": Q22_SQL,
     "b06_grouping_sets": B06_GSETS_SQL,
     "b09_theta": B09_THETA_SQL,
+    "q15_top_supplier": Q15_SQL,
     "b10_range_frame": B10_RANGE_SQL,
     "b15_from_json": B15_FROM_JSON_SQL,
     "a09_count": A09_SQL,
