@@ -30,17 +30,31 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 RUNS = int(os.environ.get("BENCH_RUNS", "3"))
 
-# Headline set: the three BASELINE.md anchor queries plus one representative
-# per capability family (agg, window, join, text, dedup, similarity, json).
+# Headline set: the three BASELINE.md anchor queries, the TPC-H-style
+# plan-shape series, plus one representative per capability family
+# (agg, window, join, text, dedup, similarity, json).
 HEADLINE = [
     "q01_pricing_summary",
     "q03_top_orders",
     "q05_region_revenue",
     "q06_revenue_delta",
+    "q04_priority_with_late_lines",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q22_idle_rich_customers",
+    "b06_grouping_sets",
     "b07_topk_group",
     "b09_asof",
+    "b09_theta",
     "b10_running_sum",
+    "b10_range_frame",
     "b15_json",
+    "b15_from_json",
     "b16_pivot",
     "t01_text_stats",
     "t02_token_count",

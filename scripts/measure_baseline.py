@@ -28,9 +28,15 @@ RUNS = int(os.environ.get("BENCH_RUNS", "3"))
 
 HEADLINE = [
     "q01_pricing_summary", "q03_top_orders", "q05_region_revenue",
-    "q06_revenue_delta", "b07_topk_group", "b09_asof", "b10_running_sum",
-    "b15_json", "b16_pivot", "t01_text_stats", "t02_token_count",
-    "d01_dup_groups", "s01_cosine_topk", "st02_sessions",
+    "q06_revenue_delta", "q04_priority_with_late_lines",
+    "q12_shipmode_priority", "q13_customer_distribution",
+    "q14_promo_share", "q15_top_supplier", "q17_small_quantity_revenue",
+    "q18_large_orders", "q19_disjunctive_predicates",
+    "q22_idle_rich_customers", "b06_grouping_sets", "b07_topk_group",
+    "b09_asof", "b09_theta", "b10_running_sum", "b10_range_frame",
+    "b15_json", "b15_from_json", "b16_pivot", "t01_text_stats",
+    "t02_token_count", "d01_dup_groups", "s01_cosine_topk",
+    "st02_sessions",
 ]
 
 
