@@ -58,12 +58,7 @@ def word_shingles(text_col, n: int = 3):
     ``exploded_shingles`` instead, which tokenizes into a materialized
     array attribute first."""
     toks = tokens_col(text_col)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        )
-    )
+    return _shingle_expr(toks, n)
 
 
 def shingles_from_tokens(toks_col, n: int = 3):
@@ -71,10 +66,19 @@ def shingles_from_tokens(toks_col, n: int = 3):
     array column — the lambda only slices the array attribute, so the
     tokenizer runs exactly once per document."""
     t = F.col(toks_col) if isinstance(toks_col, str) else toks_col
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(t) - F.lit(n - 1), F.lit(0))),
-            lambda i: F.array_join(F.slice(t, i, n), " "),
+    return _shingle_expr(t, n)
+
+
+def _shingle_expr(t, n: int):
+    # docs shorter than n tokens get NO shingles; without the guard,
+    # sequence(1, size-n+1) with a non-positive stop infers step=-1 and
+    # yields [1, 0], and slice(start=0) throws at runtime
+    return F.when(F.size(t) < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+                lambda i: F.array_join(F.slice(t, i, n), " "),
+            )
         )
     )
 

@@ -93,3 +93,25 @@ def test_ivf_assign_covers_corpus(emb):
     assert assigned.count() == emb.count()
     n_used = assigned.select("centroid").distinct().count()
     assert 1 <= n_used <= 8
+
+
+def test_exploded_shingles_matches_word_shingles(spark):
+    """The two-step tokenize-then-shingle plan (perf path) must produce
+    exactly the same (id, shingle) multiset as the single-expression
+    word_shingles it replaced."""
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "a b"),                       # shorter than n -> no shingles
+         (3, "x y z x y z x y z"),         # repeated shingles -> distinct
+         (4, "  spaced   out\ttokens \n here  ")],
+        ["doc_id", "text"],
+    )
+    fast = {(r.id, r.shingle) for r in fdedup.exploded_shingles(df, "doc_id", "text", 3).collect()}
+    slow = {
+        (r.id, r.shingle)
+        for r in df.select(
+            F.col("doc_id").alias("id"),
+            F.explode(fdedup.word_shingles(F.col("text"), 3)).alias("shingle"),
+        ).collect()
+    }
+    assert fast == slow and len(fast) > 0
