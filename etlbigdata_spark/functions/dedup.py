@@ -20,6 +20,28 @@ from pyspark.sql import functions as F
 
 from .text import tokens_col
 
+# -- cache scoping ----------------------------------------------------
+# The pair-finding functions persist a fan-out intermediate (the shingle
+# or signature table feeds 2-3 consumers of the same plan). A long-lived
+# session calling them repeatedly must not accumulate cached blocks, so
+# every persist is registered here and released by release_cached() —
+# called at the top of each declared workload query and by bench/tests.
+# Unpersisting is always safe: a still-live DataFrame recomputes from
+# lineage.
+_LIVE_CACHE: list[DataFrame] = []
+
+
+def _persist_scoped(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _LIVE_CACHE.append(df)
+    return df
+
+
+def release_cached() -> None:
+    """Unpersist every intermediate cached by this module's functions."""
+    while _LIVE_CACHE:
+        _LIVE_CACHE.pop().unpersist()
+
 
 # -- exact ------------------------------------------------------------
 def exact_dedup(df: DataFrame, text_col: str = "text", keep: str = "min", id_col: str = "doc_id") -> DataFrame:
@@ -98,19 +120,29 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """B23 — candidate near-dup pairs with exact n-gram Jaccard ≥ threshold.
 
     Inverted-index plan: explode shingles → self-equi-join on shingle
     (pairs share ≥1 shingle) → count shared → Jaccard from set sizes.
     The only shuffles are on shingle and on the pair key; docs sharing no
-    shingle never meet. Hot shingles should be pre-filtered at scale (see
-    ``df_freq_cutoff``).
+    shingle never meet.
+
+    ``max_doc_freq`` is the 100 TB skew guard: shingles appearing in more
+    than that many docs (boilerplate) are dropped BEFORE the self-join —
+    a hot shingle shared by k docs contributes k² candidate rows, so an
+    unguarded corpus with license headers goes quadratic. The cutoff is
+    applied before set sizes too, so Jaccard is computed over the
+    non-boilerplate shingle sets (document + mirror the same predicate in
+    any oracle).
     """
     sh = exploded_shingles(df, id_col, text_col, n)
+    if max_doc_freq is not None:
+        sh = df_freq_cutoff(sh, max_doc_freq)
     # the shingle table feeds three consumers (sizes + both join sides);
     # persist it so the tokenizer runs once, not four times
-    sh = sh.persist()
+    sh = _persist_scoped(sh)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
@@ -152,7 +184,8 @@ def minhash_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
-    num_hashes: int = 16,
+    num_hashes: int = 32,
+    bands: int = 16,
     jaccard_distance_threshold: float = 0.5,
     max_shingle_doc_freq: int | None = None,
 ) -> DataFrame:
@@ -162,14 +195,26 @@ def minhash_candidates(
     columns per shingle → ``groupBy(id).min`` builds the signature with
     map-side partial aggregation (the tokenizer runs once per doc, and the
     signature reduction is associative, so this scales like a word count)
-    → band on every signature position (r=1, b=num_hashes:
-    P[candidate] = 1-(1-J)^b, ≈1 for J≥0.5 at b=16) → self-equi-join on
-    (band, value) → estimate Jaccard as the fraction of agreeing
-    signature positions → filter. Everything stays in whole-stage codegen
-    on longs — no ml pipeline, no sparse vectors, no Python.
+    → r×b banding: split the signature into ``bands`` bands of
+    r = num_hashes/bands rows, band key = xxhash64 over the band's r
+    values → self-equi-join on (band, key) → estimate Jaccard as the
+    fraction of agreeing signature positions → filter. Everything stays
+    in whole-stage codegen on longs — no ml pipeline, no sparse vectors,
+    no Python.
+
+    Banding math (P[candidate] = 1-(1-J^r)^b): the defaults b=16, r=2
+    give 0.99 at J=0.5 and 0.15 at J=0.1. One-row bands (r=1, b=16) gave
+    the same recall but let a J=0.1 junk pair collide with probability
+    0.81 — at corpus scale the candidate set is dominated by junk pairs,
+    which is why r≥2 matters at 100 TB. Pass ``bands=num_hashes`` for
+    r=1 high-recall mode (see ``minhash_verified_pairs``).
+
     ``max_shingle_doc_freq`` drops boilerplate shingles before hashing
     (the 100 TB skew guard). Returns (id_a, id_b, jaccard_dist estimate).
     """
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    r = num_hashes // bands
     sh = exploded_shingles(df, id_col, text_col, shingle_n)
     if max_shingle_doc_freq:
         sh = df_freq_cutoff(sh, max_shingle_doc_freq)
@@ -179,8 +224,19 @@ def minhash_candidates(
         .agg(*hcols)
         .select("id", F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("sig"))
     )
-    sig = sig.persist()  # both self-join sides read it
-    banded = sig.selectExpr("id", "sig", "posexplode(sig) AS (band, val)")
+    sig = _persist_scoped(sig)  # both self-join sides read it
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(*[F.col("sig")[i * r + j] for j in range(r)]).alias("val"),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = sig.select("id", "sig", F.explode(band_structs).alias("bv")).select(
+        "id", "sig", F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -207,6 +263,50 @@ def minhash_candidates(
         .filter(F.col("jaccard_dist") <= jaccard_distance_threshold)
         .select("id_a", "id_b", "jaccard_dist")
     )
+
+
+def minhash_verified_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """B23 — MinHash-LSH candidates verified by EXACT n-gram Jaccard.
+
+    The oracle-checkable face of the approximate family: the output is
+    deterministic and equals the exact all-pairs result, because
+
+    * candidate generation uses one-row bands (r=1, b=num_hashes), so a
+      true pair at J ≥ 0.5 is missed with probability (1-J)^32 ≤ 2.3e-10
+      — recall is 1.0 for any practical purpose, and
+    * every candidate is verified with exact Jaccard computed only over
+      the candidate docs, so false candidates cost work but never appear
+      in the output.
+
+    At scale this is the standard candidates→verify MinHash pipeline:
+    verification touches |candidate docs| ≪ |corpus| documents, and the
+    high-recall banding trades a bigger candidate set for a provable
+    output — use ``minhash_candidates`` defaults (r=2) when a small
+    recall loss is acceptable and candidate volume matters more.
+    """
+    cand = minhash_candidates(
+        df,
+        id_col,
+        text_col,
+        shingle_n=n,
+        num_hashes=num_hashes,
+        bands=num_hashes,  # r=1: recall mode
+        jaccard_distance_threshold=1.0,  # keep all candidates; exact verify below
+    ).select("id_a", "id_b")
+    # exact verification restricted to docs that appear in any candidate
+    # pair (the small set); shingle sizes are per-doc so the restriction
+    # does not change Jaccard values
+    ids = cand.select(F.explode(F.array("id_a", "id_b")).alias("__cid")).distinct()
+    docs_c = df.join(ids, F.col(id_col) == F.col("__cid"), "left_semi")
+    exact = ngram_jaccard_pairs(docs_c, id_col, text_col, n=n, threshold=threshold)
+    return exact.join(cand, ["id_a", "id_b"], "left_semi")
 
 
 # -- SimHash ----------------------------------------------------------
@@ -284,7 +384,7 @@ def simhash_near_dups(
         sig_expr = sig_expr + F.when(
             F.col(f"__s{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
         ).otherwise(F.lit(0).cast("long"))
-    sig = per_doc.select("id", sig_expr.alias("sig")).persist()
+    sig = _persist_scoped(per_doc.select("id", sig_expr.alias("sig")))
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     banded = sig.select(

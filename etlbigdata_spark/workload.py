@@ -37,10 +37,17 @@ TABLES = [
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark
+        # refuses to scan (PARQUET_TYPE_ILLEGAL). nanosAsLong is a
+        # runtime-settable SQL conf, so set it here at the read site —
+        # the workload must be self-contained under ANY session, not
+        # just ones built by etlbigdata_spark.session.build_session.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # parquet timestamp[ns] surfaces as long nanos (legacy.parquet.
-        # nanosAsLong); the data is µs-resolution, so this is lossless
+        # with nanosAsLong the column surfaces as long nanos; the data
+        # is µs-resolution, so reconstructing a timestamp is lossless
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
@@ -430,16 +437,25 @@ GROUP BY c_nationkey
 
 
 def b09_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9 anti-join. The right side is date-restricted: in this testdata
+    every customer has ≥1 order overall, which made the unrestricted
+    anti-join vacuously empty (a broken anti-join would still have
+    hashed green). Customers with no RECENT order is non-empty at every
+    SF, so the oracle comparison actually exercises the join."""
     cust = load(spark, sf_dir, "customer")
-    orders = load(spark, sf_dir, "orders")
-    no_orders = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-    return no_orders.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_customers"))
+    recent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    no_recent = cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+    return no_recent.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_customers"))
 
 
 B09_ANTI_SQL = """
 SELECT c_nationkey, COUNT(*) AS n_customers
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
 GROUP BY c_nationkey
 """
 
@@ -813,21 +829,29 @@ HAVING COUNT(*) > 1
 """
 
 
-def d02_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B23 — exact n-gram Jaccard near-dup pairs over the full corpus
-    (the exact path is the oracle; MinHash below is the scale path)."""
-    docs = load(spark, sf_dir, "documents")
-    return fdedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
-
-
-D02_SQL = f"""
+def _jaccard_oracle_sql(threshold: float, max_doc_freq: int | None = None) -> str:
+    """Exact n-gram Jaccard pairs in the oracle dialect — shared by the
+    exact query (d02) and the verified-MinHash query (d03v). Mirrors
+    ``dedup.ngram_jaccard_pairs`` including the hot-shingle cutoff
+    (applied before set sizes, like the Spark side)."""
+    cutoff = (
+        f"""sh AS (
+  SELECT sh0.doc_id, sh0.shingle FROM sh0
+  JOIN (SELECT shingle FROM sh0 GROUP BY shingle
+        HAVING COUNT(*) <= {max_doc_freq}) ok USING (shingle)
+),"""
+        if max_doc_freq is not None
+        else "sh AS (SELECT * FROM sh0),"
+    )
+    return f"""
 WITH docs AS (
   SELECT doc_id,
          list_distinct([array_to_string(toks[i:i+2], ' ')
                         FOR i IN generate_series(1, greatest(len(toks) - 2, 0))]) AS shingles
   FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
 ),
-sh    AS (SELECT doc_id, unnest(shingles) AS shingle FROM docs),
+sh0   AS (SELECT doc_id, unnest(shingles) AS shingle FROM docs),
+{cutoff}
 sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
 shared AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
@@ -841,19 +865,53 @@ SELECT id_a, id_b, n_shared,
 FROM shared
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
-WHERE CAST(n_shared AS DOUBLE) / (sa.set_size + sb.set_size - n_shared) >= 0.2
+WHERE CAST(n_shared AS DOUBLE) / (sa.set_size + sb.set_size - n_shared) >= {threshold}
 """
 
 
+def d02_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B23 — exact n-gram Jaccard near-dup pairs over the full corpus
+    (the exact path is the oracle; MinHash below is the scale path).
+    The hot-shingle cutoff (df > 50 dropped) is ACTIVE here — it is the
+    guard that keeps the inverted-index self-join from going quadratic
+    on boilerplate at corpus scale, and the oracle applies the identical
+    predicate."""
+    fdedup.release_cached()
+    docs = load(spark, sf_dir, "documents")
+    return fdedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.2, max_doc_freq=50
+    )
+
+
+D02_SQL = _jaccard_oracle_sql(threshold=0.2, max_doc_freq=50)
+
+
 def d03_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B23 — MinHash+LSH candidates (approximate: no SQL oracle; judged by
-    recall against d02's exact pairs in tests)."""
+    """B23 — MinHash+LSH candidates, r×b banding (b=16, r=2: junk pairs
+    at J=0.1 collide with P≈0.15 instead of 0.81 at r=1). Approximate →
+    rows-only here; d03v below is the oracle-checked face."""
+    fdedup.release_cached()
     docs = load(spark, sf_dir, "documents")
     return fdedup.minhash_candidates(docs, "doc_id", "text", jaccard_distance_threshold=0.8)
 
 
+def d03v_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B23 — MinHash candidates verified by exact Jaccard ≥ 0.5: recall-
+    mode banding (r=1, b=32, miss P ≤ (1-J)^32 ≈ 2e-10) plus exact
+    verification makes the output deterministic and equal to the exact
+    all-pairs result — the driver's oracle can check the approximate
+    pipeline end-to-end."""
+    fdedup.release_cached()
+    docs = load(spark, sf_dir, "documents")
+    return fdedup.minhash_verified_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+D03V_SQL = _jaccard_oracle_sql(threshold=0.5)
+
+
 def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B23 — SimHash near-dup pairs (banded; engine-specific hash → rows-only)."""
+    fdedup.release_cached()
     docs = load(spark, sf_dir, "documents")
     return fdedup.simhash_near_dups(docs, "doc_id", "text", max_hamming=3)
 
@@ -1521,8 +1579,12 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum(D("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"))
         .withColumnRenamed("l_partkey", "ap_partkey")
     )
+    # No broadcast hint: avg_qty has |part| rows (sf-proportional, ~20 M
+    # at sf100), too big to force onto every executor at the 100 TB
+    # design point. AQE picks broadcast when the build side is actually
+    # small and falls back to shuffle-hash/sort-merge when it isn't.
     return (
-        li.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("ap_partkey"))
+        li.join(avg_qty, F.col("l_partkey") == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg((F.sum(D("l_extendedprice")).cast("double") / 7.0).alias("avg_weekly_revenue"))
     )
@@ -1567,15 +1629,19 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1
 
 def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B9 anti-join + scalar subquery (Q22-like): per nation, customers
-    with above-average balance and no orders. The global average is a
-    1-row broadcast (crossJoin), the no-orders test a left-anti join."""
+    with above-average balance and no orders since 2000 (the date
+    restriction keeps the result non-empty at every SF — see b09_anti).
+    The global average is a 1-row broadcast (crossJoin), the no-recent-
+    orders test a left-anti join."""
     cust = load(spark, sf_dir, "customer")
-    orders = load(spark, sf_dir, "orders")
+    recent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
         (F.sum(D("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal")
     )
     rich = cust.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("avg_bal"))
-    idle = rich.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    idle = rich.join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
     return idle.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("numcust"),
         F.sum(D("c_acctbal")).cast("double").alias("totacctbal"),
@@ -1588,7 +1654,9 @@ SELECT c_nationkey, COUNT(*) AS numcust,
 FROM customer
 WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
                    FROM customer WHERE c_acctbal > 0)
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
 GROUP BY c_nationkey
 """
 
@@ -1686,78 +1754,92 @@ def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------
+# Registry order is a CONTRACT: the driver's correctness gate checks the
+# FIRST 50 entries, so positions 1-50 hold exactly one proving query per
+# SURVEY §2 component (every one oracle-backed except the by-design
+# rows-only b17). Redundant plan-shape variants (the TPC-H q-series,
+# extra b06/b09/b10 variants) and the approximate rows-only family sit
+# after position 50 — they are still run by tests/bench, just not
+# spending driver correctness slots on already-proven components.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "q01_pricing_summary": q01_pricing_summary,
+    # --- driver window (first 50): one proving query per component ---
+    # Part A
+    "a06_union_all": a06_union_all,
+    "a07_fill_nulls": a07_fill_nulls,
+    "a08_dedup": a08_dedup,
+    "a09_count": a09_count,
+    "a10_replace": a10_replace,
+    "a11_filter_contains": a11_filter_contains,
+    "a12_transpose": a12_transpose,
+    "a13_split_merge": a13_split_merge,
+    "a15_cast": a15_cast,
+    "a16_join": a16_join,
+    # Part B relational core
+    "b01_sql": b01_sql,
+    "b02_projection": b02_projection,
+    "b03_general_filter": b03_general_filter,
+    "q01_pricing_summary": q01_pricing_summary,  # B4 hash aggregate
+    "b05_count_distinct": b05_count_distinct,
+    "b06_grouping_sets": b06_grouping_sets,
+    "b06_cube": b06_cube,
+    "b07_topk_group": b07_topk_group,
+    "b08_intersect": b08_intersect,
+    "b08_except": b08_except,
+    "b09_asof": b09_asof,
+    "b09_anti": b09_anti,
+    "b09_range": b09_range,
+    "b09_theta": b09_theta,
+    "b10_ranks": b10_ranks,
+    "b10_running_sum": b10_running_sum,
+    "b10_range_frame": b10_range_frame,
+    "b11_strings": b11_strings,
+    "b12_dates": b12_dates,
+    "b13_math": b13_math,
+    "b14_explode": b14_explode,
+    "b14_arrays": b14_arrays,
+    "b15_from_json": b15_from_json,
+    "b15_json": b15_json,
+    "b16_pivot": b16_pivot,
+    "b16_unpivot": b16_unpivot,
+    "b17_sample": b17_sample,
+    "b18_pandas_udf": b18_pandas_udf,
+    # streaming batch-twins (B20; engine itself has replay goldens)
+    "st01_tumbling": st01_tumbling,
+    "st02_sessions": st02_sessions,
+    # LLM-pipeline: dedup / similarity / text / multimodal / profiling
+    "d01_dup_groups": d01_dup_groups,
+    "d02_jaccard_pairs": d02_jaccard_pairs,
+    "d03v_minhash_verified": d03v_minhash_verified,
+    "s01_cosine_topk": s01_cosine_topk,
+    "t01_text_stats": t01_text_stats,
+    "t02_token_count": t02_token_count,
+    "t03_quality": t03_quality,
+    "t04_language_id": t04_language_id,
+    "mm01_binary_meta": mm01_binary_meta,
+    "b27_profile": b27_profile,
+    # --- past the driver window: redundant shapes + rows-only family ---
     "q03_top_orders": q03_top_orders,
+    "q04_priority_with_late_lines": q04_priority_with_late_lines,
     "q05_region_revenue": q05_region_revenue,
     "q06_revenue_delta": q06_revenue_delta,
     "q07_nation_volume": q07_nation_volume,
     "q10_returned_items": q10_returned_items,
     "q12_shipmode_priority": q12_shipmode_priority,
-    "q14_promo_share": q14_promo_share,
-    "q18_large_orders": q18_large_orders,
-    "q04_priority_with_late_lines": q04_priority_with_late_lines,
     "q13_customer_distribution": q13_customer_distribution,
+    "q14_promo_share": q14_promo_share,
+    "q15_top_supplier": q15_top_supplier,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q18_large_orders": q18_large_orders,
     "q19_disjunctive_predicates": q19_disjunctive_predicates,
     "q22_idle_rich_customers": q22_idle_rich_customers,
-    "b06_grouping_sets": b06_grouping_sets,
-    "b09_theta": b09_theta,
-    "q15_top_supplier": q15_top_supplier,
-    "b10_range_frame": b10_range_frame,
-    "b15_from_json": b15_from_json,
-    "a09_count": a09_count,
-    "a12_transpose": a12_transpose,
-    "b01_sql": b01_sql,
-    "b02_projection": b02_projection,
-    "b03_general_filter": b03_general_filter,
-    "b06_cube": b06_cube,
-    "b09_range": b09_range,
-    "b10_ranks": b10_ranks,
-    "b14_explode": b14_explode,
-    "b16_unpivot": b16_unpivot,
-    "b18_pandas_udf": b18_pandas_udf,
-    "d05_embedding_neardup": d05_embedding_neardup,
-    "a06_union_all": a06_union_all,
-    "a07_fill_nulls": a07_fill_nulls,
-    "a08_dedup": a08_dedup,
-    "a10_replace": a10_replace,
-    "a11_filter_contains": a11_filter_contains,
-    "a13_split_merge": a13_split_merge,
-    "a15_cast": a15_cast,
-    "a16_join": a16_join,
-    "b05_count_distinct": b05_count_distinct,
     "b06_rollup": b06_rollup,
-    "b07_topk_group": b07_topk_group,
-    "b08_intersect": b08_intersect,
-    "b08_except": b08_except,
     "b09_semi": b09_semi,
-    "b09_anti": b09_anti,
-    "b09_asof": b09_asof,
     "b10_window_nav": b10_window_nav,
-    "b10_running_sum": b10_running_sum,
-    "b11_strings": b11_strings,
-    "b12_dates": b12_dates,
-    "b13_math": b13_math,
-    "b14_arrays": b14_arrays,
-    "b15_json": b15_json,
-    "b16_pivot": b16_pivot,
-    "b17_sample": b17_sample,
-    "b27_profile": b27_profile,
-    "t01_text_stats": t01_text_stats,
-    "t02_token_count": t02_token_count,
-    "t03_quality": t03_quality,
-    "t04_language_id": t04_language_id,
-    "t05_fingerprint": t05_fingerprint,
-    "d01_dup_groups": d01_dup_groups,
-    "d02_jaccard_pairs": d02_jaccard_pairs,
     "d03_minhash": d03_minhash,
     "d04_simhash": d04_simhash,
-    "s01_cosine_topk": s01_cosine_topk,
+    "d05_embedding_neardup": d05_embedding_neardup,
     "s02_lsh_topk": s02_lsh_topk,
-    "mm01_binary_meta": mm01_binary_meta,
-    "st01_tumbling": st01_tumbling,
-    "st02_sessions": st02_sessions,
+    "t05_fingerprint": t05_fingerprint,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1822,6 +1904,7 @@ ORACLE_SQL: dict[str, str] = {
     "t04_language_id": T04_SQL,
     "d01_dup_groups": D01_SQL,
     "d02_jaccard_pairs": D02_SQL,
+    "d03v_minhash_verified": D03V_SQL,
     "s01_cosine_topk": S01_SQL,
     "mm01_binary_meta": MM01_SQL,
     "st01_tumbling": ST01_SQL,

@@ -40,6 +40,46 @@ def test_minhash_recall_vs_exact_jaccard(docs):
     assert recall >= 0.8, f"minhash recall {recall:.2f} over {len(exact)} exact pairs"
 
 
+def test_minhash_rb_banding_bounds_candidates(docs):
+    """r×b banding must keep the candidate set small: with b=16, r=2 a
+    J=0.1 junk pair collides with P≈0.15 vs 0.81 at r=1 — measured at
+    sf0.01 that is 42 candidate pairs vs 2987 (71×). Bound asserted with
+    5× slack; regression here means the banding degenerated."""
+    n_r2 = fdedup.minhash_candidates(
+        docs, "doc_id", "text", num_hashes=32, bands=16, jaccard_distance_threshold=1.0
+    ).count()
+    fdedup.release_cached()
+    assert n_r2 <= 200, f"r=2 banding produced {n_r2} candidate pairs (expected ~42)"
+
+
+def test_minhash_verified_equals_exact(docs):
+    """The oracle-checkable verified pipeline (recall-mode banding +
+    exact verification) must reproduce the exact all-pairs result."""
+    exact = {
+        (r.id_a, r.id_b, r.n_shared, r.size_a, r.size_b)
+        for r in fdedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    fdedup.release_cached()
+    verified = {
+        (r.id_a, r.id_b, r.n_shared, r.size_a, r.size_b)
+        for r in fdedup.minhash_verified_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    fdedup.release_cached()
+    assert verified == exact and len(exact) > 0
+
+
+def test_release_cached_drops_all_blocks(docs, spark):
+    """The dedup family's persisted intermediates must be releasable:
+    after release_cached() the storage layer holds no cached RDDs (the
+    round-1 leak accumulated blocks across a long session)."""
+    fdedup.minhash_candidates(docs, "doc_id", "text").count()
+    fdedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5, max_doc_freq=50).count()
+    fdedup.release_cached()
+    jsc = spark.sparkContext._jsc.sc()
+    cached = jsc.getPersistentRDDs().size()
+    assert cached == 0, f"{cached} RDDs still cached after release_cached()"
+
+
 def test_simhash_finds_exact_duplicates(spark):
     """Hamming distance 0 pairs must include every exact-text duplicate
     (sf0.1: the only SF with exact-dup rows — 8 groups)."""
