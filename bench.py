@@ -8,9 +8,17 @@ Runs the headline queries from the declared workload at
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Per-query timing is wall-clock of plan-build + execution to a driver-side
-fetch (``collect``), median of BENCH_RUNS runs after one warm-up, matching
-the measurement protocol in BASELINE.md (one reused SparkSession, JVM
-startup excluded).
+fetch (``toPandas``), **min of BENCH_RUNS runs** after one warm-up, one
+reused SparkSession, JVM startup excluded — matching BASELINE.md's
+protocol section. Min, not median: this machine shows multi-second
+GC/neighbor pauses that would dominate a median (see the inline comment
+in ``time_query``); min is the per-query capability floor.
+
+The run also measures ``floor_sec``: the fixed cost of ANY Spark query on
+this machine (plan analysis + DAG/task scheduling + Arrow fetch for a
+1-row scan). BASELINE.md's gate is ``spark ≤ 2×duckdb + floor`` — at
+small SFs the floor, not the plan, dominates sub-second queries, and the
+decomposition keeps the gate meaningful in both regimes.
 """
 
 from __future__ import annotations
@@ -61,6 +69,7 @@ HEADLINE = [
     "d01_dup_groups",
     "d02_jaccard_pairs",
     "d03_minhash",
+    "d03v_minhash_verified",
     "d04_simhash",
     "s01_cosine_topk",
     "st02_sessions",
@@ -97,6 +106,22 @@ def time_query(spark, name: str) -> float:
     return min(samples)
 
 
+def measure_floor(spark) -> float:
+    """Fixed per-query overhead on this machine: min wall-clock of a
+    1-row parquet scan fetched via toPandas. Any real query pays at
+    least this much regardless of data scanned; complex plans pay more
+    (analysis is plan-size-proportional), so this is a conservative
+    lower bound for the BASELINE.md gate."""
+    fn = lambda: workload.load(spark, SF_DIR, "region").limit(1).toPandas()  # noqa: E731
+    fn()  # warm-up
+    samples = []
+    for _ in range(max(RUNS, 3)):
+        t0 = time.perf_counter()
+        fn()
+        samples.append(time.perf_counter() - t0)
+    return min(samples)
+
+
 def main() -> None:
     spark = build_session(app_name="etlbigdata_spark_bench", master=f"local[{CPUS}]")
     # Global JIT warm-up: run a scan-heavy agg a few times so the first
@@ -107,6 +132,7 @@ def main() -> None:
             workload.q01_pricing_summary(spark, SF_DIR).collect()
         except Exception:
             break
+    floor = round(measure_floor(spark), 4)
     timings = {}
     for name in HEADLINE:
         try:
@@ -126,6 +152,7 @@ def main() -> None:
                 "sf": _sf_from_dir(SF_DIR),
                 "runs_per_query": RUNS,
                 "n_queries": len(ok),
+                "floor_sec": floor,
             }
         )
     )

@@ -35,8 +35,8 @@ HEADLINE = [
     "q22_idle_rich_customers", "b06_grouping_sets", "b07_topk_group",
     "b09_asof", "b09_theta", "b10_running_sum", "b10_range_frame",
     "b15_json", "b15_from_json", "b16_pivot", "t01_text_stats",
-    "t02_token_count", "d01_dup_groups", "s01_cosine_topk",
-    "st02_sessions",
+    "t02_token_count", "d01_dup_groups", "d02_jaccard_pairs",
+    "d03v_minhash_verified", "s01_cosine_topk", "st02_sessions",
 ]
 
 
