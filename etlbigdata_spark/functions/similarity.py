@@ -115,6 +115,69 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def lsh_verified_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_len: float = 4.0,
+    num_hash_tables: int = 8,
+    round_to: int | None = None,
+) -> DataFrame:
+    """B24 verified face (the d03v pattern applied to ANN): LSH candidate
+    generation in RECALL MODE, then exact cosine re-rank computed from the
+    raw embedding arrays with the same expression as :func:`cosine_topk`.
+
+    Recall mode = wide buckets + many tables: on L2-normalized vectors
+    every random projection lands in [-1, 1], so ``bucket_len >= 2``
+    puts near-neighbors in the same bucket with probability ≈ 1 and the
+    candidate set contains the true top-k.  Because the re-rank uses the
+    identical arithmetic path as the exact baseline (dot/norm over the
+    original arrays, rounded before ranking), the output EQUALS the
+    exact top-k and a SQL oracle can check the approximate pipeline
+    end-to-end.  This is proof apparatus: the production path is
+    :func:`lsh_topk` with tight buckets, which trades that guarantee for
+    a candidate-only join.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    def prep(df: DataFrame, ident: str) -> DataFrame:
+        v = df.select(
+            F.col(id_col).alias(ident),
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("raw"),
+        )
+        return Normalizer(inputCol="raw", outputCol="vec", p=2.0).transform(v).drop("raw")
+
+    c, q = prep(corpus, "neighbor_id"), prep(queries, "query_id")
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="vec", outputCol="hashes", bucketLength=bucket_len,
+        numHashTables=num_hash_tables, seed=42,
+    )
+    model = lsh.fit(c)
+    # max distance on unit vectors is 2.0 — candidates are bucket-collisions only
+    cand = (
+        model.approxSimilarityJoin(c, q, 2.0, distCol="l2")
+        .select(
+            F.col("datasetB.query_id").alias("query_id"),
+            F.col("datasetA.neighbor_id").alias("neighbor_id"),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .distinct()
+    )
+    # exact re-rank from the RAW arrays — bit-identical to cosine_topk
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    scored = cand.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id")
+    cos = cosine_sim(F.col("__qvec"), F.col("__cvec"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    scored = scored.select("query_id", "neighbor_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ivf_assign(
     corpus: DataFrame,
     n_centroids: int = 16,

@@ -817,13 +817,27 @@ T04_SQL = _t04_sql()
 # LLM-pipeline: dedup (B23) & similarity (B24) & multimodal (B26)
 # ---------------------------------------------------------------------
 def d01_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B23 — exact-dup group report. The raw corpus has NO exact dups
+    below sf0.1 (the round-2 green row was vacuous: 0 rows), so the
+    proving query unions a deterministic duplicated slice (the 20
+    lowest doc_ids, re-appended once) into the corpus before grouping —
+    dup groups now exist at every SF, and a broken HAVING / md5 / count
+    would hash-mismatch instead of passing on empty output. The oracle
+    mirrors the union exactly."""
     docs = load(spark, sf_dir, "documents")
-    return fdedup.duplicate_groups(docs, "text")
+    dup_slice = docs.orderBy("doc_id").limit(20)
+    corpus = docs.select("text").unionByName(dup_slice.select("text"))
+    return fdedup.duplicate_groups(corpus, "text")
 
 
 D01_SQL = """
+WITH corpus AS (
+  SELECT text FROM documents
+  UNION ALL
+  SELECT text FROM (SELECT text FROM documents ORDER BY doc_id LIMIT 20)
+)
 SELECT md5(text) AS text_hash, COUNT(*) AS n_copies
-FROM documents
+FROM corpus
 GROUP BY md5(text)
 HAVING COUNT(*) > 1
 """
@@ -948,6 +962,35 @@ def s02_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fsim.lsh_topk(emb, queries, k=5)
 
 
+def s02v_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24 — LSH-ANN verified face (d03v pattern): recall-mode buckets
+    (bucket_len=4 ≥ the unit-sphere projection range, 8 tables) make the
+    candidate set contain the true top-k, and the exact re-rank uses the
+    SAME dot/norm expression as s01 — so the output equals the exact
+    top-5 and the oracle below checks the approximate pipeline
+    end-to-end.  Production path = s02 (tight buckets, rows-only)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10))
+    return fsim.lsh_verified_topk(emb, queries, k=5, round_to=6)
+
+
+S02V_SQL = """
+WITH q AS (SELECT vec_id AS query_id,    CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id >= 5 AND vec_id < 10),
+     c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT query_id, neighbor_id,
+         round(list_cosine_similarity(qv, cv), 6) AS cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC,
+                                     neighbor_id ASC) AS rank
+  FROM q, c
+  WHERE neighbor_id <> query_id
+)
+WHERE rank <= 5
+"""
+
+
 def t05_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B25 — polynomial rolling-hash document fingerprint (rows-only: no
     portable SQL fold in the oracle dialect)."""
@@ -1030,6 +1073,50 @@ s AS (SELECT user_id, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
 SELECT user_id, COUNT(DISTINCT sid) AS n_sessions, COUNT(*) AS n_events
 FROM s
 GROUP BY user_id
+"""
+
+
+def st03_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B21 — batch twin of the watermark late-data cutoff: exactly what
+    ``streaming.ops.tumbling_counts(watermark=...)`` drops once the
+    stream is fully drained — rows with ts < max(event time) - delay —
+    then the tumbling window agg over the survivors.  The streaming
+    engine's one-batch-lag eviction is pinned by the replay golden
+    (tests/test_streaming.py::test_watermark_drops_late_rows); this twin
+    makes the END-STATE semantics oracle-checkable.  The 1-row max side
+    is a broadcast; the agg is a map-side-combined hash agg on the
+    filtered scan."""
+    ev = load(spark, sf_dir, "events")
+    cut = ev.agg((F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("__cut"))
+    kept = ev.crossJoin(F.broadcast(cut)).filter(F.col("ts") >= F.col("__cut"))
+    win = F.window(F.col("ts"), "6 hours")
+    return (
+        kept.groupBy(win.alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(D("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.year("win.start").alias("yr"),
+            F.month("win.start").alias("mo"),
+            F.dayofmonth("win.start").alias("dy"),
+            F.hour("win.start").alias("hr"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ST03_SQL = """
+WITH cut AS (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL '7 days' AS c FROM events),
+     kept AS (SELECT e.* FROM events e, cut WHERE CAST(e.ts AS TIMESTAMP) >= cut.c)
+SELECT CAST(year(tb) AS INTEGER) AS yr, CAST(month(tb) AS INTEGER) AS mo,
+       CAST(day(tb) AS INTEGER) AS dy, CAST(hour(tb) AS INTEGER) AS hr,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM (SELECT time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS tb, event_type, value FROM kept)
+GROUP BY 1, 2, 3, 4, 5
 """
 
 
@@ -1781,10 +1868,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,  # B4 hash aggregate
     "b05_count_distinct": b05_count_distinct,
     "b06_grouping_sets": b06_grouping_sets,
-    "b06_cube": b06_cube,
     "b07_topk_group": b07_topk_group,
     "b08_intersect": b08_intersect,
-    "b08_except": b08_except,
     "b09_asof": b09_asof,
     "b09_anti": b09_anti,
     "b09_range": b09_range,
@@ -1803,14 +1888,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "b16_unpivot": b16_unpivot,
     "b17_sample": b17_sample,
     "b18_pandas_udf": b18_pandas_udf,
-    # streaming batch-twins (B20; engine itself has replay goldens)
+    # streaming batch-twins (B20 windows, B21 watermark cutoff; the
+    # engine itself has replay goldens)
     "st01_tumbling": st01_tumbling,
     "st02_sessions": st02_sessions,
+    "st03_watermark": st03_watermark,
     # LLM-pipeline: dedup / similarity / text / multimodal / profiling
     "d01_dup_groups": d01_dup_groups,
     "d02_jaccard_pairs": d02_jaccard_pairs,
     "d03v_minhash_verified": d03v_minhash_verified,
     "s01_cosine_topk": s01_cosine_topk,
+    "s02v_lsh_verified": s02v_lsh_verified,
     "t01_text_stats": t01_text_stats,
     "t02_token_count": t02_token_count,
     "t03_quality": t03_quality,
@@ -1818,6 +1906,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm01_binary_meta": mm01_binary_meta,
     "b27_profile": b27_profile,
     # --- past the driver window: redundant shapes + rows-only family ---
+    # (b06_cube / b08_except are second rows of already-proven B6/B8 —
+    # demoted in round 3 to make window room for st03/s02v, still
+    # oracle-checked by tests/test_oracle.py)
+    "b06_cube": b06_cube,
+    "b08_except": b08_except,
     "q03_top_orders": q03_top_orders,
     "q04_priority_with_late_lines": q04_priority_with_late_lines,
     "q05_region_revenue": q05_region_revenue,
@@ -1841,6 +1934,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s02_lsh_topk": s02_lsh_topk,
     "t05_fingerprint": t05_fingerprint,
 }
+
+# The driver's correctness gate checks the first N registry entries at
+# sf0.01; tests/test_oracle.py enforces that every oracle-bearing entry
+# inside this window is NON-VACUOUS (>0 rows) there, so a green driver
+# row always proves something.
+DRIVER_WINDOW_SIZE = 50
+DRIVER_SF_DIR = "/root/testdata/sf0.01"
 
 ORACLE_SQL: dict[str, str] = {
     "q01_pricing_summary": Q01_SQL,
@@ -1906,9 +2006,11 @@ ORACLE_SQL: dict[str, str] = {
     "d02_jaccard_pairs": D02_SQL,
     "d03v_minhash_verified": D03V_SQL,
     "s01_cosine_topk": S01_SQL,
+    "s02v_lsh_verified": S02V_SQL,
     "mm01_binary_meta": MM01_SQL,
     "st01_tumbling": ST01_SQL,
     "st02_sessions": ST02_SQL,
+    "st03_watermark": ST03_SQL,
     # rows-only (approximate / engine-specific RNG or hash): b17_sample,
     # t05_fingerprint, d03_minhash, d04_simhash, s02_lsh_topk,
     # d05_embedding_neardup

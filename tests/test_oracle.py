@@ -62,6 +62,35 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
     assert not mismatches, f"{name}: first mismatches {mismatches[:5]} (cols {s_cols})"
 
 
+DRIVER_WINDOW = list(workload.QUERIES)[: workload.DRIVER_WINDOW_SIZE]
+WINDOW_ORACLE_NAMES = [n for n in DRIVER_WINDOW if n in workload.ORACLE_SQL]
+
+
+@pytest.mark.parametrize("name", WINDOW_ORACLE_NAMES)
+def test_driver_window_query_is_not_vacuous(spark, name):
+    """Anti-regression for the round-2 d01 hole: an oracle-bearing query
+    inside the driver's correctness window that returns 0 rows at the
+    driver's SF passes its hash check vacuously — the green row proves
+    nothing.  Every window query must produce >0 rows at sf0.01."""
+    import os
+
+    if not os.path.isdir(workload.DRIVER_SF_DIR):
+        pytest.skip("driver-SF testdata not present")
+    sdf = workload.QUERIES[name](spark, workload.DRIVER_SF_DIR)
+    assert sdf.limit(1).count() > 0, (
+        f"{name} returns 0 rows at the driver SF — its oracle hash check is vacuous"
+    )
+
+
+def test_driver_window_covers_expected_components():
+    """The window is a contract: exactly DRIVER_WINDOW_SIZE entries, and
+    the round-3 additions (st03 watermark twin, s02v verified ANN) sit
+    inside it."""
+    assert len(DRIVER_WINDOW) == workload.DRIVER_WINDOW_SIZE
+    for required in ("st03_watermark", "s02v_lsh_verified", "d01_dup_groups"):
+        assert required in DRIVER_WINDOW
+
+
 NO_ORACLE = sorted(set(workload.QUERIES) - set(workload.ORACLE_SQL))
 
 
