@@ -16,9 +16,18 @@ in ``time_query``); min is the per-query capability floor.
 
 The run also measures ``floor_sec``: the fixed cost of ANY Spark query on
 this machine (plan analysis + DAG/task scheduling + Arrow fetch for a
-1-row scan). BASELINE.md's gate is ``spark ≤ 2×duckdb + floor`` — at
-small SFs the floor, not the plan, dominates sub-second queries, and the
-decomposition keeps the gate meaningful in both regimes.
+1-row scan). BASELINE.md's "Gate, decomposed" section records the
+floor-adjusted form ``spark ≤ 2×duckdb + floor`` together with the honest
+accounting: at sf0.1 every DuckDB number is 3–90 ms, so even the adjusted
+gate passes only where Spark's plan-size-proportional analysis cost is
+tiny — the graded evidence at this SF is plan quality and scaling, not
+the ratio (see BASELINE.md).
+
+The headline set benches PRODUCTION paths only: d03 (r×b MinHash) is in,
+its proof-apparatus twin d03v (recall-mode r=1/b=32, candidate set ≈
+all near pairs by construction) stays in the driver correctness window
+but NOT here — benching it would report a plan the module itself
+documents as the thing not to run at scale (functions/dedup.py).
 """
 
 from __future__ import annotations
@@ -69,10 +78,10 @@ HEADLINE = [
     "d01_dup_groups",
     "d02_jaccard_pairs",
     "d03_minhash",
-    "d03v_minhash_verified",
     "d04_simhash",
     "s01_cosine_topk",
     "st02_sessions",
+    "st03_watermark",
 ]
 
 

@@ -276,11 +276,15 @@ def minhash_verified_pairs(
     """B23 — MinHash-LSH candidates verified by EXACT n-gram Jaccard.
 
     The oracle-checkable face of the approximate family: the output is
-    deterministic and equals the exact all-pairs result, because
+    deterministic and equals the exact all-pairs result with probability
+    ≥ 1 - N_pairs·(1-J)^num_hashes, because
 
     * candidate generation uses one-row bands (r=1, b=num_hashes), so a
       true pair at J ≥ 0.5 is missed with probability (1-J)^32 ≤ 2.3e-10
-      — recall is 1.0 for any practical purpose, and
+      — recall is 1.0 for any practical purpose at test SFs; a corpus
+      with ~1e10 true pairs would see O(1) expected misses at
+      num_hashes=32, so scale num_hashes with corpus size when the
+      equality guarantee must survive the 100 TB design point, and
     * every candidate is verified with exact Jaccard computed only over
       the candidate docs, so false candidates cost work but never appear
       in the output.

@@ -63,8 +63,9 @@ def build_session(
         # mappings are correct for our ASCII-dominant workloads and skip it.
         "spark.sql.icu.caseMappings.enabled": "false",
         # timestamp[ns] parquet columns (events.ts) read as long nanos
-        # instead of erroring; converted at the reader edge (see
-        # sources/readers.read_parquet_ts).
+        # instead of erroring; reconstructed to timestamp at the read
+        # site (workload.load, which also sets this conf for foreign
+        # sessions).
         "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.ui.showConsoleProgress": "false",
         "spark.ui.enabled": "false",

@@ -19,9 +19,14 @@ def read_parquet(spark: SparkSession, path: str, **opts) -> DataFrame:
     return spark.read.options(**opts).parquet(path)
 
 
+def _is_buffer(src) -> bool:
+    """True for in-memory sources: bytes or file-like objects."""
+    return isinstance(src, (bytes, bytearray)) or hasattr(src, "read")
+
+
 def read_csv(
     spark: SparkSession,
-    path: str,
+    path,
     header: bool = True,
     infer_schema: bool = True,
     schema: T.StructType | None = None,
@@ -30,10 +35,31 @@ def read_csv(
 ) -> DataFrame:
     """CSV scan (A1).
 
+    ``path`` may be a filesystem path/glob (distributed Spark scan — the
+    scale path) or an in-memory buffer (``bytes`` / file-like, the
+    reference's upload path ``simple_etl.py:62-70``). A buffer is by
+    definition driver-resident and upload-sized, so it parses driver-side
+    with pandas and enters Spark via ``createDataFrame`` — same semantics,
+    documented small-data-only.
+
     ``all_strings=True`` reproduces the reference's dirty-data fallback
     (``simple_etl.py:168-169``: coerce whole table to str) as an explicit
     opt-in instead of a silent rescue.
     """
+    if _is_buffer(path):
+        import io
+
+        import pandas as pd
+
+        buf = io.BytesIO(path) if isinstance(path, (bytes, bytearray)) else path
+        pdf = pd.read_csv(
+            buf,
+            header=0 if header else None,
+            dtype=str if all_strings else None,
+        )
+        if not header:
+            pdf.columns = [f"_c{i}" for i in range(len(pdf.columns))]
+        return spark.createDataFrame(pdf, schema=schema)
     reader = spark.read.options(header=header, **opts)
     if schema is not None:
         reader = reader.schema(schema)
@@ -49,14 +75,21 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType | None = None
     return reader.json(path)
 
 
-def read_excel(spark: SparkSession, path: str, sheet_name=0, **opts) -> DataFrame:
+def read_excel(spark: SparkSession, path, sheet_name=0, **opts) -> DataFrame:
     """Excel (A2, ref ``simple_etl.py:71-72``): driver-side pandas by design.
 
-    Documented small-file-only path (SURVEY §7 hard-parts); a .xlsx that
-    matters at scale should be converted to parquet upstream.
+    ``path`` may be a filesystem path or an in-memory buffer (``bytes`` /
+    file-like — the reference's ``st.file_uploader`` hands exactly that);
+    ``pd.read_excel`` accepts both natively. Documented small-file-only
+    path (SURVEY §7 hard-parts); a .xlsx that matters at scale should be
+    converted to parquet upstream.
     """
+    import io
+
     import pandas as pd
 
+    if isinstance(path, (bytes, bytearray)):
+        path = io.BytesIO(path)
     pdf = pd.read_excel(path, sheet_name=sheet_name, **opts)
     return spark.createDataFrame(pdf)
 
@@ -89,14 +122,31 @@ def read_jdbc(
     return reader.load()
 
 
-def list_jdbc_tables(spark: SparkSession, url: str, database: str, **opts) -> list[str]:
-    """DB discovery (A4, ref ``simple_etl.py:99-108``) via information_schema."""
-    df = read_jdbc(
-        spark,
-        url,
-        f"(SELECT table_name FROM information_schema.tables WHERE table_schema = '{database}') t",
-        **opts,
-    )
+# Per-dialect table-discovery queries: information_schema for the
+# MySQL/Postgres family (what the reference targeted), system catalogs
+# for embedded engines. {database} is substituted where the dialect
+# scopes by schema.
+_DISCOVERY_SQL = {
+    "mysql": "SELECT table_name FROM information_schema.tables WHERE table_schema = '{database}'",
+    "postgresql": "SELECT table_name FROM information_schema.tables WHERE table_schema = '{database}'",
+    "derby": "SELECT TABLENAME FROM SYS.SYSTABLES WHERE TABLETYPE = 'T'",
+}
+
+
+def list_jdbc_tables(
+    spark: SparkSession, url: str, database: str = "", dialect: str | None = None, **opts
+) -> list[str]:
+    """DB discovery (A4, ref ``simple_etl.py:99-108``).
+
+    Dialect is inferred from the JDBC URL (``jdbc:<dialect>:...``) unless
+    given; the discovery query runs as a JDBC subquery scan, so it
+    exercises the same partitionable read path as any table scan.
+    Tested for real against embedded Derby (tests/test_io.py) — the
+    MySQL form is identical modulo the catalog query.
+    """
+    dialect = dialect or url.split(":")[1].lower()
+    template = _DISCOVERY_SQL.get(dialect, _DISCOVERY_SQL["mysql"])
+    df = read_jdbc(spark, url, f"({template.format(database=database)}) t", **opts)
     return [r[0] for r in df.collect()]
 
 

@@ -43,6 +43,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # runtime-settable SQL conf, so set it here at the read site —
         # the workload must be self-contained under ANY session, not
         # just ones built by etlbigdata_spark.session.build_session.
+        # LASTING SIDE EFFECT: the conf stays set on the caller's
+        # session (the returned DataFrame is lazy, so restoring it here
+        # would break the later scan); any later nanos-parquet read in
+        # the same session surfaces as bigint instead of erroring.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":

@@ -72,12 +72,17 @@ def test_release_cached_drops_all_blocks(docs, spark):
     """The dedup family's persisted intermediates must be releasable:
     after release_cached() the storage layer holds no cached RDDs (the
     round-1 leak accumulated blocks across a long session)."""
+    jsc = spark.sparkContext._jsc.sc()
+    baseline = jsc.getPersistentRDDs().size()  # tolerate persists owned
+    # by other modules (pyspark.ml internals, other test files) on the
+    # shared session — assert only that THIS module returns to baseline
     fdedup.minhash_candidates(docs, "doc_id", "text").count()
     fdedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5, max_doc_freq=50).count()
     fdedup.release_cached()
-    jsc = spark.sparkContext._jsc.sc()
     cached = jsc.getPersistentRDDs().size()
-    assert cached == 0, f"{cached} RDDs still cached after release_cached()"
+    assert cached == baseline, (
+        f"{cached - baseline} RDDs still cached after release_cached() (baseline {baseline})"
+    )
 
 
 def test_simhash_finds_exact_duplicates(spark):
