@@ -124,11 +124,17 @@ def stateful_running_agg(
     )
 
     def update(key, pdfs, state: GroupState):
+        import math
+
         import pandas as pd
 
         s, c = state.get if state.exists else (0.0, 0)
         for pdf in pdfs:
-            s += float(pdf[value_col].sum())
+            # fsum: exactly-rounded double sum — order-independent within
+            # a chunk, so the per-key result is reproducible across
+            # partitionings (a plain += accumulates rounding error in
+            # partition order and can diverge from a SQL oracle)
+            s = math.fsum([s, *pdf[value_col].astype(float).tolist()])
             c += int(len(pdf))
         state.update((s, c))
         yield pd.DataFrame({"key": [key[0]], "running_sum": [s], "running_count": [c]})

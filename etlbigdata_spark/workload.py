@@ -1124,6 +1124,104 @@ GROUP BY 1, 2, 3, 4, 5
 """
 
 
+def _event_stream(spark: SparkSession, sf_dir: str):
+    """Open events.parquet through the REAL Structured Streaming file
+    source (readStream + schema), reconstructing the nanos ts exactly as
+    the batch ``load`` does. One file + availableNow → one deterministic
+    micro-batch, so streaming results are hashable against a batch
+    oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming import ops as stops
+
+    load(spark, sf_dir, "events")  # side effect: nanosAsLong conf for the raw read
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the file source requires a DIRECTORY; stage the (read-only) table
+    # file into a temp dir via symlink (copy fallback)
+    stage = tempfile.mkdtemp(prefix="st_replay_src_")
+    src, dst = f"{sf_dir}/events.parquet", os.path.join(stage, "events.parquet")
+    try:
+        os.symlink(src, dst)
+    except OSError:
+        shutil.copyfile(src, dst)
+    stream = stops.read_file_stream(spark, stage, raw.schema)
+    if dict(raw.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def _drain_to_table(writer) -> str:
+    """Run a streaming writer to completion (availableNow) into a memory
+    sink with a unique name; return the sink table name."""
+    import tempfile
+    import uuid
+
+    from .streaming import ops as stops
+
+    name = f"st_sink_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix=f"{name}_ckpt_")
+    stops.run_available_now(writer.queryName(name), ckpt)
+    return name
+
+
+def st05_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19 — source/sink plumbing driven through the ACTUAL streaming
+    engine, not a batch twin: readStream file source → event-time
+    tumbling agg → memory sink, drained with availableNow, result
+    returned as a plain DataFrame the driver hash-checks against batch
+    SQL.  Deterministic because the single input file is one micro-batch
+    and the sink runs in complete mode."""
+    from .streaming import ops as stops
+
+    stream = _event_stream(spark, sf_dir)
+    agg = stops.tumbling_counts(stream, "ts", "1 day", keys=["event_type"])
+    name = _drain_to_table(stops.write_stream_memory(agg, "placeholder", "complete"))
+    return spark.table(name).select(
+        F.year("window_start").alias("yr"),
+        F.month("window_start").alias("mo"),
+        F.dayofmonth("window_start").alias("dy"),
+        "event_type",
+        "n_events",
+    )
+
+
+ST05_SQL = """
+SELECT CAST(year(tb) AS INTEGER) AS yr, CAST(month(tb) AS INTEGER) AS mo,
+       CAST(day(tb) AS INTEGER) AS dy, event_type, COUNT(*) AS n_events
+FROM (SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS tb, event_type FROM events)
+GROUP BY 1, 2, 3, 4
+"""
+
+
+def st06_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B22 — applyInPandasWithState driven through the ACTUAL streaming
+    engine: per-key running sum/count state, update-mode memory sink.
+    One micro-batch → each key is emitted exactly once with its final
+    state, which equals a batch GROUP BY — so the custom-state path is
+    oracle-checkable.  fsum in the state update keeps the double sum
+    exactly-rounded (matches the decimal oracle at 4 dp)."""
+    from .streaming import ops as stops
+
+    stream = _event_stream(spark, sf_dir)
+    res = stops.stateful_running_agg(stream, "user_id", "value", "ts")
+    name = _drain_to_table(stops.write_stream_memory(res, "placeholder", "update"))
+    return spark.table(name).select(
+        F.col("key").alias("user_id"),
+        F.round(F.col("running_sum"), 4).alias("sum_value"),
+        F.col("running_count").alias("n_events"),
+    )
+
+
+ST06_SQL = """
+SELECT user_id, round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------
 # Coverage round 2: SQL entry, projection/filter surface, cube, range
 # join, rank family, explode, unpivot, pandas UDF, transpose, Q7/Q10
@@ -1877,14 +1975,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "b09_asof": b09_asof,
     "b09_anti": b09_anti,
     "b09_range": b09_range,
-    "b09_theta": b09_theta,
     "b10_ranks": b10_ranks,
     "b10_running_sum": b10_running_sum,
     "b10_range_frame": b10_range_frame,
     "b11_strings": b11_strings,
     "b12_dates": b12_dates,
     "b13_math": b13_math,
-    "b14_explode": b14_explode,
     "b14_arrays": b14_arrays,
     "b15_from_json": b15_from_json,
     "b15_json": b15_json,
@@ -1892,11 +1988,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "b16_unpivot": b16_unpivot,
     "b17_sample": b17_sample,
     "b18_pandas_udf": b18_pandas_udf,
-    # streaming batch-twins (B20 windows, B21 watermark cutoff; the
-    # engine itself has replay goldens)
+    # streaming: batch twins (B20 windows, B21 watermark cutoff) plus
+    # REAL-engine replay rows (B19 source/sink, B22 custom state run
+    # through readStream/availableNow inside the query callable); the
+    # engine also has replay goldens in tests
     "st01_tumbling": st01_tumbling,
     "st02_sessions": st02_sessions,
     "st03_watermark": st03_watermark,
+    "st05_stream_replay": st05_stream_replay,
+    "st06_stateful": st06_stateful,
     # LLM-pipeline: dedup / similarity / text / multimodal / profiling
     "d01_dup_groups": d01_dup_groups,
     "d02_jaccard_pairs": d02_jaccard_pairs,
@@ -1910,11 +2010,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm01_binary_meta": mm01_binary_meta,
     "b27_profile": b27_profile,
     # --- past the driver window: redundant shapes + rows-only family ---
-    # (b06_cube / b08_except are second rows of already-proven B6/B8 —
-    # demoted in round 3 to make window room for st03/s02v, still
-    # oracle-checked by tests/test_oracle.py)
+    # (b06_cube / b08_except / b09_theta / b14_explode are second rows
+    # of already-proven B6/B8/B9/B14 — demoted in round 3 to make window
+    # room for st03/s02v/st05/st06, still oracle-checked by
+    # tests/test_oracle.py)
     "b06_cube": b06_cube,
     "b08_except": b08_except,
+    "b09_theta": b09_theta,
+    "b14_explode": b14_explode,
     "q03_top_orders": q03_top_orders,
     "q04_priority_with_late_lines": q04_priority_with_late_lines,
     "q05_region_revenue": q05_region_revenue,
@@ -2015,6 +2118,8 @@ ORACLE_SQL: dict[str, str] = {
     "st01_tumbling": ST01_SQL,
     "st02_sessions": ST02_SQL,
     "st03_watermark": ST03_SQL,
+    "st05_stream_replay": ST05_SQL,
+    "st06_stateful": ST06_SQL,
     # rows-only (approximate / engine-specific RNG or hash): b17_sample,
     # t05_fingerprint, d03_minhash, d04_simhash, s02_lsh_topk,
     # d05_embedding_neardup

@@ -87,7 +87,13 @@ def test_driver_window_covers_expected_components():
     the round-3 additions (st03 watermark twin, s02v verified ANN) sit
     inside it."""
     assert len(DRIVER_WINDOW) == workload.DRIVER_WINDOW_SIZE
-    for required in ("st03_watermark", "s02v_lsh_verified", "d01_dup_groups"):
+    for required in (
+        "st03_watermark",
+        "s02v_lsh_verified",
+        "d01_dup_groups",
+        "st05_stream_replay",
+        "st06_stateful",
+    ):
         assert required in DRIVER_WINDOW
 
 
