@@ -15,7 +15,7 @@ needs the near-duplicate family too.  Scale notes per variant:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import tokens_col
@@ -314,6 +314,21 @@ def minhash_verified_pairs(
 
 
 # -- SimHash ----------------------------------------------------------
+def _md5_hash64(col) -> Column:
+    """Signed 64-bit hash from the first 16 hex chars of md5 — PORTABLE
+    across engines (DuckDB: ``CAST('0x'||substr(md5(x),1,16) AS
+    UBIGINT)`` yields the same bit pattern), unlike xxhash64 which is
+    Spark-specific.  Used by the oracle-checkable SimHash face; the
+    production path keeps xxhash64 (one codegen'd instruction vs
+    md5+conv+decimal compare)."""
+    dec = F.conv(F.substring(F.md5(col), 1, 16), 16, 10).cast("decimal(20,0)")
+    return (
+        F.when(
+            dec >= F.lit("9223372036854775808").cast("decimal(20,0)"),
+            (dec - F.lit("18446744073709551616").cast("decimal(21,0)")).cast("long"),
+        )
+        .otherwise(dec.cast("long"))
+    )
 def simhash_col(text_col, bits: int = 64):
     """64-bit SimHash, fully JVM-side: xxhash64 per token; for each bit,
     sign-sum across tokens; assemble the signature with bit ops. No
@@ -352,8 +367,15 @@ def simhash_near_dups(
     max_hamming: int = 3,
     band_bits: int = 16,
     shingle_n: int = 3,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """B23 — near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    ``portable_hash=True`` swaps xxhash64 for the md5-derived
+    :func:`_md5_hash64`, making the signature reproducible in any engine
+    with md5 — the oracle-checkable face (d04v). Banding is unchanged:
+    by pigeonhole the output is EXACTLY the Hamming-≤-k pairs either
+    way, so the oracle can verify the whole pipeline all-pairs.
 
     Features are word ``shingle_n``-gram shingles, not unigram tokens: on
     a shared-vocabulary corpus unigram signatures cluster (every doc uses
@@ -375,7 +397,8 @@ def simhash_near_dups(
     # signs precomputed in a projection (one xxhash64 per row), aggs stay
     # plain sums — conditional+hash inside 64 agg expressions costs ~40%
     # more in the hash-agg update path
-    signed = toks.select("id", F.xxhash64("tok").alias("__h")).select(
+    h = _md5_hash64(F.col("tok")) if portable_hash else F.xxhash64("tok")
+    signed = toks.select("id", h.alias("__h")).select(
         "id",
         *[
             (F.shiftright("__h", b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"__s{b}")

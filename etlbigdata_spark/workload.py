@@ -934,6 +934,48 @@ def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fdedup.simhash_near_dups(docs, "doc_id", "text", max_hamming=3)
 
 
+def d04v_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B23 — SimHash with a PORTABLE hash (md5-derived 64-bit), so the
+    oracle can recompute the identical signature and verify the banded
+    pipeline end-to-end all-pairs.  Pigeonhole (max_hamming 6 < 8 bands
+    at band_bits=8) makes the banded output EXACTLY the Hamming-≤-6
+    pairs — same guarantee as production d04, checkable hash."""
+    fdedup.release_cached()
+    docs = load(spark, sf_dir, "documents")
+    return fdedup.simhash_near_dups(
+        docs, "doc_id", "text", max_hamming=6, band_bits=8, portable_hash=True
+    )
+
+
+def _d04v_sql() -> str:
+    sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(64)
+    )
+    # bit 63 is the sign bit of the BIGINT signature: subtract 2^63
+    # instead of adding it (HUGEINT intermediate, then exact BIGINT cast)
+    sig = " + ".join(f"(CASE WHEN s{b} > 0 THEN 1::HUGEINT ELSE 0 END) * {1 << b}" for b in range(63))
+    sig = f"{sig} - (CASE WHEN s63 > 0 THEN 1::HUGEINT ELSE 0 END) * 9223372036854775808"
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        FOR i IN generate_series(1, greatest(len(toks) - 2, 0))]) AS shingles
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+),
+sh     AS (SELECT doc_id, unnest(shingles) AS tok FROM docs),
+hashed AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 16) AS UBIGINT) AS h FROM sh),
+sums   AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id),
+sigs   AS (SELECT doc_id, CAST({sig} AS BIGINT) AS sig FROM sums)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 6
+"""
+
+
+D04V_SQL = _d04v_sql()
+
+
 def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B24 — exact brute-force cosine top-5 for 5 query vectors."""
     emb = load(spark, sf_dir, "embeddings")
@@ -1977,7 +2019,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "b09_range": b09_range,
     "b10_ranks": b10_ranks,
     "b10_running_sum": b10_running_sum,
-    "b10_range_frame": b10_range_frame,
     "b11_strings": b11_strings,
     "b12_dates": b12_dates,
     "b13_math": b13_math,
@@ -2001,6 +2042,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d01_dup_groups": d01_dup_groups,
     "d02_jaccard_pairs": d02_jaccard_pairs,
     "d03v_minhash_verified": d03v_minhash_verified,
+    "d04v_simhash_verified": d04v_simhash_verified,
     "s01_cosine_topk": s01_cosine_topk,
     "s02v_lsh_verified": s02v_lsh_verified,
     "t01_text_stats": t01_text_stats,
@@ -2010,13 +2052,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm01_binary_meta": mm01_binary_meta,
     "b27_profile": b27_profile,
     # --- past the driver window: redundant shapes + rows-only family ---
-    # (b06_cube / b08_except / b09_theta / b14_explode are second rows
-    # of already-proven B6/B8/B9/B14 — demoted in round 3 to make window
-    # room for st03/s02v/st05/st06, still oracle-checked by
-    # tests/test_oracle.py)
+    # (b06_cube / b08_except / b09_theta / b14_explode / b10_range_frame
+    # are second rows of already-proven B6/B8/B9/B14/B10 — demoted in
+    # round 3 to make window room for st03/s02v/st05/st06/d04v, still
+    # oracle-checked by tests/test_oracle.py)
     "b06_cube": b06_cube,
     "b08_except": b08_except,
     "b09_theta": b09_theta,
+    "b10_range_frame": b10_range_frame,
     "b14_explode": b14_explode,
     "q03_top_orders": q03_top_orders,
     "q04_priority_with_late_lines": q04_priority_with_late_lines,
@@ -2112,6 +2155,7 @@ ORACLE_SQL: dict[str, str] = {
     "d01_dup_groups": D01_SQL,
     "d02_jaccard_pairs": D02_SQL,
     "d03v_minhash_verified": D03V_SQL,
+    "d04v_simhash_verified": D04V_SQL,
     "s01_cosine_topk": S01_SQL,
     "s02v_lsh_verified": S02V_SQL,
     "mm01_binary_meta": MM01_SQL,

@@ -93,6 +93,7 @@ def test_driver_window_covers_expected_components():
         "d01_dup_groups",
         "st05_stream_replay",
         "st06_stateful",
+        "d04v_simhash_verified",
     ):
         assert required in DRIVER_WINDOW
 
