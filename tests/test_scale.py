@@ -1,0 +1,108 @@
+"""Skew/bucketing scale tooling (operators/scale.py): salted plans must
+be RESULT-equal to their plain counterparts, and bucketed joins must be
+exchange-free — the property that matters at 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etlbigdata_spark.operators import scale
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # one hot key (90% of rows) + a uniform tail — the shape AQE's
+    # skew-join thresholds are tuned for, shrunk to test size
+    hot = spark.range(9000).select(F.lit(1).alias("k"), F.col("id").alias("v"))
+    tail = spark.range(1000).select((F.col("id") % 50 + 2).alias("k"), F.col("id").alias("v"))
+    return hot.unionByName(tail)
+
+
+def test_salted_group_agg_equals_plain(skewed):
+    plain = {
+        tuple(r)
+        for r in skewed.groupBy("k")
+        .agg(
+            F.sum("v").alias("sum_v"),
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+        .collect()
+    }
+    salted = {
+        tuple(r)
+        for r in scale.salted_group_agg(
+            skewed,
+            ["k"],
+            [("v", "sum", "sum_v"), ("v", "count", "n"), ("v", "min", "min_v"), ("v", "max", "max_v")],
+            salt_buckets=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_group_agg_rejects_non_algebraic(skewed):
+    with pytest.raises(ValueError):
+        scale.salted_group_agg(skewed, ["k"], [("v", "avg", "a")])
+
+
+def test_salted_skew_join_equals_plain(spark, skewed):
+    dim = spark.range(52).select(F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+    plain = {
+        tuple(r) for r in skewed.join(dim, ["k"]).select("k", "v", "w").collect()
+    }
+    salted = {
+        tuple(r)
+        for r in scale.salted_skew_join(skewed, dim, ["k"], salt_buckets=4)
+        .select("k", "v", "w")
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_salted_skew_join_left_preserves_unmatched(spark, skewed):
+    dim = spark.range(2).select(F.col("id").alias("k"), F.lit("x").alias("w"))
+    out = scale.salted_skew_join(skewed, dim, ["k"], salt_buckets=4, how="left")
+    plain = skewed.join(dim, ["k"], "left")
+    assert out.count() == plain.count()
+    assert out.filter(F.col("w").isNull()).count() == plain.filter(F.col("w").isNull()).count()
+
+
+def test_salted_skew_join_rejects_right_joins(spark, skewed):
+    dim = spark.range(2).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        scale.salted_skew_join(skewed, dim, ["k"], how="right")
+
+
+def test_top_frequent_keys_finds_hot_key(skewed):
+    top = scale.top_frequent_keys(skewed, ["k"], top_n=1).collect()
+    assert top[0]["k"] == 1 and top[0]["n_rows"] == 9000
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    """Co-located join: two tables bucketed+sorted on the key join with
+    NO Exchange in the plan — the repeated-join scale path bucketing
+    buys (each task zips one bucket from each side)."""
+    left = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("a"))
+    right = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("b"))
+    for name in ("t_bkt_left", "t_bkt_right"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # tables this small would broadcast (also exchange-free, but that
+    # proves nothing about bucketing); force the shuffle-join path the
+    # bucketing is designed to replace at large-large scale
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        scale.write_bucketed(left, "t_bkt_left", ["k"], n_buckets=8, sort_keys=["k"])
+        scale.write_bucketed(right, "t_bkt_right", ["k"], n_buckets=8, sort_keys=["k"])
+        joined = scale.bucketed_join(spark, "t_bkt_left", "t_bkt_right", ["k"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        assert "Bucketed: true" in plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for name in ("t_bkt_left", "t_bkt_right"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
