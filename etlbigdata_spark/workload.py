@@ -1038,10 +1038,21 @@ WHERE rank <= 5
 
 
 def t05_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B25 — polynomial rolling-hash document fingerprint (rows-only: no
-    portable SQL fold in the oracle dialect)."""
+    """B25 — polynomial rolling-hash document fingerprint.  Oracle-
+    checked since round 3: the char-fold ``acc = (acc*31 + code) % m``
+    is expressible in the oracle dialect via ``list_reduce`` with a
+    prepended zero accumulator, and both engines agree on ``ascii`` code
+    points (verified over the full corpus)."""
     docs = load(spark, sf_dir, "documents")
     return ftext.add_fingerprint(docs, "text").select("doc_id", "fingerprint")
+
+
+T05_SQL = """
+SELECT doc_id, list_reduce(
+  list_prepend(0::BIGINT, list_transform(string_split(text, ''), ch -> ascii(ch)::BIGINT)),
+  (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+FROM documents
+"""
 
 
 def mm01_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1119,6 +1130,41 @@ s AS (SELECT user_id, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
 SELECT user_id, COUNT(DISTINCT sid) AS n_sessions, COUNT(*) AS n_events
 FROM s
 GROUP BY user_id
+"""
+
+
+def st04_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B20 — sliding event-time windows (1-day window, 6-hour slide):
+    every event lands in exactly window/slide = 4 windows.  The oracle
+    expands the same membership with a generate_series cross join over
+    the 4 shifted 6-hour buckets — both engines align window starts to
+    epoch multiples of the slide."""
+    ev = load(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "1 day", "6 hours")
+    return (
+        ev.groupBy(win.alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.year("win.start").alias("yr"),
+            F.month("win.start").alias("mo"),
+            F.dayofmonth("win.start").alias("dy"),
+            F.hour("win.start").alias("hr"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+ST04_SQL = """
+SELECT CAST(year(ws) AS INTEGER) AS yr, CAST(month(ws) AS INTEGER) AS mo,
+       CAST(day(ws) AS INTEGER) AS dy, CAST(hour(ws) AS INTEGER) AS hr,
+       event_type, COUNT(*) AS n_events
+FROM (
+  SELECT e.event_type,
+         time_bucket(INTERVAL '6 hours', CAST(e.ts AS TIMESTAMP)) - g.k * INTERVAL '6 hours' AS ws
+  FROM events e, generate_series(0, 3) g(k)
+)
+GROUP BY 1, 2, 3, 4, 5
 """
 
 
@@ -2061,6 +2107,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "b09_theta": b09_theta,
     "b10_range_frame": b10_range_frame,
     "b14_explode": b14_explode,
+    "st04_sliding": st04_sliding,
     "q03_top_orders": q03_top_orders,
     "q04_priority_with_late_lines": q04_priority_with_late_lines,
     "q05_region_revenue": q05_region_revenue,
@@ -2162,9 +2209,12 @@ ORACLE_SQL: dict[str, str] = {
     "st01_tumbling": ST01_SQL,
     "st02_sessions": ST02_SQL,
     "st03_watermark": ST03_SQL,
+    "st04_sliding": ST04_SQL,
     "st05_stream_replay": ST05_SQL,
     "st06_stateful": ST06_SQL,
+    "t05_fingerprint": T05_SQL,
     # rows-only (approximate / engine-specific RNG or hash): b17_sample,
-    # t05_fingerprint, d03_minhash, d04_simhash, s02_lsh_topk,
-    # d05_embedding_neardup
+    # d03_minhash, d04_simhash, s02_lsh_topk, d05_embedding_neardup —
+    # each now has an oracle-checked sibling (d03v/d04v/s02v) or is
+    # RNG-by-design (b17)
 }
