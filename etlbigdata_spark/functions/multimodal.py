@@ -102,3 +102,103 @@ def extract_media_features(
             yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
     return src.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def _fake_frame_extract(blob: bytes, n_frames: int) -> list[bytes]:
+    """Deterministic stand-in for a video frame extractor (STUB — no
+    ffmpeg in this container): slices the blob into n contiguous chunks
+    so tests can assert the fan-out and byte plumbing exactly."""
+    blob = blob or b""
+    step = max(len(blob) // max(n_frames, 1), 1)
+    return [blob[i * step : (i + 1) * step] for i in range(n_frames)]
+
+
+def sample_frames(
+    df: DataFrame,
+    key_col: str,
+    bytes_col: str,
+    n_frames: int = 4,
+    extract_fn: Callable[[bytes, int], list[bytes]] | None = None,
+    strict: bool = False,
+    batch_partitions: int | None = None,
+) -> DataFrame:
+    """B26 — video frame sampling as a one-to-many ``mapInPandas``: each
+    media row fans out to ``n_frames`` (key, frame_idx, frame:binary)
+    rows.  The fan-out, Arrow batch shape and binary round-trip are the
+    real Spark plumbing; the frame extraction itself is stubbed
+    (``strict=True`` raises; swap ``extract_fn`` for an ffmpeg-backed
+    callable in a container that has it)."""
+    if strict:
+        raise NotImplementedError(
+            "real frame extraction requires video libs not present in this "
+            "container; pass extract_fn= with your codec"
+        )
+    fn = extract_fn or _fake_frame_extract
+    src = df.select(F.col(key_col).cast("string").alias("key"), F.col(bytes_col).alias("blob"))
+    if batch_partitions:
+        src = src.repartition(batch_partitions)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple] = []
+            for k, b in zip(pdf["key"], pdf["blob"]):
+                out.extend((k, i, fr) for i, fr in enumerate(fn(b, n_frames)))
+            yield pd.DataFrame(out, columns=["key", "frame_idx", "frame"])
+
+    return src.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def _fake_resize(blob: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for decode→resize→encode (STUB — no PIL):
+    emits a stable byte string of length width*height derived from the
+    input by cyclic repetition, so output size and determinism are
+    checkable without a codec."""
+    blob = blob or b"\x00"
+    need = width * height
+    return (blob * (need // len(blob) + 1))[:need]
+
+
+def resize_media(
+    df: DataFrame,
+    key_col: str,
+    bytes_col: str,
+    width: int,
+    height: int,
+    resize_fn: Callable[[bytes, int, int], bytes] | None = None,
+    strict: bool = False,
+    batch_partitions: int | None = None,
+) -> DataFrame:
+    """B26 — binary→binary media transform (decode→resize→re-encode) via
+    ``mapInPandas``, output re-wrapped with the typed metadata struct so
+    downstream ops see (key, media:binary, media_meta).  Codec stubbed
+    as above."""
+    if strict:
+        raise NotImplementedError(
+            "real resize requires image libs not present in this container; "
+            "pass resize_fn= with your codec"
+        )
+    fn = resize_fn or _fake_resize
+    src = df.select(F.col(key_col).cast("string").alias("key"), F.col(bytes_col).alias("blob"))
+    if batch_partitions:
+        src = src.repartition(batch_partitions)
+    out_schema = T.StructType(
+        [T.StructField("key", T.StringType()), T.StructField("media", T.BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"key": pdf["key"], "media": [fn(b, width, height) for b in pdf["blob"]]}
+            )
+
+    resized = src.mapInPandas(run, schema=out_schema)
+    return attach_media_meta(resized, "media", media_type="application/x-resized")

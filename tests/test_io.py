@@ -160,3 +160,39 @@ def test_media_strict_stub_raises(engine):
     df = engine.spark.createDataFrame([("k", bytearray(b"x"))], "key string, blob binary")
     with pytest.raises(NotImplementedError, match="codec"):
         extract_media_features(df, "key", "blob", strict=True)
+
+
+def test_frame_sampling_fans_out(engine):
+    """B26 — one media row → n_frames (key, frame_idx, frame) rows; the
+    fake extractor slices the blob so the byte plumbing is checkable."""
+    from etlbigdata_spark.functions.multimodal import sample_frames
+
+    df = engine.spark.createDataFrame(
+        [("v1", bytearray(b"0123456789ab")), ("v2", bytearray(b"xy"))],
+        "key string, blob binary",
+    )
+    out = sample_frames(df, "key", "blob", n_frames=4, batch_partitions=2).collect()
+    by_key: dict = {}
+    for r in out:
+        by_key.setdefault(r["key"], []).append(r)
+    assert {k: len(v) for k, v in by_key.items()} == {"v1": 4, "v2": 4}
+    v1 = sorted(by_key["v1"], key=lambda r: r["frame_idx"])
+    assert bytes(v1[0]["frame"]) == b"012" and bytes(v1[3]["frame"]) == b"9ab"
+    with pytest.raises(NotImplementedError):
+        sample_frames(df, "key", "blob", strict=True)
+
+
+def test_resize_media_rewraps_meta(engine):
+    """B26 — binary→binary transform re-wrapped with the metadata
+    struct: output size is width*height, checksum/meta recomputed."""
+    from etlbigdata_spark.functions.multimodal import resize_media
+
+    df = engine.spark.createDataFrame([("i1", bytearray(b"abc"))], "key string, blob binary")
+    out = resize_media(df, "key", "blob", width=4, height=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert len(bytes(r["media"])) == 12
+    assert r["media_meta"]["n_bytes"] == 12
+    assert r["media_meta"]["media_type"] == "application/x-resized"
+    with pytest.raises(NotImplementedError):
+        resize_media(df, "key", "blob", 2, 2, strict=True)
