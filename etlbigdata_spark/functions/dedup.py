@@ -452,6 +452,83 @@ def simhash_near_dups(
     )
 
 
+# -- cluster resolution ----------------------------------------------
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into clusters: (doc_id, component_id) where
+    component_id is the minimum doc id reachable through the pair graph.
+    This is the step a real dedup pipeline needs after any pair finder
+    (d02/d03/d04): "keep one winner per CLUSTER", not per pair.
+
+    Algorithm: min-label propagation — every node starts labeled with
+    itself; each round every node takes the min of its own label and its
+    neighbors' labels; converges in O(graph diameter) rounds.  Each
+    round is one shuffle (edge join + min-agg), all JVM-side; labels are
+    persisted per round and released on convergence, and the loop stops
+    early the first round no label changes (one count() action per
+    round — the driver never holds the data).  Near-dup graphs are
+    short-diameter (clusters are cliques-ish from banding), so the
+    practical round count is 2-4 even at corpus scale; ``max_iterations``
+    bounds the worst case.
+    """
+    edges = (
+        pairs.select(F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst"))
+        .union(pairs.select(F.col(id_b).cast("long").alias("src"), F.col(id_a).cast("long").alias("dst")))
+        .distinct()
+    )
+    edges = _persist_scoped(edges)
+    labels = _persist_scoped(
+        edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))).alias("comp"),
+            )
+        )
+        new_labels = _persist_scoped(new_labels)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("component_id"))
+
+
+def dedup_by_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep one winner (min id) per near-dup cluster: docs that appear in
+    no pair survive untouched; in each connected component only the
+    minimum id survives.  Anti-join on the loser set — the full rows
+    never shuffle."""
+    comps = connected_components(pairs, id_a, id_b)
+    losers = comps.filter(F.col("doc_id") != F.col("component_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 # -- embedding near-dup ----------------------------------------------
 def embedding_near_dups(
     df: DataFrame,

@@ -927,6 +927,40 @@ def d03v_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 D03V_SQL = _jaccard_oracle_sql(threshold=0.5)
 
 
+def d06_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B23 — near-dup CLUSTER resolution: exact Jaccard pairs → connected
+    components (min-label propagation, one shuffle per round, early-
+    converged).  This is the step after any pair finder that a real
+    dedup pipeline needs — "keep one doc per cluster" — and the oracle
+    proves the distributed iteration against a recursive-CTE transitive
+    closure."""
+    fdedup.release_cached()
+    docs = load(spark, sf_dir, "documents")
+    pairs = fdedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.2, max_doc_freq=50
+    )
+    return fdedup.connected_components(pairs)
+
+
+def _d06_sql() -> str:
+    pair_q = _jaccard_oracle_sql(threshold=0.2, max_doc_freq=50)
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT id_a, id_b FROM ({pair_q}) q),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+walk AS (
+  SELECT src AS id, src AS comp FROM edges
+  UNION
+  SELECT e.dst AS id, w.comp AS comp FROM walk w JOIN edges e ON e.src = w.id
+)
+SELECT id AS doc_id, MIN(comp) AS component_id FROM walk GROUP BY id
+"""
+
+
+D06_SQL = _d06_sql()
+
+
 def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B23 — SimHash near-dup pairs (banded; engine-specific hash → rows-only)."""
     fdedup.release_cached()
@@ -2108,6 +2142,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "b10_range_frame": b10_range_frame,
     "b14_explode": b14_explode,
     "st04_sliding": st04_sliding,
+    "d06_dup_clusters": d06_dup_clusters,
     "q03_top_orders": q03_top_orders,
     "q04_priority_with_late_lines": q04_priority_with_late_lines,
     "q05_region_revenue": q05_region_revenue,
@@ -2203,6 +2238,7 @@ ORACLE_SQL: dict[str, str] = {
     "d02_jaccard_pairs": D02_SQL,
     "d03v_minhash_verified": D03V_SQL,
     "d04v_simhash_verified": D04V_SQL,
+    "d06_dup_clusters": D06_SQL,
     "s01_cosine_topk": S01_SQL,
     "s02v_lsh_verified": S02V_SQL,
     "mm01_binary_meta": MM01_SQL,

@@ -85,6 +85,23 @@ def test_release_cached_drops_all_blocks(docs, spark):
     )
 
 
+def test_connected_components_on_known_graph(spark):
+    """Min-label propagation must resolve a chain (1-2-3), an isolated
+    pair (5-6), and leave unpaired docs out of the label table."""
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    comps = {r["doc_id"]: r["component_id"] for r in fdedup.connected_components(pairs).collect()}
+    fdedup.release_cached()
+    assert comps == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+def test_dedup_by_components_keeps_one_per_cluster(spark):
+    docs = spark.createDataFrame([(i, f"t{i}") for i in (1, 2, 3, 4, 5, 6)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    kept = sorted(r["doc_id"] for r in fdedup.dedup_by_components(docs, pairs).collect())
+    fdedup.release_cached()
+    assert kept == [1, 4, 5]  # cluster winners 1 and 5; unpaired 4 untouched
+
+
 def test_simhash_finds_exact_duplicates(spark):
     """Hamming distance 0 pairs must include every exact-text duplicate
     (sf0.1: the only SF with exact-dup rows — 8 groups)."""
