@@ -178,3 +178,21 @@ def test_foreach_batch_sink(spark, stream_dir, tmp_path):
     _replay(ops.write_stream_foreach_batch(stream, sink, "append"), tmp_path, "feb")
     assert len(seen) == 2  # one per file (maxFilesPerTrigger=1)
     assert sum(n for _, n in seen) == 6
+
+
+def test_foreach_batch_to_jdbc_sink(spark, stream_dir, tmp_path):
+    """B19+A20 — stream → foreachBatch → a REAL external sink (embedded
+    Derby over JDBC), append per micro-batch; the reference's
+    MySQL-load path in streaming form."""
+    from etlbigdata_spark.sources import readers, writers
+
+    url = f"jdbc:derby:{tmp_path}/stream_db;create=true"
+    stream = ops.read_file_stream(spark, stream_dir, EVENT_SCHEMA)
+
+    def sink(df, epoch_id: int) -> None:
+        writers.write_jdbc(df, url, "stream_events", mode="append")
+
+    _replay(ops.write_stream_foreach_batch(stream, sink, "append"), tmp_path, "feb_jdbc")
+    back = readers.read_jdbc(spark, url, "stream_events")
+    assert back.count() == 6  # both micro-batches landed (incl. the planted dup row)
+    assert {r[0] for r in back.select("event_id").collect()} == {1, 2, 3, 4, 5}
