@@ -138,6 +138,12 @@ def ngram_jaccard_pairs(
     any oracle).
     """
     sh = exploded_shingles(df, id_col, text_col, n)
+    # shuffle 8-byte shingle HASHES, not ~30-byte strings: the join,
+    # frequency guard and size agg only need equality, and a 64-bit
+    # collision altering a count has probability ~|shingles|²/2⁶⁴ —
+    # unobservable below ~10⁹ distinct shingles, and the DuckDB oracle
+    # (string-exact) would catch one if it ever fired
+    sh = sh.select("id", F.xxhash64("shingle").alias("shingle"))
     if max_doc_freq is not None:
         sh = df_freq_cutoff(sh, max_doc_freq)
     # the shingle table feeds three consumers (sizes + both join sides);
