@@ -1071,6 +1071,16 @@ WHERE rank <= 5
 """
 
 
+def s03_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24 — IVF probe-path search (approximate: probes 4/16 cells;
+    recall-tested against s01 in tests; with n_probe=n_centroids the
+    output equals the exact path).  At scale the corpus is partitioned
+    by centroid so probing = partition pruning."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return fsim.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4, round_to=6)
+
+
 def t05_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B25 — polynomial rolling-hash document fingerprint.  Oracle-
     checked since round 3: the char-fold ``acc = (acc*31 + code) % m``
@@ -2164,6 +2174,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d04_simhash": d04_simhash,
     "d05_embedding_neardup": d05_embedding_neardup,
     "s02_lsh_topk": s02_lsh_topk,
+    "s03_ivf_topk": s03_ivf_topk,
     "t05_fingerprint": t05_fingerprint,
 }
 

@@ -145,6 +145,29 @@ def test_lsh_topk_recall_at_5(emb):
     assert avg >= 0.6, f"ANN recall@5 {avg:.2f}"
 
 
+def test_ivf_topk_recall_at_5(emb):
+    """IVF probe path: exact cosine over the n_probe nearest cells only.
+    With half the cells probed, recall@5 should be well above chance;
+    probing ALL cells must equal the exact result (sanity bound)."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = fsim.cosine_topk(emb, queries, k=5, round_to=6).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = fsim.ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=4, round_to=6).collect()
+    got = {}
+    for r in approx:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth]
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.5, f"IVF recall@5 {avg:.2f}"
+    # full probe == exact: the approximation is ONLY the cell cut
+    full = fsim.ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=8, round_to=6).collect()
+    assert {(r.query_id, r.neighbor_id, r.cosine) for r in full} == {
+        (r.query_id, r.neighbor_id, r.cosine) for r in exact
+    }
+
+
 def test_embedding_near_dups_symmetry_free(emb):
     pairs = fdedup.embedding_near_dups(emb, threshold=0.95).collect()
     assert all(r.id_a < r.id_b for r in pairs)  # each pair reported once
