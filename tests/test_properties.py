@@ -10,7 +10,7 @@ from hypothesis import strategies as st
 
 from pyspark.sql import functions as F
 
-from etlbigdata_spark.operators import cleaning, joins, pivot, setops
+from etlbigdata_spark.operators import cleaning, joins, pivot, scale, setops
 
 _SETTINGS = dict(
     max_examples=12,
@@ -77,3 +77,65 @@ def test_dedup_idempotent(spark, vals):
     once = cleaning.deduplicate(df)
     assert once.count() == len(set(vals))
     assert cleaning.deduplicate(once).count() == once.count()
+
+
+# -- scale.py: salted plans must be RESULT-equal to plain ones on ANY
+# input — null keys, null values, duplicate keys, any salt width.  The
+# example tests in test_scale.py pin the skewed shape; these pin the
+# algebra.
+
+kv_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 3)),
+        st.one_of(st.none(), st.integers(-50, 50)),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(rows=kv_rows, buckets=st.sampled_from([1, 2, 7]))
+@settings(**_SETTINGS)
+def test_salted_group_agg_equals_plain_property(spark, rows, buckets):
+    df = spark.createDataFrame(rows, "k int, v int")
+    plain = {
+        tuple(r)
+        for r in df.groupBy("k")
+        .agg(
+            F.sum("v").alias("s"),
+            F.count("v").alias("n"),  # count(col): non-null, like the salted partial
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .collect()
+    }
+    salted = {
+        tuple(r)
+        for r in scale.salted_group_agg(
+            df,
+            ["k"],
+            [("v", "sum", "s"), ("v", "count", "n"), ("v", "min", "lo"), ("v", "max", "hi")],
+            salt_buckets=buckets,
+        ).collect()
+    }
+    assert salted == plain
+
+
+@given(
+    left=st.lists(st.tuples(st.integers(0, 4), st.integers(0, 9)), min_size=1, max_size=15),
+    right=st.lists(st.tuples(st.integers(0, 4), st.integers(0, 9)), min_size=0, max_size=10),
+    how=st.sampled_from(["inner", "left", "left_semi", "left_anti"]),
+)
+@settings(**_SETTINGS)
+def test_salted_skew_join_equals_plain_property(spark, left, right, how):
+    """Multiset equality (duplicates matter) for every supported join
+    type, including duplicate keys on BOTH sides."""
+    from collections import Counter
+
+    l = spark.createDataFrame(left, "k int, v int")
+    r = spark.createDataFrame(right or [(99, 0)], "k int, w int").limit(len(right))
+    plain = Counter(tuple(x) for x in l.join(r, ["k"], how).collect())
+    salted = Counter(
+        tuple(x) for x in scale.salted_skew_join(l, r, ["k"], salt_buckets=3, how=how).collect()
+    )
+    assert salted == plain
