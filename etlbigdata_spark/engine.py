@@ -10,6 +10,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from .catalog import Catalog
+from .functions import dedup as fdedup
+from .functions import similarity as fsim
+from .functions import text as ftext
+from .operators import scale as opscale
 from .session import build_session
 from .sources import readers, writers
 
@@ -65,6 +69,82 @@ class Engine:
 
     def save_jdbc(self, df: DataFrame, url: str, table: str, mode: str = "overwrite", **opts) -> None:
         writers.write_jdbc(df, url, table, mode=mode, **opts)
+
+    # -- Training-data pipeline (B23-B25) -----------------------------
+    # Thin dispatch over functions/*: one facade entry per family so a
+    # pipeline is writable against Engine alone.
+
+    _NEAR_DUP = {
+        "jaccard": fdedup.ngram_jaccard_pairs,        # exact n-gram Jaccard
+        "minhash": fdedup.minhash_candidates,         # r×b LSH candidates
+        "minhash_verified": fdedup.minhash_verified_pairs,
+        "simhash": fdedup.simhash_near_dups,
+        "embedding": fdedup.embedding_near_dups,
+    }
+
+    def dedup_exact(self, df: DataFrame, **kw) -> DataFrame:
+        """Drop exact duplicate texts, one winner per md5 group."""
+        return fdedup.exact_dedup(df, **kw)
+
+    def near_dup_pairs(self, df: DataFrame, method: str = "minhash", **kw) -> DataFrame:
+        """(id_a, id_b, ...) near-dup pairs; output columns beyond the
+        pair key vary by method (jaccard stats, LSH distance, hamming)."""
+        if method not in self._NEAR_DUP:
+            raise ValueError(f"method must be one of {sorted(self._NEAR_DUP)}")
+        return self._NEAR_DUP[method](df, **kw)
+
+    def dedup_near(
+        self, df: DataFrame, method: str = "minhash_verified", id_col: str = "doc_id", **kw
+    ) -> DataFrame:
+        """Near-dedup end-to-end: pairs → connected components → keep the
+        min-id winner per cluster (full rows never shuffle)."""
+        pairs = self.near_dup_pairs(df, method=method, id_col=id_col, **kw)
+        return fdedup.dedup_by_components(df, pairs, id_col=id_col)
+
+    _TOPK = {
+        "exact": fsim.cosine_topk,
+        "lsh": fsim.lsh_topk,
+        "lsh_verified": fsim.lsh_verified_topk,
+        "ivf": fsim.ivf_topk,
+    }
+
+    def similar_topk(
+        self, corpus: DataFrame, queries: DataFrame, k: int = 10, method: str = "exact", **kw
+    ) -> DataFrame:
+        """Top-k cosine neighbors per query: exact, LSH-ANN, verified-LSH
+        or IVF probe path."""
+        if method not in self._TOPK:
+            raise ValueError(f"method must be one of {sorted(self._TOPK)}")
+        return self._TOPK[method](corpus, queries, k=k, **kw)
+
+    def enrich_text(self, df: DataFrame, text_col: str = "text") -> DataFrame:
+        """Stats + quality score + language-ID + fingerprint in one
+        single-pass projection chain (all codegen expressions)."""
+        out = ftext.add_text_stats(df, text_col)
+        out = ftext.quality_score(out, text_col)
+        out = ftext.language_id(out, text_col)
+        return ftext.add_fingerprint(out, text_col)
+
+    # -- Scale tooling (skew + co-location) ---------------------------
+    def key_skew(self, df: DataFrame, keys: list[str], top_n: int = 10) -> DataFrame:
+        return opscale.top_frequent_keys(df, keys, top_n)
+
+    def salted_agg(self, df: DataFrame, keys: list[str], aggs, salt_buckets: int = 32) -> DataFrame:
+        return opscale.salted_group_agg(df, keys, aggs, salt_buckets)
+
+    def salted_join(
+        self, large: DataFrame, small: DataFrame, keys: list[str],
+        salt_buckets: int = 16, how: str = "inner",
+    ) -> DataFrame:
+        return opscale.salted_skew_join(large, small, keys, salt_buckets, how)
+
+    def save_bucketed(self, df: DataFrame, table: str, bucket_keys: list[str], **kw) -> None:
+        opscale.write_bucketed(df, table, bucket_keys, **kw)
+
+    def join_bucketed(
+        self, left_table: str, right_table: str, keys: list[str], how: str = "inner"
+    ) -> DataFrame:
+        return opscale.bucketed_join(self.spark, left_table, right_table, keys, how)
 
     def _maybe_register(self, name: str | None, df: DataFrame) -> DataFrame:
         if name:

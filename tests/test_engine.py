@@ -1,0 +1,98 @@
+"""Engine facade: the pipeline/scale surface must be writable against
+Engine alone — each family method delegates to the tested functions and
+returns the same results."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etlbigdata_spark.engine import Engine
+from etlbigdata_spark.functions import dedup as fdedup
+from etlbigdata_spark.functions import similarity as fsim
+from etlbigdata_spark import workload
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    return Engine(spark=spark)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return workload.load(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return workload.load(spark, sf_dir, "embeddings")
+
+
+def test_dedup_exact_matches_function(eng, docs):
+    assert eng.dedup_exact(docs).count() == fdedup.exact_dedup(docs).count()
+
+
+def test_near_dup_pairs_dispatch(eng, docs):
+    got = {
+        (r.id_a, r.id_b)
+        for r in eng.near_dup_pairs(docs, method="jaccard", max_doc_freq=50).collect()
+    }
+    want = {
+        (r.id_a, r.id_b)
+        for r in fdedup.ngram_jaccard_pairs(docs, max_doc_freq=50).collect()
+    }
+    assert got == want
+
+
+def test_near_dup_pairs_rejects_unknown_method(eng, docs):
+    with pytest.raises(ValueError):
+        eng.near_dup_pairs(docs, method="levenshtein")
+
+
+def test_dedup_near_removes_only_losers(eng, docs):
+    out = eng.dedup_near(docs, method="jaccard", max_doc_freq=50)
+    pairs = eng.near_dup_pairs(docs, method="jaccard", max_doc_freq=50)
+    comps = fdedup.connected_components(pairs)
+    n_losers = comps.filter(F.col("doc_id") != F.col("component_id")).count()
+    assert out.count() == docs.count() - n_losers
+    # winners (component ids) all survive
+    winners = {r.component_id for r in comps.collect()}
+    surviving = {r.doc_id for r in out.select("doc_id").collect()}
+    assert winners <= surviving
+
+
+def test_similar_topk_exact(eng, emb):
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in eng.similar_topk(emb, queries, k=5, round_to=6).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id)
+        for r in fsim.cosine_topk(emb, queries, k=5, round_to=6).collect()
+    }
+    assert got == want
+
+
+def test_similar_topk_ivf_dispatch(eng, emb):
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = eng.similar_topk(emb, queries, k=5, method="ivf", n_centroids=8, n_probe=8)
+    assert out.groupBy("query_id").count().agg(F.max("count")).collect()[0][0] <= 5
+
+
+def test_enrich_text_adds_all_columns(eng, docs):
+    out = eng.enrich_text(docs.limit(50))
+    for col in ("n_chars", "quality", "lang_pred", "fingerprint"):
+        assert col in out.columns, out.columns
+    assert out.count() == 50
+
+
+def test_scale_facade_delegates(eng, spark):
+    df = spark.range(100).select((F.col("id") % 3).alias("k"), F.col("id").alias("v"))
+    top = eng.key_skew(df, ["k"], top_n=1).collect()
+    assert top[0]["n_rows"] >= 33
+    agg = {tuple(r) for r in eng.salted_agg(df, ["k"], [("v", "sum", "s")], salt_buckets=4).collect()}
+    plain = {tuple(r) for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()}
+    assert agg == plain
+    dim = spark.range(3).select(F.col("id").alias("k"), F.lit("x").alias("w"))
+    assert eng.salted_join(df, dim, ["k"]).count() == 100
