@@ -1403,6 +1403,122 @@ GROUP BY supp_nation, cust_nation, l_year
 """
 
 
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4+B9 — 7-way join feeding a conditional aggregate
+    (sum(CASE)/sum() per year): one nation's share of a region's volume
+    for one part type (TPC-H Q8-like; testdata has no ps_supplycost so
+    the Q9 profit term is out of scope).  Dims broadcast; the only
+    shuffles are the two fact joins and the final 2-group agg."""
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1996-12-31").cast("timestamp"))
+    )
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = nation.select(F.col("n_nationkey").alias("c_nkey"), "n_regionkey")
+    n2 = nation.select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
+    vol = D("l_extendedprice") * (_dec1() - D("l_discount"))
+    target_vol = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        # nation/region are fixed-size → hinted broadcasts; part/supplier
+        # GROW with SF, so their strategy is left to the planner/AQE
+        # (broadcast at test SFs, shuffle join at 100 TB)
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (F.sum(target_vol).cast("double") / F.sum(vol).cast("double")).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+Q08_SQL = """
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+)
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q21_sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9 — TPC-H Q21 adapted to the testdata's columns: suppliers who
+    were the ONLY supplier with returned ('R') lines in a multi-supplier
+    order.  The real Q21's exists/not-exists pair over receipt dates is
+    re-expressed as one per-order aggregate (distinct suppliers, distinct
+    failing suppliers) joined back to the failing lines — one pass over
+    lineitem instead of two correlated subqueries, same semantics."""
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    order_stats = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supps"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_failing"),
+    )
+    failing = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .dropDuplicates()
+    )
+    return (
+        failing.join(order_stats, "l_orderkey")
+        .filter((F.col("n_supps") > 1) & (F.col("n_failing") == 1))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+Q21_SQL = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem WHERE l_returnflag = 'R'
+) f
+JOIN (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supps,
+         COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_failing
+  FROM lineitem GROUP BY l_orderkey
+) s ON f.l_orderkey = s.l_orderkey
+JOIN supplier ON f.l_suppkey = s_suppkey
+WHERE n_supps > 1 AND n_failing = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B4+B7+B9 — revenue lost to returns per customer, top 20 (Q10-like)."""
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
@@ -2158,6 +2274,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q05_region_revenue": q05_region_revenue,
     "q06_revenue_delta": q06_revenue_delta,
     "q07_nation_volume": q07_nation_volume,
+    "q08_market_share": q08_market_share,
     "q10_returned_items": q10_returned_items,
     "q12_shipmode_priority": q12_shipmode_priority,
     "q13_customer_distribution": q13_customer_distribution,
@@ -2166,6 +2283,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q18_large_orders": q18_large_orders,
     "q19_disjunctive_predicates": q19_disjunctive_predicates,
+    "q21_sole_failing_supplier": q21_sole_failing_supplier,
     "q22_idle_rich_customers": q22_idle_rich_customers,
     "b06_rollup": b06_rollup,
     "b09_semi": b09_semi,
@@ -2191,7 +2309,9 @@ ORACLE_SQL: dict[str, str] = {
     "q05_region_revenue": Q05_SQL,
     "q06_revenue_delta": Q06_SQL,
     "q07_nation_volume": Q07_SQL,
+    "q08_market_share": Q08_SQL,
     "q10_returned_items": Q10_SQL,
+    "q21_sole_failing_supplier": Q21_SQL,
     "q12_shipmode_priority": Q12_SQL,
     "q14_promo_share": Q14_SQL,
     "q18_large_orders": Q18_SQL,
