@@ -94,6 +94,47 @@ def session_counts(
     )
 
 
+# -- stream-stream join (B19/B21) ------------------------------------
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    keys: list[str],
+    within: str = "10 minutes",
+    watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream equi-join with an event-time bound:
+    rows pair when the keys match and ``right_ts`` falls in
+    ``(left_ts, left_ts + within]`` (the ad-impression → click shape).
+
+    The time bound plus the two watermarks is what makes the join state
+    FINITE: each side buffers only rows newer than
+    (max event time − watermark − within), so state is evicted as the
+    watermark advances — without a bound both buffers grow forever,
+    which does not survive at scale.  Inner matches emit as soon as both
+    rows arrive; outer null-padding emits only once the watermark passes
+    the bound (one-batch-lag in replay).  ``left_ts``/``right_ts`` must
+    be distinct names (rename upstream) so the joined schema is
+    unambiguous; the right side's key columns are dropped.
+    """
+    import functools
+    import operator
+
+    l = left.withWatermark(left_ts, watermark).alias("__l")
+    r = right.withWatermark(right_ts, watermark).alias("__r")
+    conds = [F.col(f"__l.{k}") == F.col(f"__r.{k}") for k in keys]
+    conds.append(F.col(f"__r.{right_ts}") > F.col(f"__l.{left_ts}"))
+    conds.append(
+        F.col(f"__r.{right_ts}") <= F.col(f"__l.{left_ts}") + F.expr(f"INTERVAL {within}")
+    )
+    out = l.join(r, functools.reduce(operator.and_, conds), how)
+    for k in keys:
+        out = out.drop(F.col(f"__r.{k}"))
+    return out
+
+
 # -- stateful ops (B22) ----------------------------------------------
 def streaming_dedup(df: DataFrame, keys: list[str], ts_col: str | None = None, watermark: str = "10 minutes") -> DataFrame:
     """Streaming dropDuplicates: with a watermark the dedup state is

@@ -1354,6 +1354,39 @@ GROUP BY user_id
 """
 
 
+def st07_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19+B21 — stream-stream join driven through the ACTUAL engine:
+    two readStream file sources over the events table, watermarked
+    equi-join on user_id with a (ts_a, ts_a + 2 min] event-time bound,
+    append-mode memory sink drained with availableNow.  Deterministic
+    because inner matches emit as soon as both rows arrive and each
+    source is a single micro-batch; equals the batch self-join, which
+    DuckDB can express."""
+    from .streaming import ops as stops
+
+    a = _event_stream(spark, sf_dir).select(
+        F.col("event_id").alias("a_id"), F.col("ts").alias("ts_a"), "user_id"
+    )
+    b = _event_stream(spark, sf_dir).select(
+        F.col("event_id").alias("b_id"), F.col("ts").alias("ts_b"), "user_id"
+    )
+    joined = stops.stream_stream_join(
+        a, b, "ts_a", "ts_b", ["user_id"], within="2 minutes", watermark="10 minutes"
+    ).select("a_id", "b_id", "user_id")
+    name = _drain_to_table(stops.write_stream_memory(joined, "placeholder", "append"))
+    return spark.table(name)
+
+
+ST07_SQL = """
+SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id AS user_id
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND CAST(b.ts AS TIMESTAMP) >  CAST(a.ts AS TIMESTAMP)
+ AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 2 MINUTE
+"""
+
+
 # ---------------------------------------------------------------------
 # Coverage round 2: SQL entry, projection/filter surface, cube, range
 # join, rank family, explode, unpivot, pandas UDF, transpose, Q7/Q10
@@ -2268,6 +2301,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "b10_range_frame": b10_range_frame,
     "b14_explode": b14_explode,
     "st04_sliding": st04_sliding,
+    "st07_stream_join": st07_stream_join,
     "d06_dup_clusters": d06_dup_clusters,
     "q03_top_orders": q03_top_orders,
     "q04_priority_with_late_lines": q04_priority_with_late_lines,
@@ -2379,6 +2413,7 @@ ORACLE_SQL: dict[str, str] = {
     "st04_sliding": ST04_SQL,
     "st05_stream_replay": ST05_SQL,
     "st06_stateful": ST06_SQL,
+    "st07_stream_join": ST07_SQL,
     "t05_fingerprint": T05_SQL,
     # rows-only (approximate / engine-specific RNG or hash): b17_sample,
     # d03_minhash, d04_simhash, s02_lsh_topk, d05_embedding_neardup —

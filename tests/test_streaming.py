@@ -196,3 +196,49 @@ def test_foreach_batch_to_jdbc_sink(spark, stream_dir, tmp_path):
     back = readers.read_jdbc(spark, url, "stream_events")
     assert back.count() == 6  # both micro-batches landed (incl. the planted dup row)
     assert {r[0] for r in back.select("event_id").collect()} == {1, 2, 3, 4, 5}
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """B19+B21 — watermarked stream-stream join: clicks pair with the
+    impression they follow within 10 minutes; a too-late click and a
+    click with no impression never emit.  Streaming result == the same
+    join run in batch."""
+    imp_dir = tmp_path / "impressions"
+    clk_dir = tmp_path / "clicks"
+    imp_dir.mkdir()
+    clk_dir.mkdir()
+    # reuse the event schema: event_id=ad id carrier, user_id=join key
+    _write_batch(
+        imp_dir / "imp_000.parquet",
+        [(100, _ts(10, 0), 1, 0.0), (200, _ts(10, 5), 2, 0.0)],
+    )
+    _write_batch(
+        clk_dir / "clk_000.parquet",
+        [
+            (101, _ts(10, 3), 1, 1.0),   # joins imp 100 (3 min later)
+            (102, _ts(10, 20), 1, 1.0),  # too late for imp 100 (> 10 min)
+            (201, _ts(10, 6), 2, 1.0),   # joins imp 200
+            (301, _ts(10, 7), 3, 1.0),   # no impression for user 3
+        ],
+    )
+
+    def build(reader):
+        imps = reader(str(imp_dir)).select(
+            F.col("event_id").alias("imp_id"), F.col("ts").alias("imp_ts"), "user_id"
+        )
+        clks = reader(str(clk_dir)).select(
+            F.col("event_id").alias("clk_id"), F.col("ts").alias("clk_ts"), "user_id"
+        )
+        return ops.stream_stream_join(
+            imps, clks, "imp_ts", "clk_ts", ["user_id"], within="10 minutes"
+        ).select("imp_id", "clk_id", "user_id")
+
+    joined = build(lambda p: ops.read_file_stream(spark, p, EVENT_SCHEMA))
+    _replay(ops.write_stream_memory(joined, "ssjoin_golden", "append"), tmp_path, "ssjoin")
+    got = {tuple(r) for r in spark.table("ssjoin_golden").collect()}
+    want = {
+        tuple(r)
+        for r in build(lambda p: spark.read.schema(EVENT_SCHEMA).parquet(p)).collect()
+    }
+    assert got == want
+    assert got == {(100, 101, 1), (200, 201, 2)}
