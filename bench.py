@@ -18,10 +18,11 @@ The run also measures ``floor_sec``: the fixed cost of ANY Spark query on
 this machine (plan analysis + DAG/task scheduling + Arrow fetch for a
 1-row scan). BASELINE.md's "Gate, decomposed" section records the
 floor-adjusted form ``spark ≤ 2×duckdb + floor`` together with the honest
-accounting: at sf0.1 every DuckDB number is 3–90 ms, so even the adjusted
-gate passes only where Spark's plan-size-proportional analysis cost is
-tiny — the graded evidence at this SF is plan quality and scaling, not
-the ratio (see BASELINE.md).
+accounting: at sf0.1 every DuckDB number except d02 (1.2 s of real
+work, where Spark lands at 1.3× — inside even the plain 2× gate) is
+3–100 ms, so the adjusted gate otherwise passes only where Spark's
+plan-size-proportional analysis cost is tiny — the graded evidence at
+this SF is plan quality and scaling, not the ratio (see BASELINE.md).
 
 The headline set benches PRODUCTION paths only: d03 (r×b MinHash) is in,
 its proof-apparatus twin d03v (recall-mode r=1/b=32, candidate set ≈
@@ -56,6 +57,9 @@ HEADLINE = [
     "q05_region_revenue",
     "q06_revenue_delta",
     "q04_priority_with_late_lines",
+    "q07_nation_volume",
+    "q08_market_share",
+    "q10_returned_items",
     "q12_shipmode_priority",
     "q13_customer_distribution",
     "q14_promo_share",
@@ -63,6 +67,7 @@ HEADLINE = [
     "q17_small_quantity_revenue",
     "q18_large_orders",
     "q19_disjunctive_predicates",
+    "q21_sole_failing_supplier",
     "q22_idle_rich_customers",
     "b06_grouping_sets",
     "b07_topk_group",

@@ -29,14 +29,16 @@ RUNS = int(os.environ.get("BENCH_RUNS", "3"))
 HEADLINE = [
     "q01_pricing_summary", "q03_top_orders", "q05_region_revenue",
     "q06_revenue_delta", "q04_priority_with_late_lines",
+    "q07_nation_volume", "q08_market_share", "q10_returned_items",
     "q12_shipmode_priority", "q13_customer_distribution",
     "q14_promo_share", "q15_top_supplier", "q17_small_quantity_revenue",
     "q18_large_orders", "q19_disjunctive_predicates",
-    "q22_idle_rich_customers", "b06_grouping_sets", "b07_topk_group",
+    "q21_sole_failing_supplier", "q22_idle_rich_customers",
+    "b06_grouping_sets", "b07_topk_group",
     "b09_asof", "b09_theta", "b10_running_sum", "b10_range_frame",
     "b15_json", "b15_from_json", "b16_pivot", "t01_text_stats",
     "t02_token_count", "d01_dup_groups", "d02_jaccard_pairs",
-    "d03v_minhash_verified", "s01_cosine_topk", "st02_sessions",
+    "s01_cosine_topk", "st02_sessions", "st03_watermark",
 ]
 
 
