@@ -16,9 +16,22 @@ def write_parquet(
     path: str,
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
+    cluster_by: list[str] | None = None,
+    cluster_partitions: int | None = None,
     **opts,
 ) -> None:
-    """Parquet sink (A18). ``partition_by`` enables partition pruning for readers."""
+    """Parquet sink (A18). ``partition_by`` enables partition pruning for
+    readers.  ``cluster_by`` range-partitions and sorts the data on the
+    given keys before writing, so each output file covers a narrow,
+    disjoint key range — parquet min/max row-group stats then prune
+    whole files for selective predicates on those keys (the data-layout
+    lever for 100 TB scans; orthogonal to ``partition_by``, which prunes
+    by directory)."""
+    if cluster_by:
+        # explicit n pins the output file count (size files for the target
+        # row-group budget); default lets AQE pick from data volume
+        args = ([cluster_partitions] if cluster_partitions else []) + list(cluster_by)
+        df = df.repartitionByRange(*args).sortWithinPartitions(*cluster_by)
     writer = df.write.mode(mode).options(**opts)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

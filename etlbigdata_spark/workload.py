@@ -713,6 +713,31 @@ def _b27_sql() -> str:
 B27_SQL = _b27_sql()
 
 
+def b28_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 — exact percentile/median aggregates (continuous
+    interpolation): Spark ``percentile`` and DuckDB ``quantile_cont``
+    share the (n-1)·p order-statistic interpolation, so the results are
+    oracle-comparable.  At scale exact percentile is a full sort per
+    group — ``approx_percentile`` (GK sketch, mergeable, single pass) is
+    the 100 TB path when rank error is tolerable."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", 0.5), 4).alias("p50_qty"),
+        F.round(F.percentile("l_quantity", 0.9), 4).alias("p90_qty"),
+        F.round(F.median("l_extendedprice"), 4).alias("med_price"),
+    )
+
+
+B28_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+       round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+       round(median(l_extendedprice), 4) AS med_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------
 # LLM-pipeline: text analysis (B25)
 # ---------------------------------------------------------------------
@@ -2328,6 +2353,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s02_lsh_topk": s02_lsh_topk,
     "s03_ivf_topk": s03_ivf_topk,
     "t05_fingerprint": t05_fingerprint,
+    "b28_percentile": b28_percentile,
 }
 
 # The driver's correctness gate checks the first N registry entries at
@@ -2395,6 +2421,7 @@ ORACLE_SQL: dict[str, str] = {
     "b15_json": B15_SQL,
     "b16_pivot": B16_SQL,
     "b27_profile": B27_SQL,
+    "b28_percentile": B28_SQL,
     "t01_text_stats": T01_SQL,
     "t02_token_count": T02_SQL,
     "t03_quality": T03_SQL,

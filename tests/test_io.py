@@ -196,3 +196,32 @@ def test_resize_media_rewraps_meta(engine):
     assert r["media_meta"]["media_type"] == "application/x-resized"
     with pytest.raises(NotImplementedError):
         resize_media(df, "key", "blob", 2, 2, strict=True)
+
+
+def test_parquet_clustered_write_has_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    """A18 cluster_by: range-partition + sort before write → each file
+    covers a disjoint key range, so parquet min/max stats prune whole
+    files for selective key predicates (the 100 TB layout lever)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    out = str(tmp_path / "clustered")
+    writers.write_parquet(
+        li.repartition(8), out, cluster_by=["l_orderkey"], cluster_partitions=6
+    )
+
+    ranges = []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        t = pq.read_table(f, columns=["l_orderkey"])
+        col = t.column("l_orderkey").to_pylist()
+        if col:
+            ranges.append((min(col), max(col)))
+    assert len(ranges) > 1, "need multiple files for the disjointness claim"
+    ranges.sort()
+    for (lo_a, hi_a), (lo_b, _) in zip(ranges, ranges[1:]):
+        # repartitionByRange gives disjoint ranges (boundary keys may touch)
+        assert hi_a <= lo_b, f"overlapping file ranges: ({lo_a},{hi_a}) vs ({lo_b},..)"
+    # and the data survives intact
+    assert spark.read.parquet(out).count() == li.count()
