@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from .functions import dedup as fdedup
 from .functions import similarity as fsim
 from .functions import text as ftext
-from .operators import aggregates, cleaning, joins, pivot, sampling, setops
+from .operators import aggregates, cleaning, joins, pivot, sampling, scale, setops
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -735,6 +735,71 @@ SELECT l_returnflag,
        round(median(l_extendedprice), 4) AS med_price
 FROM lineitem
 GROUP BY l_returnflag
+"""
+
+
+def b29_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale tooling face — the two-stage salted aggregation
+    (operators/scale.salted_group_agg) must be RESULT-equal to a plain
+    GROUP BY: the oracle is the unsalted SQL, so a green row proves the
+    partial/merge decomposition loses nothing.  l_returnflag is the
+    deliberately-skewed key shape (3 values over 600 k rows)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", D("l_quantity").alias("qty_dec"), "l_orderkey"
+    )
+    out = scale.salted_group_agg(
+        li,
+        ["l_returnflag"],
+        [
+            ("qty_dec", "sum", "sum_qty_dec"),
+            ("l_orderkey", "count", "n_lines"),
+            ("l_orderkey", "max", "max_okey"),
+        ],
+        salt_buckets=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        "n_lines",
+        "max_okey",
+    )
+
+
+B29_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       COUNT(l_orderkey) AS n_lines,
+       MAX(l_orderkey) AS max_okey
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def b30_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale tooling face — salted_skew_join (salt the large side,
+    replicate the small side per salt) must equal the plain equi-join;
+    the oracle is the unsalted SQL join.  Shape: lineitem (large, skewed
+    join key by construction of the filter) ⋈ a 5-row order subset."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    hot = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    out = scale.salted_skew_join(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), hot, ["o_orderkey"], salt_buckets=8
+    )
+    return out.groupBy("o_orderkey", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(D("l_quantity")).cast("double").alias("sum_qty"),
+    )
+
+
+B30_SQL = """
+SELECT o_orderkey, o_orderpriority, COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderkey < 5
+GROUP BY o_orderkey, o_orderpriority
 """
 
 
@@ -2354,6 +2419,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s03_ivf_topk": s03_ivf_topk,
     "t05_fingerprint": t05_fingerprint,
     "b28_percentile": b28_percentile,
+    "b29_salted_agg": b29_salted_agg,
+    "b30_salted_join": b30_salted_join,
 }
 
 # The driver's correctness gate checks the first N registry entries at
@@ -2422,6 +2489,8 @@ ORACLE_SQL: dict[str, str] = {
     "b16_pivot": B16_SQL,
     "b27_profile": B27_SQL,
     "b28_percentile": B28_SQL,
+    "b29_salted_agg": B29_SQL,
+    "b30_salted_join": B30_SQL,
     "t01_text_stats": T01_SQL,
     "t02_token_count": T02_SQL,
     "t03_quality": T03_SQL,
