@@ -139,3 +139,43 @@ def test_salted_skew_join_equals_plain_property(spark, left, right, how):
         tuple(x) for x in scale.salted_skew_join(l, r, ["k"], salt_buckets=3, how=how).collect()
     )
     assert salted == plain
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=18,
+    )
+)
+@settings(**_SETTINGS)
+def test_connected_components_match_union_find(spark, edges):
+    """Min-label propagation (distributed) == union-find (reference
+    implementation) on arbitrary graphs: same partition into components,
+    each labeled by its minimum member."""
+    from etlbigdata_spark.functions import dedup as fdedup
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.doc_id: r.component_id
+        for r in fdedup.connected_components(pairs, max_iterations=30).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comps: dict[int, list[int]] = {}
+    for n in parent:
+        comps.setdefault(find(n), []).append(n)
+    want = {n: min(members) for members in comps.values() for n in members}
+    assert got == want
