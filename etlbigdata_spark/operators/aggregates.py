@@ -60,6 +60,37 @@ def distinct_counts(df: DataFrame, columns: list[str], approx: bool = False) -> 
     return df.agg(*[fn(c).alias(f"n_{c}") for c in columns])
 
 
+def hll_sketch_counts(df: DataFrame, columns: list[str], lg_k: int = 12) -> DataFrame:
+    """B5 — Apache DataSketches HLL estimates per column, one pass.
+    Unlike ``approx_count_distinct`` (whose internal sketch is opaque),
+    ``hll_sketch_agg`` exposes the SKETCH as a binary column — the
+    mergeable form a 100 TB pipeline stores per partition/day and unions
+    later instead of rescanning (see :func:`hll_merge_counts`)."""
+    return df.agg(
+        *[
+            F.hll_sketch_estimate(F.hll_sketch_agg(c, lg_k)).alias(f"n_{c}")
+            for c in columns
+        ]
+    )
+
+
+def hll_merge_counts(
+    df: DataFrame, group_col: str, column: str, lg_k: int = 12
+) -> DataFrame:
+    """B5 — two-level sketch merge: build one HLL sketch per
+    ``group_col`` slice (in a real pipeline: per partition / per day,
+    persisted), then union the sketches and estimate.  The estimate of
+    the union equals running one sketch over everything — THE
+    scale-out property: distinct-count state is a few KB per slice and
+    merges associatively, so no re-scan and no exact-distinct shuffle."""
+    per_slice = df.groupBy(group_col).agg(
+        F.hll_sketch_agg(column, lg_k).alias("sketch")
+    )
+    return per_slice.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(f"n_{column}")
+    )
+
+
 def top_k(df: DataFrame, order_by: list[Column], k: int) -> DataFrame:
     """B7 — global top-k. Spark's sort+limit already does a per-partition
     partial top-k then merges — no full sort of the table."""

@@ -354,6 +354,17 @@ FROM lineitem
 """
 
 
+def b05h_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 — mergeable-sketch distinct count (rows-only: DataSketches HLL
+    has no DuckDB twin; its oracle-checked sibling is b05's exact
+    count-distinct, and tests bound the estimate within the sketch
+    error).  Shape: one KB-sized sketch per slice, associative union,
+    estimate — the 100 TB path that replaces the exact-distinct
+    shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    return aggregates.hll_merge_counts(li, "l_returnflag", "l_orderkey")
+
+
 def b06_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return aggregates.rollup_agg(
@@ -2421,6 +2432,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "b28_percentile": b28_percentile,
     "b29_salted_agg": b29_salted_agg,
     "b30_salted_join": b30_salted_join,
+    "b05h_hll_merge": b05h_hll_merge,
 }
 
 # The driver's correctness gate checks the first N registry entries at

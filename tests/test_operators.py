@@ -211,3 +211,38 @@ def test_quality_score_bounds(spark):
     out = [r.quality for r in ftext.quality_score(df, "text").collect()]
     assert out[0] == 1.0
     assert 0.0 <= out[1] < out[0]
+
+
+def test_hll_sketch_counts_close_to_exact(spark, sf_dir):
+    """B5 — DataSketches HLL estimates land within the sketch's error
+    bound (lg_k=12 → ~1.6% RSE; 5% is a generous 3-sigma gate)."""
+    from pyspark.sql import functions as F
+
+    from etlbigdata_spark.operators import aggregates
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = li.agg(
+        F.countDistinct("l_orderkey").alias("a"), F.countDistinct("l_partkey").alias("b")
+    ).collect()[0]
+    est = aggregates.hll_sketch_counts(li, ["l_orderkey", "l_partkey"]).collect()[0]
+    assert abs(est["n_l_orderkey"] - exact["a"]) <= 0.05 * exact["a"]
+    assert abs(est["n_l_partkey"] - exact["b"]) <= 0.05 * exact["b"]
+
+
+def test_hll_merge_equals_direct_within_tolerance(spark, sf_dir):
+    """B5 — the mergeability property: per-slice sketches unioned then
+    estimated ≈ one sketch over everything (and both ≈ exact).  This is
+    the 100 TB distinct-count path: KB-sized per-partition state,
+    associative merge, no re-scan."""
+    from pyspark.sql import functions as F
+
+    from etlbigdata_spark.operators import aggregates
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = li.agg(F.countDistinct("l_orderkey").alias("a")).collect()[0]["a"]
+    direct = aggregates.hll_sketch_counts(li, ["l_orderkey"]).collect()[0]["n_l_orderkey"]
+    merged = aggregates.hll_merge_counts(li, "l_returnflag", "l_orderkey").collect()[0][
+        "n_l_orderkey"
+    ]
+    assert abs(merged - exact) <= 0.05 * exact
+    assert abs(merged - direct) <= 0.02 * max(direct, 1)
