@@ -1,0 +1,99 @@
+"""Plan-shape regression tests: the properties PLANS.md audits, pinned
+as assertions.  A change that keeps results correct but silently turns a
+broadcast join into a cartesian product, un-pushes a filter, or widens a
+scan would pass every oracle test — these fail instead.
+
+AQE gotcha: ``executedPlan`` shows the final plan only after an action
+runs on that same Dataset, so every helper collects first.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from etlbigdata_spark import workload
+
+
+def _final_plan(df) -> str:
+    df.collect()  # materialize so AQE's final plan is available
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    """One materialization per inspected query."""
+    return {
+        name: _final_plan(workload.QUERIES[name](spark, sf_dir))
+        for name in (
+            "q01_pricing_summary",
+            "q05_region_revenue",
+            "d02_jaccard_pairs",
+            "s01_cosine_topk",
+            "b09_asof",
+        )
+    }
+
+
+def test_no_nested_loop_or_cartesian_anywhere(plans):
+    """None of the hot queries may degrade to a per-row join strategy.
+    Exception: s01's query-set × corpus scoring IS a broadcast
+    nested-loop by design (no equi-key exists) — asserted separately."""
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, f"{name} went cartesian"
+        if name != "s01_cosine_topk":
+            assert "BroadcastNestedLoopJoin" not in plan, f"{name} went nested-loop"
+
+
+def test_q01_filter_pushed_and_partial_agg(plans):
+    plan = plans["q01_pricing_summary"]
+    # shipdate predicate reaches the parquet scan
+    assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan), "q01 filter not pushed"
+    # map-side combine: a HashAggregate below the exchange and one above
+    assert plan.count("HashAggregate") >= 2, "q01 lost partial aggregation"
+
+
+def test_q05_dims_broadcast_and_lineitem_pruned(plans):
+    plan = plans["q05_region_revenue"]
+    assert plan.count("BroadcastHashJoin") >= 2, "q05 dims no longer broadcast"
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 2
+    # lineitem scan must not read all 11 columns for a 3-column need
+    m = re.search(r"ReadSchema: struct<([^>]*l_extendedprice[^>]*)>", plan)
+    assert m, "no lineitem scan found in q05 plan"
+    width = len(m.group(1).split(","))
+    assert width <= 4, f"q05 lineitem scan reads {width} columns"
+
+
+def test_d02_joins_on_hashes_not_strings(plans):
+    """The inverted-index self-join must shuffle 8-byte hashes; a shingle
+    STRING in any Exchange hashpartitioning key is the regression."""
+    plan = plans["d02_jaccard_pairs"]
+    for part in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "shingle_str" not in part
+    assert "xxhash64" in plan, "d02 no longer hashes shingles"
+
+
+def test_s01_corpus_never_shuffled(plans):
+    """Exact top-k: the QUERY SET is the broadcast build side of the
+    nested-loop scoring join; the corpus streams through unshuffled.
+    Only the per-query window rank may hash-shuffle."""
+    plan = plans["s01_cosine_topk"]
+    assert "BroadcastNestedLoopJoin BuildRight" in plan, (
+        "s01 queries no longer the broadcast build side"
+    )
+    # AQE toString lists final + initial trees: count DISTINCT exchanges
+    shuffle_ids = set(
+        re.findall(r"Exchange hashpartitioning\([^)]*\)[^\[]*\[plan_id=(\d+)\]", plan)
+    )
+    assert len(shuffle_ids) <= 2, (
+        f"s01 has {len(shuffle_ids)} hash shuffles (corpus shuffled?)"
+    )
+
+
+def test_b09_asof_single_shuffle_no_range_blowup(plans):
+    """As-of join is the union+window plan: one shuffle on the join key,
+    no range cross-product."""
+    plan = plans["b09_asof"]
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan, "b09_asof no longer uses the window plan"
