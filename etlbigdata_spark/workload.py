@@ -354,6 +354,46 @@ FROM lineitem
 """
 
 
+def evt01_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6+B20 — hypertable-style multi-granularity continuous aggregate:
+    hour- and day-level rollups of the event stream from ONE pass
+    (GROUPING SETS over time buckets, DataFrame ``groupingSets`` API).
+    At scale this replaces one scan per granularity with one shuffle
+    producing every level; ``lvl`` (grouping marker) tags which."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        # cast: DuckDB's date_trunc('day') is a DATE, Spark's a timestamp
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        "event_type",
+        "value",
+    )
+    g = base.groupingSets(
+        [["day", "hour", "event_type"], ["day", "event_type"]],
+        "day", "hour", "event_type",
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(D("value")).cast("double").alias("sum_value"),
+        F.grouping("hour").cast("int").alias("lvl"),
+    )
+
+
+EVT01_SQL = """
+SELECT date_trunc('day',  CAST(ts AS TIMESTAMP)) AS day,
+       date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+       CAST(GROUPING(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS INTEGER) AS lvl
+FROM events
+GROUP BY GROUPING SETS (
+  (date_trunc('day', CAST(ts AS TIMESTAMP)), date_trunc('hour', CAST(ts AS TIMESTAMP)), event_type),
+  (date_trunc('day', CAST(ts AS TIMESTAMP)), event_type)
+)
+"""
+
+
 def b05h_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B5 — mergeable-sketch distinct count (rows-only: DataSketches HLL
     has no DuckDB twin; its oracle-checked sibling is b05's exact
@@ -2433,6 +2473,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "b29_salted_agg": b29_salted_agg,
     "b30_salted_join": b30_salted_join,
     "b05h_hll_merge": b05h_hll_merge,
+    "evt01_time_rollup": evt01_time_rollup,
 }
 
 # The driver's correctness gate checks the first N registry entries at
@@ -2503,6 +2544,7 @@ ORACLE_SQL: dict[str, str] = {
     "b28_percentile": B28_SQL,
     "b29_salted_agg": B29_SQL,
     "b30_salted_join": B30_SQL,
+    "evt01_time_rollup": EVT01_SQL,
     "t01_text_stats": T01_SQL,
     "t02_token_count": T02_SQL,
     "t03_quality": T03_SQL,
