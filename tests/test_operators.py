@@ -246,3 +246,46 @@ def test_hll_merge_equals_direct_within_tolerance(spark, sf_dir):
     ]
     assert abs(merged - exact) <= 0.05 * exact
     assert abs(merged - direct) <= 0.02 * max(direct, 1)
+
+
+def test_asof_join_edge_cases(spark):
+    """B9 as-of: empty right side keeps every left row null-matched;
+    an equal-timestamp right row IS an inclusive backward match; a key
+    with no right rows never borrows another key's payload."""
+    import datetime as dt
+
+    from etlbigdata_spark.operators import joins
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(5), "a"), (1, t(10), "b"), (2, t(7), "c")], "k int, ts timestamp, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, t(5), 100.0), (1, t(8), 200.0)], "k int, ts timestamp, px double"
+    )
+    out = {
+        (r.k, r.tag): r.r_px
+        for r in joins.asof_join(left, right, "k", "ts").collect()
+    }
+    assert out[(1, "a")] == 100.0  # equal ts matches inclusively
+    assert out[(1, "b")] == 200.0  # most recent at-or-before
+    assert out[(2, "c")] is None   # no right rows for key 2 → null, not borrowed
+
+    empty_right = right.limit(0)
+    out2 = joins.asof_join(left, empty_right, "k", "ts").collect()
+    assert len(out2) == 3 and all(r.r_px is None for r in out2)
+
+
+def test_asof_join_forward_direction(spark):
+    """Forward as-of: nearest right row at or after the left timestamp."""
+    import datetime as dt
+
+    from etlbigdata_spark.operators import joins
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)  # noqa: E731
+    left = spark.createDataFrame([(1, t(6), "a")], "k int, ts timestamp, tag string")
+    right = spark.createDataFrame(
+        [(1, t(5), 1.0), (1, t(9), 2.0)], "k int, ts timestamp, px double"
+    )
+    out = joins.asof_join(left, right, "k", "ts", direction="forward").collect()
+    assert out[0].r_px == 2.0  # t(5) is before, t(9) is the at-or-after match
