@@ -125,6 +125,28 @@ class Engine:
         out = ftext.language_id(out, text_col)
         return ftext.add_fingerprint(out, text_col)
 
+    # -- Streaming (B19-B22) ------------------------------------------
+    def stream_files(self, path: str, schema, **opts) -> DataFrame:
+        """File-replay streaming source (readStream); compose with the
+        same transforms, then drain with :meth:`stream_drain`."""
+        from .streaming import ops as stops
+
+        return stops.read_file_stream(self.spark, path, schema, **opts)
+
+    def stream_drain(self, df: DataFrame, output_mode: str = "complete") -> DataFrame:
+        """Run a streaming DataFrame to completion (availableNow) into a
+        memory sink and return the result as a plain DataFrame — the
+        deterministic batch-drain used by tests and backfills."""
+        import tempfile
+        import uuid
+
+        from .streaming import ops as stops
+
+        name = f"eng_sink_{uuid.uuid4().hex[:12]}"
+        ckpt = tempfile.mkdtemp(prefix=f"{name}_ckpt_")
+        stops.run_available_now(stops.write_stream_memory(df, name, output_mode), ckpt)
+        return self.spark.table(name)
+
     # -- Scale tooling (skew + co-location) ---------------------------
     def key_skew(self, df: DataFrame, keys: list[str], top_n: int = 10) -> DataFrame:
         return opscale.top_frequent_keys(df, keys, top_n)

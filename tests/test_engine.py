@@ -96,3 +96,30 @@ def test_scale_facade_delegates(eng, spark):
     assert agg == plain
     dim = spark.range(3).select(F.col("id").alias("k"), F.lit("x").alias("w"))
     assert eng.salted_join(df, dim, ["k"]).count() == 100
+
+
+def test_stream_facade_matches_batch(eng, spark, sf_dir, tmp_path):
+    """Engine.stream_files → transform → stream_drain equals the same
+    aggregation run in batch."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    src = f"{sf_dir}/customer.parquet"
+    stage = tmp_path / "cust_stream"
+    stage.mkdir()
+    try:
+        os.symlink(src, stage / "customer.parquet")
+    except OSError:
+        shutil.copyfile(src, stage / "customer.parquet")
+
+    batch = spark.read.parquet(src)
+    stream = eng.stream_files(str(stage), batch.schema)
+    agg = stream.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    got = {(r.c_mktsegment, r.n) for r in eng.stream_drain(agg).collect()}
+    want = {
+        (r.c_mktsegment, r.n)
+        for r in batch.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
