@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""End-to-end training-data pipeline against the Engine facade alone —
+the "switch from the reference" artifact: load → exact dedup → near-dup
+dedup (MinHash verified) → text enrichment → quality filter → token
+budget → similarity probe, every stage lazy until its action.
+
+Usage: python scripts/pipeline_demo.py [sf_dir]
+Prints one JSON line of per-stage counts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etlbigdata_spark.engine import Engine  # noqa: E402
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def main(sf_dir: str = DEFAULT_SF_DIR) -> dict:
+    eng = Engine(app_name="pipeline_demo", master="local[8]", shuffle_partitions=8)
+    tables = eng.load_testdata(sf_dir, tables=["documents", "embeddings"])
+    docs, emb = tables["documents"], tables["embeddings"]
+    stages: dict[str, int] = {"input": docs.count()}
+
+    # 1. exact dedup (md5 winner per text)
+    docs = eng.dedup_exact(docs, text_col="text", id_col="doc_id")
+    stages["after_exact_dedup"] = docs.count()
+
+    # 2. near-dup dedup: verified-MinHash pairs → components → winners
+    docs = eng.dedup_near(docs, method="minhash_verified", id_col="doc_id", threshold=0.5)
+    stages["after_near_dedup"] = docs.count()
+
+    # 3. enrichment: stats + quality + language + fingerprint (one pass)
+    enriched = eng.enrich_text(docs, text_col="text")
+
+    # 4. quality + length filters (the corpus-cleaning step)
+    kept = enriched.filter((F.col("quality") >= 0.3) & (F.col("n_chars") >= 40))
+    stages["after_quality_filter"] = kept.count()
+
+    # 5. token budget: running total of token counts in doc_id order
+    budget = kept.agg(F.sum("n_tokens").alias("total_tokens")).collect()[0]
+    stages["total_tokens"] = int(budget["total_tokens"])
+
+    # 6. similarity probe: top-3 neighbors for the first 3 surviving docs
+    queries = emb.filter(F.col("vec_id") < 3)
+    stages["similarity_rows"] = eng.similar_topk(emb, queries, k=3, round_to=6).count()
+
+    return stages
+
+
+if __name__ == "__main__":
+    print(json.dumps(main(sys.argv[1] if len(sys.argv) > 1 else DEFAULT_SF_DIR)))

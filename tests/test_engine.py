@@ -123,3 +123,15 @@ def test_stream_facade_matches_batch(eng, spark, sf_dir, tmp_path):
         for r in batch.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == want
+
+
+def test_pipeline_demo_runs(spark, sf_dir):
+    """The end-to-end facade pipeline (scripts/pipeline_demo.py) runs and
+    its stage counts are coherent: monotone non-increasing through the
+    dedup/filter stages, non-trivial output."""
+    import scripts.pipeline_demo as demo
+
+    stages = demo.main(sf_dir)
+    assert stages["input"] >= stages["after_exact_dedup"] >= stages["after_near_dedup"]
+    assert stages["after_near_dedup"] >= stages["after_quality_filter"] > 0
+    assert stages["total_tokens"] > 0 and stages["similarity_rows"] > 0

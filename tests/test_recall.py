@@ -200,3 +200,15 @@ def test_exploded_shingles_matches_word_shingles(spark):
         ).collect()
     }
     assert fast == slow and len(fast) > 0
+
+
+def test_jaccard_threshold_monotone(docs):
+    """Raising the Jaccard threshold can only shrink the pair set, and
+    every reported pair's jaccard respects its threshold."""
+    lo = fdedup.ngram_jaccard_pairs(docs, threshold=0.3, max_doc_freq=50).collect()
+    hi = fdedup.ngram_jaccard_pairs(docs, threshold=0.7, max_doc_freq=50).collect()
+    lo_pairs = {(r.id_a, r.id_b) for r in lo}
+    hi_pairs = {(r.id_a, r.id_b) for r in hi}
+    assert hi_pairs <= lo_pairs
+    assert all(r.jaccard >= 0.3 for r in lo)
+    assert all(r.jaccard >= 0.7 for r in hi)
