@@ -106,3 +106,34 @@ def test_bucketed_join_is_exchange_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for name in ("t_bkt_left", "t_bkt_right"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The 'moderate skew' path the module docstring defers to: with AQE
+    skew-join enabled (and test-sized thresholds), a 100:1 hot-key join
+    is re-planned at runtime — the executed plan reports the join as
+    skew-handled instead of leaving one straggler task."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "20KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "10KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        hot = spark.range(200000).select(F.lit(1).alias("k"), F.col("id").alias("v"))
+        tail = spark.range(2000).select((F.col("id") % 50 + 2).alias("k"), F.col("id").alias("v"))
+        right = spark.range(52).select(F.col("id").alias("k"), (F.col("id") * 7).alias("w"))
+        # merge hint: the split applies to shuffle joins, not broadcasts
+        j = hot.unionByName(tail).join(right.hint("merge"), "k")
+        # collect, not count: the AQE-final plan is only visible on the
+        # QueryExecution the action actually ran (count spawns its own)
+        assert len(j.collect()) == 202000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, f"AQE did not split the hot partition:\n{plan[:2000]}"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
