@@ -179,3 +179,44 @@ def test_connected_components_match_union_find(spark, edges):
         comps.setdefault(find(n), []).append(n)
     want = {n: min(members) for members in comps.values() for n in members}
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=0, max_size=10).map(" ".join),
+        min_size=2,
+        max_size=8,
+    ),
+    threshold=st.sampled_from([0.2, 0.5, 0.8]),
+)
+@settings(**_SETTINGS)
+def test_ngram_jaccard_matches_python_reference(spark, docs, threshold):
+    """The inverted-index Jaccard pipeline == a from-scratch Python
+    implementation (independent of both Spark AND the DuckDB oracle,
+    which mirrors the same SQL formulation): tokenize, 3-shingle,
+    distinct sets, pairwise |∩|/|∪| ≥ threshold."""
+    from etlbigdata_spark.functions import dedup as fdedup
+
+    n = 3
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in fdedup.ngram_jaccard_pairs(df, "doc_id", "text", n=n, threshold=threshold).collect()
+    }
+
+    def shingles(text):
+        toks = [t for t in text.lower().split() if t]
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sets = {i: shingles(t) for i, t in rows}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                inter = len(sets[a] & sets[b])
+                if inter:
+                    j = inter / len(sets[a] | sets[b])
+                    if j >= threshold:
+                        want[(a, b)] = round(j, 9)
+    assert got == want
