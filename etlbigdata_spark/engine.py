@@ -40,6 +40,14 @@ class Engine:
         df = readers.read_excel(self.spark, path, **opts)
         return self._maybe_register(name, df)
 
+    def load_orc(self, path: str, name: str | None = None, **opts) -> DataFrame:
+        df = readers.read_orc(self.spark, path, **opts)
+        return self._maybe_register(name, df)
+
+    def load_text(self, path: str, name: str | None = None, **opts) -> DataFrame:
+        df = readers.read_text(self.spark, path, **opts)
+        return self._maybe_register(name, df)
+
     def load_jdbc(self, url: str, table: str, name: str | None = None, **opts) -> DataFrame:
         df = readers.read_jdbc(self.spark, url, table, **opts)
         return self._maybe_register(name, df)
@@ -66,6 +74,9 @@ class Engine:
 
     def save_csv(self, df: DataFrame, path: str, mode: str = "overwrite", **opts) -> None:
         writers.write_csv(df, path, mode=mode, **opts)
+
+    def save_orc(self, df: DataFrame, path: str, mode: str = "overwrite", **opts) -> None:
+        writers.write_orc(df, path, mode=mode, **opts)
 
     def save_jdbc(self, df: DataFrame, url: str, table: str, mode: str = "overwrite", **opts) -> None:
         writers.write_jdbc(df, url, table, mode=mode, **opts)

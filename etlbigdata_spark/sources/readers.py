@@ -19,6 +19,19 @@ def read_parquet(spark: SparkSession, path: str, **opts) -> DataFrame:
     return spark.read.options(**opts).parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str, **opts) -> DataFrame:
+    """ORC scan (A3 sibling — the other columnar lake format Spark reads
+    natively; same pushdown/pruning machinery as parquet)."""
+    return spark.read.options(**opts).orc(path)
+
+
+def read_text(spark: SparkSession, path: str, whole_text: bool = False, **opts) -> DataFrame:
+    """Line-text source: one row per line (``value`` string), or one row
+    per FILE with ``whole_text`` — the raw-corpus ingestion shape for
+    document pipelines."""
+    return spark.read.options(**opts).text(path, wholetext=whole_text)
+
+
 def _is_buffer(src) -> bool:
     """True for in-memory sources: bytes or file-like objects."""
     return isinstance(src, (bytes, bytearray)) or hasattr(src, "read")

@@ -44,6 +44,11 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = 
     df.write.mode(mode).options(header=header, **opts).csv(path)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite", **opts) -> None:
+    """ORC sink (A18 sibling; columnar, partition-parallel)."""
+    df.write.mode(mode).options(**opts).orc(path)
+
+
 def write_json(df: DataFrame, path: str, mode: str = "overwrite", **opts) -> None:
     df.write.mode(mode).options(**opts).json(path)
 

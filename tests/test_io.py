@@ -225,3 +225,33 @@ def test_parquet_clustered_write_has_disjoint_file_ranges(spark, sf_dir, tmp_pat
         assert hi_a <= lo_b, f"overlapping file ranges: ({lo_a},{hi_a}) vs ({lo_b},..)"
     # and the data survives intact
     assert spark.read.parquet(out).count() == li.count()
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """A3/A18 sibling: ORC roundtrip preserves data, and a selective
+    filter reaches the ORC scan as a pushed search argument."""
+    src = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    out = str(tmp_path / "nation_orc")
+    writers.write_orc(src, out)
+    back = readers.read_orc(spark, out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+    q = back.filter(back.n_nationkey == 3).select("n_name")
+    q.collect()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "n_nationkey" in plan.split("PushedFilters: [", 1)[1]
+
+
+def test_text_reader_lines_and_whole_files(spark, tmp_path):
+    """Raw-corpus ingestion: line mode = one row per line; whole_text =
+    one row per file."""
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("hello world\nsecond line\n")
+    (d / "b.txt").write_text("single doc body\n")
+    lines = readers.read_text(spark, str(d))
+    assert sorted(r.value for r in lines.collect()) == [
+        "hello world", "second line", "single doc body",
+    ]
+    whole = readers.read_text(spark, str(d), whole_text=True)
+    assert whole.count() == 2
+    assert any("second line" in r.value for r in whole.collect())
