@@ -99,9 +99,16 @@ class Engine:
 
     def near_dup_pairs(self, df: DataFrame, method: str = "minhash", **kw) -> DataFrame:
         """(id_a, id_b, ...) near-dup pairs; output columns beyond the
-        pair key vary by method (jaccard stats, LSH distance, hamming)."""
+        pair key vary by method (jaccard stats, LSH distance, hamming).
+
+        Entry releases any intermediates cached by a PREVIOUS dedup call
+        (same convention as the declared workload queries), so a
+        long-lived Engine holds at most one call's worth of cached
+        blocks; a prior not-yet-materialized result stays correct and
+        recomputes from lineage."""
         if method not in self._NEAR_DUP:
             raise ValueError(f"method must be one of {sorted(self._NEAR_DUP)}")
+        fdedup.release_cached()
         return self._NEAR_DUP[method](df, **kw)
 
     def dedup_near(
@@ -155,7 +162,15 @@ class Engine:
 
         name = f"eng_sink_{uuid.uuid4().hex[:12]}"
         ckpt = tempfile.mkdtemp(prefix=f"{name}_ckpt_")
-        stops.run_available_now(stops.write_stream_memory(df, name, output_mode), ckpt)
+        try:
+            stops.run_available_now(stops.write_stream_memory(df, name, output_mode), ckpt)
+        finally:
+            # availableNow ran to completion and the query is stopped; the
+            # throwaway checkpoint is dead state — a long-lived Engine
+            # must not accumulate one dir per drain
+            import shutil
+
+            shutil.rmtree(ckpt, ignore_errors=True)
         return self.spark.table(name)
 
     # -- Scale tooling (skew + co-location) ---------------------------

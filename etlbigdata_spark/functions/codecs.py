@@ -1,0 +1,135 @@
+"""Real media codec for B26: PPM (P6) decode / featurize / resize.
+
+The container ships no PIL/ffmpeg, but PPM P6 is an uncompressed format
+fully decodable with numpy + stdlib:
+
+    ``P6\\n<width> <height>\\n<maxval>\\n`` + width*height*3 raw RGB bytes
+
+so this module gives :mod:`.multimodal` one REAL codec path (used when
+``strict=True`` and no user codec is supplied).  "Video" is supported as
+a stream of concatenated P6 images (MJPEG-style), which exercises real
+frame splitting without ffmpeg.  Reference has no multimodal surface —
+this is north-star (SURVEY §2 B26) only.
+
+Everything here runs inside Arrow-batched ``mapInPandas`` workers: pure
+per-blob CPU, no Spark imports, no driver state.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_WS = b" \t\r\n"
+
+
+def _next_token(blob: bytes, pos: int) -> tuple[bytes, int]:
+    """Read the next PPM header token from ``pos``, skipping whitespace
+    and ``#`` comments (both legal per the netpbm spec)."""
+    n = len(blob)
+    while pos < n:
+        c = blob[pos : pos + 1]
+        if c in (b"#",):
+            while pos < n and blob[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c in (b" ", b"\t", b"\r", b"\n"):
+            pos += 1
+        else:
+            break
+    start = pos
+    while pos < n and blob[pos : pos + 1] not in (b" ", b"\t", b"\r", b"\n"):
+        pos += 1
+    if start == pos:
+        raise ValueError("truncated PPM header")
+    return blob[start:pos], pos
+
+
+def _parse_header(blob: bytes, pos: int = 0) -> tuple[int, int, int, int]:
+    """Parse one P6 header starting at ``pos``; returns
+    (width, height, data_start, data_end)."""
+    magic, pos = _next_token(blob, pos)
+    if magic != b"P6":
+        raise ValueError(f"not a P6 PPM (magic {magic!r})")
+    w_tok, pos = _next_token(blob, pos)
+    h_tok, pos = _next_token(blob, pos)
+    max_tok, pos = _next_token(blob, pos)
+    width, height, maxval = int(w_tok), int(h_tok), int(max_tok)
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 PPM supported (got {maxval})")
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad PPM dimensions {width}x{height}")
+    # exactly ONE whitespace byte separates maxval from the raster
+    pos += 1
+    data_end = pos + width * height * 3
+    if data_end > len(blob):
+        raise ValueError("truncated PPM raster")
+    return width, height, pos, data_end
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 array → P6 bytes."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) array, got shape {arr.shape}")
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def decode_ppm(blob: bytes) -> np.ndarray:
+    """P6 bytes → (H, W, 3) uint8 array.  Raises ValueError on anything
+    that is not a well-formed single P6 image."""
+    width, height, start, end = _parse_header(blob or b"")
+    return np.frombuffer(blob[start:end], dtype=np.uint8).reshape(height, width, 3)
+
+
+def split_ppm_stream(blob: bytes) -> list[bytes]:
+    """Split a concatenation of P6 images into standalone P6 blobs (the
+    'video' container for frame sampling)."""
+    frames: list[bytes] = []
+    pos, n = 0, len(blob or b"")
+    while pos < n:
+        # tolerate inter-frame whitespace
+        while pos < n and blob[pos : pos + 1] in (b" ", b"\t", b"\r", b"\n"):
+            pos += 1
+        if pos >= n:
+            break
+        frame_start = pos
+        _, _, _, data_end = _parse_header(blob, pos)
+        frames.append(blob[frame_start:data_end])
+        pos = data_end
+    if not frames:
+        raise ValueError("no P6 frames in stream")
+    return frames
+
+
+def ppm_features(key: str, blob: bytes) -> dict:
+    """Real decode → FEATURE_SCHEMA row: true width/height plus an 8-dim
+    feature (per-channel mean, per-channel std, aspect ratio, mean
+    luminance).  Deterministic, codec-grounded — not a byte hash."""
+    img = decode_ppm(blob)
+    h, w = img.shape[:2]
+    f = img.astype(np.float64)
+    means = f.mean(axis=(0, 1))
+    stds = f.std(axis=(0, 1))
+    lum = float(0.299 * means[0] + 0.587 * means[1] + 0.114 * means[2])
+    feature = [float(x) for x in means] + [float(x) for x in stds] + [w / h, lum]
+    return {"key": key, "width": w, "height": h, "n_frames": 1, "feature": feature}
+
+
+def ppm_resize(blob: bytes, width: int, height: int) -> bytes:
+    """Real decode → nearest-neighbor resample → re-encode P6.
+    Nearest-neighbor via integer index maps (pure numpy, no scipy)."""
+    img = decode_ppm(blob)
+    src_h, src_w = img.shape[:2]
+    rows = np.minimum((np.arange(height) + 0.5) * src_h / height, src_h - 1).astype(np.int64)
+    cols = np.minimum((np.arange(width) + 0.5) * src_w / width, src_w - 1).astype(np.int64)
+    return encode_ppm(img[rows[:, None], cols[None, :]])
+
+
+def ppm_frames(blob: bytes, n_frames: int) -> list[bytes]:
+    """Real frame sampling: split the concatenated-P6 stream and take
+    ``n_frames`` evenly spaced frames (all frames if fewer exist)."""
+    frames = split_ppm_stream(blob)
+    if len(frames) <= n_frames:
+        return frames
+    idx = np.linspace(0, len(frames) - 1, n_frames).round().astype(np.int64)
+    return [frames[i] for i in idx]

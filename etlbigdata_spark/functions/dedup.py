@@ -43,6 +43,17 @@ def release_cached() -> None:
         _LIVE_CACHE.pop().unpersist()
 
 
+def _release_one(df: DataFrame) -> None:
+    """Eagerly release a single superseded intermediate (used by the
+    connected-components loop, whose round N table makes round N-1's
+    dead — waiting for release_cached() would hold every round)."""
+    try:
+        _LIVE_CACHE.remove(df)
+    except ValueError:
+        pass
+    df.unpersist()
+
+
 # -- exact ------------------------------------------------------------
 def exact_dedup(df: DataFrame, text_col: str = "text", keep: str = "min", id_col: str = "doc_id") -> DataFrame:
     """B23/A8 — keep one doc per exact content hash. Shuffles md5(text)
@@ -473,13 +484,17 @@ def connected_components(
     Algorithm: min-label propagation — every node starts labeled with
     itself; each round every node takes the min of its own label and its
     neighbors' labels; converges in O(graph diameter) rounds.  Each
-    round is one shuffle (edge join + min-agg), all JVM-side; labels are
-    persisted per round and released on convergence, and the loop stops
-    early the first round no label changes (one count() action per
-    round — the driver never holds the data).  Near-dup graphs are
-    short-diameter (clusters are cliques-ish from banding), so the
-    practical round count is 2-4 even at corpus scale; ``max_iterations``
-    bounds the worst case.
+    round is one shuffle (edge join + min-agg), all JVM-side; each
+    round's label table is persisted and the PREVIOUS round's released as
+    soon as the new one is materialized, so at most two label tables are
+    ever cached regardless of iteration count.  The loop stops early the
+    first round no label changes (one count() action per round — the
+    driver never holds the data).  Near-dup graphs are short-diameter
+    (clusters are cliques-ish from banding), so the practical round
+    count is 2-4 even at corpus scale; ``max_iterations`` bounds the
+    worst case, and exhausting it without convergence warns — silent
+    truncation would return WRONG component ids for any chain longer
+    than the bound.
     """
     edges = (
         pairs.select(F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst"))
@@ -504,16 +519,33 @@ def connected_components(
             )
         )
         new_labels = _persist_scoped(new_labels)
+        # full (un-limited) diff count: one action that scans every
+        # partition of new_labels, fully populating its cache, so the
+        # superseded parent can be released without risking lineage
+        # recompute chains in later rounds
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
             .count()
         )
+        _release_one(labels)
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    else:
+        converged = False
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components stopped after max_iterations={max_iterations} "
+            "without converging — component ids are WRONG for any chain whose "
+            "diameter exceeds the bound; raise max_iterations",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("component_id"))
 
 

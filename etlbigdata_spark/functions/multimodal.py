@@ -4,10 +4,12 @@ Design: media is an opaque ``binary`` column + a typed metadata struct,
 ingested via ``binaryFile`` (sources/readers.read_binary_files) or built
 from any bytes column.  Decode / feature-extraction runs as Arrow-batched
 ``mapInPandas`` — the Spark-side plumbing (schema, batch shape, partition
-sizing) is real; the actual codec calls are STUBBED because image/audio
-libraries are not in this container: ``decode_fn`` defaults to a
-deterministic fake, and passing ``strict=True`` raises NotImplementedError
-at the stub boundary.
+sizing) is real, and so is ONE codec: uncompressed PPM (P6), decoded
+with numpy + stdlib in :mod:`.codecs` (``strict=True`` routes to it and
+raises ValueError on non-PPM bytes).  Compressed formats (JPEG/MP4/...)
+still need a user ``decode_fn`` because those libraries are not in this
+container; without ``strict`` the default remains a clearly-labeled
+deterministic fake so plumbing tests never depend on the payload format.
 """
 
 from __future__ import annotations
@@ -82,14 +84,19 @@ def extract_media_features(
     batch_partitions: int | None = None,
 ) -> DataFrame:
     """B26 — decode/featurize media via ``mapInPandas`` (Arrow batches of
-    rows in, feature rows out). Swap ``decode_fn`` for a real codec when
-    the libs exist; ``strict=True`` exposes the stub honestly."""
-    if strict:
-        raise NotImplementedError(
-            "real media decoding requires image/audio libs not present in this "
-            "container; pass decode_fn= with your codec"
-        )
-    fn = decode_fn or _fake_decode
+    rows in, feature rows out).  ``strict=True`` with no ``decode_fn``
+    uses the REAL built-in PPM (P6) codec — true dimensions + pixel-stat
+    features, ValueError on non-PPM bytes; swap ``decode_fn`` for a
+    JPEG/PNG codec where those libs exist.  Default (non-strict) is the
+    deterministic fake, for format-agnostic plumbing tests."""
+    if decode_fn is not None:
+        fn = decode_fn
+    elif strict:
+        from . import codecs
+
+        fn = codecs.ppm_features
+    else:
+        fn = _fake_decode
     src = df.select(F.col(key_col).cast("string").alias("key"), F.col(bytes_col).alias("blob"))
     if batch_partitions:
         # media blobs are large: bound rows-per-partition so an Arrow batch
@@ -134,15 +141,18 @@ def sample_frames(
     """B26 — video frame sampling as a one-to-many ``mapInPandas``: each
     media row fans out to ``n_frames`` (key, frame_idx, frame:binary)
     rows.  The fan-out, Arrow batch shape and binary round-trip are the
-    real Spark plumbing; the frame extraction itself is stubbed
-    (``strict=True`` raises; swap ``extract_fn`` for an ffmpeg-backed
-    callable in a container that has it)."""
-    if strict:
-        raise NotImplementedError(
-            "real frame extraction requires video libs not present in this "
-            "container; pass extract_fn= with your codec"
-        )
-    fn = extract_fn or _fake_frame_extract
+    real Spark plumbing; ``strict=True`` with no ``extract_fn`` uses the
+    REAL concatenated-PPM stream splitter (evenly-spaced frame sampling,
+    ValueError on non-PPM bytes) — swap ``extract_fn`` for an
+    ffmpeg-backed callable for compressed video."""
+    if extract_fn is not None:
+        fn = extract_fn
+    elif strict:
+        from . import codecs
+
+        fn = codecs.ppm_frames
+    else:
+        fn = _fake_frame_extract
     src = df.select(F.col(key_col).cast("string").alias("key"), F.col(bytes_col).alias("blob"))
     if batch_partitions:
         src = src.repartition(batch_partitions)
@@ -179,14 +189,18 @@ def resize_media(
 ) -> DataFrame:
     """B26 — binary→binary media transform (decode→resize→re-encode) via
     ``mapInPandas``, output re-wrapped with the typed metadata struct so
-    downstream ops see (key, media:binary, media_meta).  Codec stubbed
-    as above."""
-    if strict:
-        raise NotImplementedError(
-            "real resize requires image libs not present in this container; "
-            "pass resize_fn= with your codec"
-        )
-    fn = resize_fn or _fake_resize
+    downstream ops see (key, media:binary, media_meta).  ``strict=True``
+    with no ``resize_fn`` uses the REAL PPM codec (decode →
+    nearest-neighbor resample → re-encode, ValueError on non-PPM
+    bytes)."""
+    if resize_fn is not None:
+        fn = resize_fn
+    elif strict:
+        from . import codecs
+
+        fn = codecs.ppm_resize
+    else:
+        fn = _fake_resize
     src = df.select(F.col(key_col).cast("string").alias("key"), F.col(bytes_col).alias("blob"))
     if batch_partitions:
         src = src.repartition(batch_partitions)

@@ -130,15 +130,21 @@ def lsh_verified_topk(
     raw embedding arrays with the same expression as :func:`cosine_topk`.
 
     Recall mode = wide buckets + many tables: on L2-normalized vectors
-    every random projection lands in [-1, 1], so ``bucket_len >= 2``
-    puts near-neighbors in the same bucket with probability ≈ 1 and the
-    candidate set contains the true top-k.  Because the re-rank uses the
-    identical arithmetic path as the exact baseline (dot/norm over the
-    original arrays, rounded before ranking), the output EQUALS the
-    exact top-k and a SQL oracle can check the approximate pipeline
-    end-to-end.  This is proof apparatus: the production path is
-    :func:`lsh_topk` with tight buckets, which trades that guarantee for
-    a candidate-only join.
+    every random projection lands in [-1, 1], so with ``bucket_len >= 2``
+    a table collision only requires the two projections to share a SIGN
+    — a true neighbor at angle θ collides in one table with probability
+    1 - θ/π and is missed by ALL tables with probability ≈ (θ/π)^T
+    (T = ``num_hash_tables``; ~6e-6 at θ=π/4, T=8).  The guarantee is
+    therefore probabilistic, not structural: "output EQUALS exact top-k"
+    holds for the fixed seed and test data the oracle pins, with the
+    residual miss probability documented here rather than hidden.
+    Because the re-rank uses the identical arithmetic path as the exact
+    baseline (dot/norm over the original arrays, rounded before
+    ranking), any candidate-set equality does yield exact equality of
+    the ranked output, which is what the SQL oracle checks end-to-end.
+    This is proof apparatus: the production path is :func:`lsh_topk`
+    with tight buckets, which trades that guarantee for a
+    candidate-only join.
     """
     from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
     from pyspark.ml.functions import array_to_vector

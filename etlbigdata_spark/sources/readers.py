@@ -58,17 +58,37 @@ def read_csv(
     ``all_strings=True`` reproduces the reference's dirty-data fallback
     (``simple_etl.py:168-169``: coerce whole table to str) as an explicit
     opt-in instead of a silent rescue.
+
+    Buffer mode honors the common Spark CSV options (``sep``/``delimiter``,
+    ``nullValue``, ``quote``, ``escape``, ``comment``, ``encoding``) by
+    mapping them onto ``pd.read_csv``, and raises on any other option —
+    the two modes must never parse the same bytes differently.
     """
     if _is_buffer(path):
         import io
 
         import pandas as pd
 
+        # map the Spark-reader option names onto their pandas equivalents
+        # so a buffer parses the SAME way as a path; anything we can't
+        # translate raises instead of silently changing the parse
+        _BUF_OPT_MAP = {"sep": "sep", "delimiter": "sep", "nullValue": "na_values",
+                        "quote": "quotechar", "escape": "escapechar", "comment": "comment",
+                        "encoding": "encoding"}
+        unsupported = sorted(set(opts) - set(_BUF_OPT_MAP))
+        if unsupported:
+            raise ValueError(
+                f"read_csv buffer mode cannot honor option(s) {unsupported}; "
+                "write the buffer to a file and pass the path for the full "
+                "Spark CSV option surface"
+            )
+        pd_opts = {_BUF_OPT_MAP[k]: v for k, v in opts.items()}
         buf = io.BytesIO(path) if isinstance(path, (bytes, bytearray)) else path
         pdf = pd.read_csv(
             buf,
             header=0 if header else None,
-            dtype=str if all_strings else None,
+            dtype=str if (all_strings or not infer_schema) else None,
+            **pd_opts,
         )
         if not header:
             pdf.columns = [f"_c{i}" for i in range(len(pdf.columns))]

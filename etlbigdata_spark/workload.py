@@ -49,10 +49,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # the same session surfaces as bigint instead of erroring.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # with nanosAsLong the column surfaces as long nanos; the data
-        # is µs-resolution, so reconstructing a timestamp is lossless
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # with nanosAsLong the column surfaces as long nanos; the data
+            # is µs-resolution, so reconstructing a timestamp is lossless
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # µs-parquet without UTC adjustment infers as TIMESTAMP_NTZ;
+            # event-time watermarks only accept TIMESTAMP (LTZ), and the
+            # session timezone is pinned to UTC (session.py), so the cast
+            # preserves every wall-clock value while restoring the type
+            # the streaming engine and the pre-round-4 queries expect.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -1412,22 +1421,38 @@ def _event_stream(spark: SparkSession, sf_dir: str):
     load(spark, sf_dir, "events")  # side effect: nanosAsLong conf for the raw read
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     # the file source requires a DIRECTORY; stage the (read-only) table
-    # file into a temp dir via symlink (copy fallback)
+    # file into a temp dir via symlink (copy fallback). Registered in
+    # _PENDING_STAGE_DIRS and removed by _drain_to_table after the
+    # availableNow run has consumed it — repeated query calls on a
+    # long-lived session must not accumulate temp dirs.
     stage = tempfile.mkdtemp(prefix="st_replay_src_")
+    _PENDING_STAGE_DIRS.append(stage)
     src, dst = f"{sf_dir}/events.parquet", os.path.join(stage, "events.parquet")
     try:
         os.symlink(src, dst)
     except OSError:
         shutil.copyfile(src, dst)
     stream = stops.read_file_stream(spark, stage, raw.schema)
-    if dict(raw.dtypes).get("ts") == "bigint":
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # watermark requires TIMESTAMP (LTZ); lossless under the UTC
+        # session timezone — see load()
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
+
+
+_PENDING_STAGE_DIRS: list[str] = []
 
 
 def _drain_to_table(writer) -> str:
     """Run a streaming writer to completion (availableNow) into a memory
-    sink with a unique name; return the sink table name."""
+    sink with a unique name; return the sink table name.  After the run
+    the query is stopped and the memory sink holds the rows, so the
+    throwaway checkpoint and any staged source dirs are dead — removed
+    here rather than leaked (one set per query call otherwise)."""
+    import shutil
     import tempfile
     import uuid
 
@@ -1435,7 +1460,12 @@ def _drain_to_table(writer) -> str:
 
     name = f"st_sink_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix=f"{name}_ckpt_")
-    stops.run_available_now(writer.queryName(name), ckpt)
+    try:
+        stops.run_available_now(writer.queryName(name), ckpt)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        while _PENDING_STAGE_DIRS:
+            shutil.rmtree(_PENDING_STAGE_DIRS.pop(), ignore_errors=True)
     return name
 
 
@@ -2410,7 +2440,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "b15_json": b15_json,
     "b16_pivot": b16_pivot,
     "b16_unpivot": b16_unpivot,
-    "b17_sample": b17_sample,
+    # b17_sample (RNG, no cross-engine oracle by design) was demoted past
+    # the window in round 4 so all 50 driver rows are oracle-bearing; its
+    # B17 slot is proven by seed-deterministic pytest, and the freed slot
+    # promotes d06_dup_clusters (B23 cluster resolution, recursive-CTE
+    # oracle).
+    "d06_dup_clusters": d06_dup_clusters,
     "b18_pandas_udf": b18_pandas_udf,
     # streaming: batch twins (B20 windows, B21 watermark cutoff) plus
     # REAL-engine replay rows (B19 source/sink, B22 custom state run
@@ -2446,7 +2481,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "b14_explode": b14_explode,
     "st04_sliding": st04_sliding,
     "st07_stream_join": st07_stream_join,
-    "d06_dup_clusters": d06_dup_clusters,
+    "b17_sample": b17_sample,
     "q03_top_orders": q03_top_orders,
     "q04_priority_with_late_lines": q04_priority_with_late_lines,
     "q05_region_revenue": q05_region_revenue,

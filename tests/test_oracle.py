@@ -94,8 +94,13 @@ def test_driver_window_covers_expected_components():
         "st05_stream_replay",
         "st06_stateful",
         "d04v_simhash_verified",
+        "d06_dup_clusters",
     ):
         assert required in DRIVER_WINDOW
+    # round-4: every window row is oracle-bearing (b17's RNG query was
+    # demoted; its component is proven by seed-deterministic pytest)
+    assert "b17_sample" not in DRIVER_WINDOW
+    assert all(n in workload.ORACLE_SQL for n in DRIVER_WINDOW)
 
 
 NO_ORACLE = sorted(set(workload.QUERIES) - set(workload.ORACLE_SQL))

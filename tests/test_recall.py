@@ -94,6 +94,35 @@ def test_connected_components_on_known_graph(spark):
     assert comps == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
 
 
+def test_connected_components_caches_at_most_two_label_tables(spark):
+    """Round-4 fix: a deep chain (diameter 12 → many propagation rounds)
+    must release each superseded label table as soon as the next round is
+    materialized — at exit only edges + final labels remain cached, not
+    one table per round."""
+    baseline = len(fdedup._LIVE_CACHE)
+    chain = [(i, i + 1) for i in range(1, 7)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    comps = fdedup.connected_components(pairs, max_iterations=30)
+    comps.count()
+    held = len(fdedup._LIVE_CACHE) - baseline
+    assert held <= 2, (
+        f"{held} intermediates cached after a multi-round run — superseded "
+        "label tables were not released inside the loop"
+    )
+    labels = {r["doc_id"]: r["component_id"] for r in comps.collect()}
+    fdedup.release_cached()
+    assert labels == {i: 1 for i in range(1, 8)}
+
+
+def test_connected_components_warns_when_unconverged(spark):
+    """A chain longer than max_iterations must not silently return wrong
+    component ids."""
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(1, 7)], "id_a long, id_b long")
+    with pytest.warns(RuntimeWarning, match="without converging"):
+        fdedup.connected_components(pairs, max_iterations=2).collect()
+    fdedup.release_cached()
+
+
 def test_dedup_by_components_keeps_one_per_cluster(spark):
     docs = spark.createDataFrame([(i, f"t{i}") for i in (1, 2, 3, 4, 5, 6)], "doc_id long, text string")
     pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
