@@ -43,15 +43,6 @@ def release_cached() -> None:
         _LIVE_CACHE.pop().unpersist()
 
 
-def _release_one(df: DataFrame) -> None:
-    """Eagerly release a single superseded intermediate (used by the
-    connected-components loop, whose round N table makes round N-1's
-    dead — waiting for release_cached() would hold every round)."""
-    try:
-        _LIVE_CACHE.remove(df)
-    except ValueError:
-        pass
-    df.unpersist()
 
 
 # -- exact ------------------------------------------------------------
@@ -484,15 +475,23 @@ def connected_components(
     Algorithm: min-label propagation — every node starts labeled with
     itself; each round every node takes the min of its own label and its
     neighbors' labels; converges in O(graph diameter) rounds.  Each
-    round is one shuffle (edge join + min-agg), all JVM-side; each
-    round's label table is persisted and the PREVIOUS round's released as
-    soon as the new one is materialized, so at most two label tables are
-    ever cached regardless of iteration count.  The loop stops early the
-    first round no label changes (one count() action per round — the
-    driver never holds the data).  Near-dup graphs are short-diameter
-    (clusters are cliques-ish from banding), so the practical round
-    count is 2-4 even at corpus scale; ``max_iterations`` bounds the
-    worst case, and exhausting it without convergence warns — silent
+    round is one shuffle (edge join + min-agg), all JVM-side.
+
+    Iterative-loop hygiene (the part naive implementations get wrong):
+    each round's label table is ``localCheckpoint(eager=True)``-ed, which
+    BOTH materializes it AND truncates lineage, so plan depth stays O(1)
+    per round instead of growing by one join per round — growing plans
+    make analysis cost quadratic in rounds and eventually exhaust driver
+    heap (observed: OOM under a many-graph property test).  Only the
+    current and previous label tables are referenced at any time; the
+    superseded ones' checkpoint storage is reclaimed by the context
+    cleaner when the reference drops.  On a real cluster, executor loss
+    invalidates a local checkpoint — for jobs where a mid-loop retry is
+    too expensive, swap in reliable ``checkpoint()`` with a checkpoint
+    dir; near-dup graphs are short-diameter (clusters are cliques-ish
+    from banding), so the practical round count is 2-4 either way.
+    The loop stops early the first round no label changes, and
+    exhausting ``max_iterations`` without convergence warns — silent
     truncation would return WRONG component ids for any chain longer
     than the bound.
     """
@@ -502,9 +501,9 @@ def connected_components(
         .distinct()
     )
     edges = _persist_scoped(edges)
-    labels = _persist_scoped(
+    labels = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
-    )
+    ).localCheckpoint(eager=True)
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -517,19 +516,14 @@ def connected_components(
                 "id",
                 F.least(F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))).alias("comp"),
             )
-        )
-        new_labels = _persist_scoped(new_labels)
-        # full (un-limited) diff count: one action that scans every
-        # partition of new_labels, fully populating its cache, so the
-        # superseded parent can be released without risking lineage
-        # recompute chains in later rounds
+        ).localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
             .count()
         )
-        _release_one(labels)
         labels = new_labels
         if changed == 0:
             converged = True

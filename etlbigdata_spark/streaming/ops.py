@@ -37,6 +37,74 @@ def read_rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFra
     return spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
 
 
+def read_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topics: str | list[str] | None = None,
+    *,
+    subscribe_pattern: str | None = None,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+    fail_on_data_loss: bool = True,
+    **opts,
+) -> DataFrame:
+    """Kafka source (B19): ``readStream.format("kafka")`` with the
+    standard option surface — subscribe / subscribePattern, offset range,
+    per-trigger rate limiting.
+
+    Returns the raw Kafka schema (key/value binary + topic, partition,
+    offset, timestamp); compose with :func:`kafka_value_json` /
+    :func:`kafka_value_string` to deserialize.  At scale the source
+    parallelism equals topic partitions, and ``maxOffsetsPerTrigger`` is
+    the backpressure knob that keeps a micro-batch bounded.
+
+    VERIFICATION GATE (documented, not hidden): this sandbox has no
+    Kafka broker and pyspark ships without the kafka-sql connector JAR,
+    so tests cover option/plan construction only — the first ``start()``
+    against a real broker (with ``--packages
+    org.apache.spark:spark-sql-kafka-0-10_2.13``) is the integration
+    test this environment cannot run.  Reference cite: none (the
+    reference has no streaming); SURVEY §2 B19 declares the surface.
+    """
+    if (topics is None) == (subscribe_pattern is None):
+        raise ValueError("pass exactly one of topics= or subscribe_pattern=")
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", str(fail_on_data_loss).lower())
+    )
+    if topics is not None:
+        reader = reader.option(
+            "subscribe", topics if isinstance(topics, str) else ",".join(topics)
+        )
+    else:
+        reader = reader.option("subscribePattern", subscribe_pattern)
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+    return reader.options(**opts).load()
+
+
+def kafka_value_string(df: DataFrame) -> DataFrame:
+    """Deserialize the Kafka key/value binaries to strings, keeping the
+    event-time ``timestamp`` for watermarking."""
+    return df.select(
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+        "topic", "partition", "offset", "timestamp",
+    )
+
+
+def kafka_value_json(df: DataFrame, schema: T.StructType | str) -> DataFrame:
+    """Deserialize the Kafka value as JSON into typed columns (the
+    standard event-bus shape): value → ``from_json`` → flattened struct,
+    with ``timestamp`` kept for watermarking."""
+    return df.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("j"),
+        "topic", "partition", "offset", "timestamp",
+    ).select("j.*", "topic", "partition", "offset", "timestamp")
+
+
 # -- event-time windows (B20) + watermark (B21) ----------------------
 def tumbling_counts(
     df: DataFrame, ts_col: str, window_len: str, keys: list[str] | None = None,

@@ -197,8 +197,37 @@ WHERE l_quantity < 24 AND l_discount >= 0.05 AND l_discount <= 0.07
 
 
 # ---------------------------------------------------------------------
-# Part A reference parity (SURVEY §2 A6-A16)
+# Part A reference parity (SURVEY §2 A1, A6-A16)
 # ---------------------------------------------------------------------
+def a01_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — CSV scan proven at driver level.  The driver testdata is
+    parquet-only, so the query materializes ``region`` as RFC-4180 CSV
+    through the engine's own sink (sources/writers.write_csv, replacing
+    the reference's lossy RDD text sink, ``simple_etl.py:384``) and
+    reads it back through the DISTRIBUTED CSV reader
+    (sources/readers.read_csv → spark.read.csv) with an explicit schema;
+    the oracle reads the parquet directly, so a green row proves the
+    CSV write→scan roundtrip byte-exactly.  A fixed per-SF staging path
+    (overwrite mode) keeps repeated calls from accumulating temp dirs."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .sources import readers as srcreaders
+    from .sources import writers as srcwriters
+
+    reg = load(spark, sf_dir, "region")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"a01_csv_{tag}")
+    srcwriters.write_csv(reg, stage, mode="overwrite")
+    return srcreaders.read_csv(spark, stage, schema=reg.schema)
+
+
+A01_SQL = """
+SELECT * FROM region
+"""
+
+
 def a06_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 — UNION ALL (multiset) of two overlapping subsets, name-aligned."""
     orders = load(spark, sf_dir, "orders")
@@ -796,6 +825,22 @@ SELECT l_returnflag,
 FROM lineitem
 GROUP BY l_returnflag
 """
+
+
+def b28a_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 scale face of b28 — ``approx_percentile`` (Greenwald-Khanna
+    sketch): single pass, mergeable partials, bounded memory per group —
+    the 100 TB path where exact percentile's per-group full sort is not.
+    accuracy=10000 bounds rank error at 1/accuracy (= 0.01 %).  Sketch
+    internals are engine-specific, so no cross-engine oracle — the b05h
+    pattern: rows-only here, error-bound pytest vs the exact path
+    (tests/test_operators.py)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_quantity", 0.5, 10000).alias("p50_qty"),
+        F.approx_percentile("l_quantity", 0.9, 10000).alias("p90_qty"),
+        F.approx_percentile("l_extendedprice", 0.5, 10000).alias("med_price"),
+    )
 
 
 def b29_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2019,6 +2064,42 @@ FROM customer
 """
 
 
+def b18t_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B18 — class-based Python UDTF (``spark.udtf``, Spark 4) used from
+    SQL via LATERAL: document → fixed-size word chunks, the canonical
+    training-window fan-out.  Completes the B18 surface next to the
+    scalar pandas UDF (b18_pandas_udf) and mapInPandas (B26); at 100 TB
+    the same chunking belongs in mapInPandas — this row proves the
+    registration API with an oracle, on a bounded slice."""
+    from .functions import udtfs
+
+    udtfs.register_all(spark)
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs.createOrReplaceTempView("docs_for_chunk")
+    return spark.sql(
+        """
+        SELECT doc_id, c.chunk_idx, c.chunk, c.n_words
+        FROM docs_for_chunk, LATERAL chunk_text(text, 32) AS c
+        """
+    )
+
+
+B18T_SQL = """
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS widx
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+       CAST(widx // 32 AS INTEGER) AS chunk_idx,
+       string_agg(w, ' ' ORDER BY widx) AS chunk,
+       CAST(COUNT(*) AS INTEGER) AS n_words
+FROM words
+GROUP BY doc_id, widx // 32
+"""
+
+
 def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B4+B9 — join + conditional aggregation (TPC-H Q12-like: late
     shipments per return flag, split by priority class)."""
@@ -2408,6 +2489,7 @@ def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver window (first 50): one proving query per component ---
     # Part A
+    "a01_csv_scan": a01_csv_scan,
     "a06_union_all": a06_union_all,
     "a07_fill_nulls": a07_fill_nulls,
     "a08_dedup": a08_dedup,
@@ -2439,7 +2521,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "b15_from_json": b15_from_json,
     "b15_json": b15_json,
     "b16_pivot": b16_pivot,
-    "b16_unpivot": b16_unpivot,
+    # b16_unpivot (2nd B16 row) demoted in round 4 to free a window slot
+    # for a01_csv_scan — A1 had no driver-level proof; unpivot stays
+    # oracle-checked by tests/test_oracle.py.
     # b17_sample (RNG, no cross-engine oracle by design) was demoted past
     # the window in round 4 so all 50 driver rows are oracle-bearing; its
     # B17 slot is proven by seed-deterministic pytest, and the freed slot
@@ -2481,7 +2565,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "b14_explode": b14_explode,
     "st04_sliding": st04_sliding,
     "st07_stream_join": st07_stream_join,
+    "b16_unpivot": b16_unpivot,
     "b17_sample": b17_sample,
+    "b18t_chunk_udtf": b18t_chunk_udtf,
     "q03_top_orders": q03_top_orders,
     "q04_priority_with_late_lines": q04_priority_with_late_lines,
     "q05_region_revenue": q05_region_revenue,
@@ -2508,6 +2594,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s03_ivf_topk": s03_ivf_topk,
     "t05_fingerprint": t05_fingerprint,
     "b28_percentile": b28_percentile,
+    "b28a_approx_percentile": b28a_approx_percentile,
     "b29_salted_agg": b29_salted_agg,
     "b30_salted_join": b30_salted_join,
     "b05h_hll_merge": b05h_hll_merge,
@@ -2522,6 +2609,7 @@ DRIVER_WINDOW_SIZE = 50
 DRIVER_SF_DIR = "/root/testdata/sf0.01"
 
 ORACLE_SQL: dict[str, str] = {
+    "a01_csv_scan": A01_SQL,
     "q01_pricing_summary": Q01_SQL,
     "q03_top_orders": Q03_SQL,
     "q05_region_revenue": Q05_SQL,
@@ -2554,6 +2642,7 @@ ORACLE_SQL: dict[str, str] = {
     "b14_explode": B14_EXPLODE_SQL,
     "b16_unpivot": B16_UNPIVOT_SQL,
     "b18_pandas_udf": B18_SQL,
+    "b18t_chunk_udtf": B18T_SQL,
     "a06_union_all": A06_SQL,
     "a07_fill_nulls": A07_SQL,
     "a08_dedup": A08_SQL,

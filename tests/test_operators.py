@@ -289,3 +289,34 @@ def test_asof_join_forward_direction(spark):
     )
     out = joins.asof_join(left, right, "k", "ts", direction="forward").collect()
     assert out[0].r_px == 2.0  # t(5) is before, t(9) is the at-or-after match
+
+
+def test_approx_percentile_within_rank_error_of_exact(spark, sf_dir):
+    """b28a — the GK sketch guarantees rank error <= 1/accuracy: for each
+    group and each p, the approximate value must lie between the EXACT
+    quantiles at p-eps and p+eps (eps widened to 1e-3 for slack; the
+    sketch runs at accuracy=10000).  This is the b05/b05h pattern: the
+    approximate scale path is bound-checked against the exact path
+    instead of hash-checked against an oracle."""
+    import os
+
+    from etlbigdata_spark import workload
+
+    approx = {
+        r["l_returnflag"]: r for r in workload.b28a_approx_percentile(spark, sf_dir).collect()
+    }
+    li = workload.load(spark, sf_dir, "lineitem")
+    eps = 1e-3
+    bounds = li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5 - eps).alias("p50_lo"),
+        F.percentile("l_quantity", 0.5 + eps).alias("p50_hi"),
+        F.percentile("l_quantity", 0.9 - eps).alias("p90_lo"),
+        F.percentile("l_quantity", 0.9 + eps).alias("p90_hi"),
+        F.percentile("l_extendedprice", 0.5 - eps).alias("med_lo"),
+        F.percentile("l_extendedprice", 0.5 + eps).alias("med_hi"),
+    )
+    for b in bounds.collect():
+        a = approx[b["l_returnflag"]]
+        assert b["p50_lo"] <= a["p50_qty"] <= b["p50_hi"], (b["l_returnflag"], "p50")
+        assert b["p90_lo"] <= a["p90_qty"] <= b["p90_hi"], (b["l_returnflag"], "p90")
+        assert b["med_lo"] <= a["med_price"] <= b["med_hi"], (b["l_returnflag"], "med")

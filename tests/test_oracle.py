@@ -103,6 +103,13 @@ def test_driver_window_covers_expected_components():
     assert all(n in workload.ORACLE_SQL for n in DRIVER_WINDOW)
 
 
+def test_registry_counts_match_documentation():
+    """README/COVERAGE cite these exact counts (round-3 verdict flagged
+    drift); changing the registry must update the docs with it."""
+    assert len(workload.QUERIES) == 91
+    assert len(workload.ORACLE_SQL) == 83
+
+
 NO_ORACLE = sorted(set(workload.QUERIES) - set(workload.ORACLE_SQL))
 
 

@@ -94,21 +94,26 @@ def test_connected_components_on_known_graph(spark):
     assert comps == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
 
 
-def test_connected_components_caches_at_most_two_label_tables(spark):
-    """Round-4 fix: a deep chain (diameter 12 → many propagation rounds)
-    must release each superseded label table as soon as the next round is
-    materialized — at exit only edges + final labels remain cached, not
-    one table per round."""
+def test_connected_components_bounded_cache_and_flat_plans(spark):
+    """Round-4 fix: the propagation loop localCheckpoints each round's
+    label table (lineage truncation — O(1) plan depth per round instead
+    of one-join-deeper per round, which OOMed the driver under repeated
+    runs) and registers ONLY the edge table in the module cache — a
+    multi-round run must not accumulate persisted intermediates, and the
+    final result's plan must be flat (no round-count-deep join tree)."""
     baseline = len(fdedup._LIVE_CACHE)
     chain = [(i, i + 1) for i in range(1, 7)]
     pairs = spark.createDataFrame(chain, "id_a long, id_b long")
     comps = fdedup.connected_components(pairs, max_iterations=30)
-    comps.count()
     held = len(fdedup._LIVE_CACHE) - baseline
-    assert held <= 2, (
-        f"{held} intermediates cached after a multi-round run — superseded "
-        "label tables were not released inside the loop"
+    assert held <= 1, (
+        f"{held} intermediates registered after a multi-round run — the loop "
+        "must not persist per-round label tables"
     )
+    # lineage truncated: the returned plan reads a checkpoint scan, not a
+    # tower of per-round joins
+    plan = comps._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan, f"unflattened lineage:\n{plan[:500]}"
     labels = {r["doc_id"]: r["component_id"] for r in comps.collect()}
     fdedup.release_cached()
     assert labels == {i: 1 for i in range(1, 8)}

@@ -242,3 +242,43 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert got == {(100, 101, 1), (200, 201, 2)}
+
+
+def test_kafka_wrapper_options_and_deserializers(spark):
+    """B19 Kafka surface: option validation is testable without a broker;
+    the value deserializers are testable on a static frame shaped like
+    the Kafka source schema.  The .load() path itself needs the
+    spark-sql-kafka connector JAR + a broker — documented gate in the
+    read_kafka docstring; the sandbox ships neither."""
+    import pytest as _pytest
+
+    from etlbigdata_spark.streaming import ops
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        ops.read_kafka(spark, "localhost:9092")
+    with _pytest.raises(ValueError, match="exactly one"):
+        ops.read_kafka(spark, "localhost:9092", topics="t", subscribe_pattern="t.*")
+
+    # connector JAR absent here: the option plumbing must reach data-source
+    # resolution (i.e. fail looking up "kafka", not inside our wrapper)
+    try:
+        ops.read_kafka(spark, "localhost:9092", topics=["a", "b"],
+                       max_offsets_per_trigger=1000)
+        has_connector = True
+    except Exception as e:
+        has_connector = False
+        assert "kafka" in str(e).lower()
+    if has_connector:  # pragma: no cover - not in this sandbox
+        df = ops.read_kafka(spark, "localhost:9092", topics="a")
+        assert df.isStreaming
+
+    fake = spark.createDataFrame(
+        [(bytearray(b"k1"), bytearray(b'{"user_id": 7, "value": 1.5}'), "t", 0, 42)],
+        "key binary, value binary, topic string, partition int, offset long",
+    ).withColumn("timestamp", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+
+    s = ops.kafka_value_string(fake).collect()[0]
+    assert (s["key"], s["value"], s["offset"]) == ("k1", '{"user_id": 7, "value": 1.5}', 42)
+
+    j = ops.kafka_value_json(fake, "user_id long, value double").collect()[0]
+    assert (j["user_id"], j["value"], j["topic"]) == (7, 1.5, "t")
