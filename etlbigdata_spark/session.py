@@ -55,8 +55,18 @@ def build_session(
         # small enough that a 100 TB scan still yields ~800k tasks that
         # schedule incrementally.
         "spark.sql.files.maxPartitionBytes": "134217728",
-        # Dimension tables (region/nation/supplier/part) broadcast.
-        "spark.sql.autoBroadcastJoinThreshold": "64m",
+        # Spark's default broadcast threshold. Rounds 1-3 overrode this
+        # to 64m "so dims broadcast", but dims are ≪10m anyway (and the
+        # star-join operators hint them explicitly); what 64m actually
+        # did was force MID-SIZE runtime builds (e.g. a 300k-row
+        # orders⋈customer intermediate) through driver-side broadcast
+        # construction — measured 2-4× slowdowns on q03/q04/q18/q21 at
+        # the sf1 scale-up (BASELINE.md growth table). At the cluster
+        # design point the same logic holds harder: a 64 MB build × 1000
+        # executors is 64 GB of fan-out traffic; 10m is the accepted
+        # trade-off and AQE still upgrades anything that measures small
+        # at runtime.
+        "spark.sql.autoBroadcastJoinThreshold": "10m",
         "spark.sql.parquet.filterPushdown": "true",
         # Spark 4 ICU case mappings: the ICU class's static init costs ~30 s
         # of CPU on first use (com.ibm.icu CaseMapImpl tables). JVM case

@@ -2466,6 +2466,31 @@ WHERE total_rev_dec = (SELECT MAX(total_rev_dec) FROM rev)
 """
 
 
+def st08_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B22 — watermarked streaming dropDuplicates driven through the
+    ACTUAL engine: the event stream unioned with itself (guaranteed
+    duplicates) → streaming_dedup on event_id → append-mode memory sink.
+    Every event then survives exactly once, which equals the plain batch
+    projection — so the bounded-state dedup path is oracle-checkable.
+    State is bounded by the watermark: keys older than max(ts) - delay
+    are evicted, the property that keeps this viable on an unbounded
+    stream."""
+    from .streaming import ops as stops
+
+    a = _event_stream(spark, sf_dir)
+    b = _event_stream(spark, sf_dir)
+    dup = a.unionByName(b)
+    ded = stops.streaming_dedup(dup, ["event_id"], ts_col="ts", watermark="1 hour")
+    out = ded.select("event_id", "user_id", "event_type", "value")
+    name = _drain_to_table(stops.write_stream_memory(out, "placeholder", "append"))
+    return spark.table(name)
+
+
+ST08_SQL = """
+SELECT event_id, user_id, event_type, value FROM events
+"""
+
+
 def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B23 — embedding-cosine near-dup pairs via random-projection LSH
     (approximate: recall-tested against the exact path, rows-only here).
@@ -2565,6 +2590,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "b14_explode": b14_explode,
     "st04_sliding": st04_sliding,
     "st07_stream_join": st07_stream_join,
+    "st08_stream_dedup": st08_stream_dedup,
     "b16_unpivot": b16_unpivot,
     "b17_sample": b17_sample,
     "b18t_chunk_udtf": b18t_chunk_udtf,
@@ -2691,6 +2717,7 @@ ORACLE_SQL: dict[str, str] = {
     "st05_stream_replay": ST05_SQL,
     "st06_stateful": ST06_SQL,
     "st07_stream_join": ST07_SQL,
+    "st08_stream_dedup": ST08_SQL,
     "t05_fingerprint": T05_SQL,
     # rows-only (approximate / engine-specific RNG or hash): b17_sample,
     # d03_minhash, d04_simhash, s02_lsh_topk, d05_embedding_neardup —

@@ -282,3 +282,69 @@ def test_kafka_wrapper_options_and_deserializers(spark):
 
     j = ops.kafka_value_json(fake, "user_id long, value double").collect()[0]
     assert (j["user_id"], j["value"], j["topic"]) == (7, 1.5, "t")
+
+
+def test_transform_with_state_gated(spark, tmp_path):
+    """B22 — transformWithStateInPandas equivalence vs the batch GROUP BY
+    (the same contract st06 proves for applyInPandasWithState), on a
+    single-file source so one micro-batch emits each key's final state
+    exactly once.  The TWS state server requires google.protobuf, which
+    this container does not ship — the test skips there and runs for
+    real where it exists (stateful_running_agg_tws's docstring states
+    the gate)."""
+    pytest.importorskip("google.protobuf")
+
+    d = tmp_path / "tws_src"
+    d.mkdir()
+    _write_batch(
+        d / "all.parquet",
+        [
+            (1, _ts(10, 0), 1, 1.0),
+            (2, _ts(10, 5), 1, 2.0),
+            (3, _ts(11, 0), 2, 3.0),
+            (4, _ts(11, 5), 2, 5.0),
+        ],
+    )
+    stream = ops.read_file_stream(spark, str(d), EVENT_SCHEMA)
+    res = ops.stateful_running_agg_tws(stream, "user_id", "value", "ts")
+    _replay(ops.write_stream_memory(res, "tws_golden", "update"), tmp_path, "tws")
+    got = {
+        (r["key"], round(r["running_sum"], 4), r["running_count"])
+        for r in spark.table("tws_golden").collect()
+    }
+    assert got == {(1, 3.0, 2), (2, 8.0, 2)}
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """B19/B21 — exactly-once across RESTARTS: run an availableNow drain
+    with a checkpoint, then add a new source file and rerun with the
+    SAME checkpoint — the second run must process only the new file (no
+    reprocessing, no loss), and the final counts must equal the batch
+    answer over all files.  This is the recovery contract a 100 TB
+    pipeline leans on when a job dies mid-stream."""
+    d = tmp_path / "ck_src"
+    d.mkdir()
+    _write_batch(d / "f0.parquet", [(1, _ts(10, 0), 1, 1.0), (2, _ts(10, 1), 2, 2.0)])
+    ckpt = str(tmp_path / "ck_ckpt")
+
+    def drain(run_name):
+        stream = ops.read_file_stream(spark, str(d), EVENT_SCHEMA)
+        counts = stream.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
+        )
+        ops.run_available_now(
+            ops.write_stream_memory(counts, run_name, "complete"), ckpt
+        )
+        return {
+            (r["user_id"], r["n"], round(r["s"], 4))
+            for r in spark.table(run_name).collect()
+        }
+
+    first = drain("ck_run1")
+    assert first == {(1, 1, 1.0), (2, 1, 2.0)}
+
+    _write_batch(d / "f1.parquet", [(3, _ts(10, 2), 1, 4.0)])
+    second = drain("ck_run2")
+    # complete-mode state survived the restart via the checkpoint: user 1
+    # accumulates across BOTH runs without reprocessing f0
+    assert second == {(1, 2, 5.0), (2, 1, 2.0)}
