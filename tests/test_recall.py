@@ -246,3 +246,16 @@ def test_jaccard_threshold_monotone(docs):
     assert hi_pairs <= lo_pairs
     assert all(r.jaccard >= 0.3 for r in lo)
     assert all(r.jaccard >= 0.7 for r in hi)
+
+
+def test_cosine_topk_vectorized_equals_expression_path(spark, sf_dir):
+    """B24 round-4: the BLAS-matmul scorer (with its per-batch lossless
+    candidate cut) must return EXACTLY the expression-path result —
+    same ids, same rounded scores, same ranks."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    fast = fsim.cosine_topk(emb, queries, k=7, round_to=6, vectorized=True)
+    slow = fsim.cosine_topk(emb, queries, k=7, round_to=6, vectorized=False)
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(map(tuple, fast.collect()), key=lambda t: (t[0], t[3])) == \
+           sorted(map(tuple, slow.collect()), key=lambda t: (t[0], t[3]))
