@@ -432,6 +432,59 @@ GROUP BY GROUPING SETS (
 """
 
 
+def evt02_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10+B4 composite — sequential conversion funnel: per user, count
+    'purchase' events preceded by a 'click' within 30 minutes.  The
+    scale-right plan is ONE shuffle (window by user over the filtered
+    event stream, running MAX of click-times, then a per-user agg) —
+    NOT a purchases×clicks range self-join, whose candidate set is
+    quadratic in per-user activity.  Ordering ties are pinned by
+    (ts, event_type, event_id) so both engines rank identically."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("user_id", "ts", "event_type", "event_id")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_type").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.max(F.when(F.col("event_type") == "click", F.col("ts"))).over(w)
+    return (
+        ev.withColumn("last_click", last_click)
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("last_click").isNotNull()
+            & (F.col("ts").cast("long") - F.col("last_click").cast("long") <= 1800)
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("conversions"))
+    )
+
+
+EVT02_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, event_id
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+w AS (
+  SELECT user_id, ts, event_type,
+         MAX(CASE WHEN event_type = 'click' THEN ts END) OVER (
+           PARTITION BY user_id
+           ORDER BY ts ASC, event_type ASC, event_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS last_click
+  FROM ev
+)
+SELECT user_id, COUNT(*) AS conversions
+FROM w
+WHERE event_type = 'purchase' AND last_click IS NOT NULL
+  AND epoch(ts) - epoch(last_click) <= 1800
+GROUP BY user_id
+"""
+
+
 def b05h_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B5 — mergeable-sketch distinct count (rows-only: DataSketches HLL
     has no DuckDB twin; its oracle-checked sibling is b05's exact
@@ -2625,6 +2678,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "b30_salted_join": b30_salted_join,
     "b05h_hll_merge": b05h_hll_merge,
     "evt01_time_rollup": evt01_time_rollup,
+    "evt02_funnel": evt02_funnel,
 }
 
 # The driver's correctness gate checks the first N registry entries at
@@ -2698,6 +2752,7 @@ ORACLE_SQL: dict[str, str] = {
     "b29_salted_agg": B29_SQL,
     "b30_salted_join": B30_SQL,
     "evt01_time_rollup": EVT01_SQL,
+    "evt02_funnel": EVT02_SQL,
     "t01_text_stats": T01_SQL,
     "t02_token_count": T02_SQL,
     "t03_quality": T03_SQL,
