@@ -217,7 +217,10 @@ def a01_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources import writers as srcwriters
 
     reg = load(spark, sf_dir, "region")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # per-(sf_dir, process) path: repeated calls in one session reuse it
+    # (overwrite mode, no temp-dir accumulation) while concurrent
+    # processes (driver gate + pytest) cannot clobber each other's write
+    tag = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:8]
     stage = os.path.join(tempfile.gettempdir(), f"a01_csv_{tag}")
     srcwriters.write_csv(reg, stage, mode="overwrite")
     return srcreaders.read_csv(spark, stage, schema=reg.schema)
