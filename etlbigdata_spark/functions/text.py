@@ -10,7 +10,7 @@ weeks.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
@@ -110,6 +110,55 @@ def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred
     )[0]
     return df.withColumn(
         out_col, F.when(best["score"] > 0, best_tie["lang"]).otherwise(F.lit("und"))
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+    top_n: int = 3,
+) -> DataFrame:
+    """B25 — corpus TF-IDF, DataFrame-native (no ``pyspark.ml`` pipeline,
+    no hashing trick, so every number is SQL-reproducible): per group
+    (e.g. language), the ``top_n`` terms by ``tf · ln(N/df)`` where tf
+    counts occurrences within the group, df counts documents containing
+    the term, N is the corpus size.
+
+    Plan shape = two word-counts and a term-keyed join: explode tokens →
+    (group, term) counts and per-doc-distinct explode → term df, both
+    map-side-combined; N rides in as a broadcast 1-row cross join (no
+    driver action, the plan stays lazy); per-group top-n via window.
+    Ranking uses the 6-dp-rounded score with a term-asc tiebreak so
+    order is reproducible across engines.
+    """
+    toks = df.select(
+        F.col(doc_id_col).alias("__doc"),
+        F.col(group_col).alias("grp"),
+        tokens_col(text_col).alias("__toks"),
+    )
+    exploded = toks.select("grp", F.explode("__toks").alias("term"))
+    tf = exploded.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        toks.select("__doc", F.explode(F.array_distinct("__toks")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    total = toks.select(F.count(F.lit(1)).alias("__n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("__n_docs").cast("double") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(F.col("grp").alias(group_col), "term", "tf", "df", "tfidf", "rank")
     )
 
 

@@ -1350,6 +1350,47 @@ FROM documents
 """
 
 
+def t06_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B25 — corpus TF-IDF top terms per language (functions/text.
+    tfidf_top_terms): tf·ln(N/df), two word-count shuffles + a
+    term-keyed join, no ml pipeline and no hashing trick so the DuckDB
+    oracle can reproduce every score."""
+    docs = load(spark, sf_dir, "documents")
+    return ftext.tfidf_top_terms(docs, "doc_id", "text", "lang", top_n=3)
+
+
+T06_SQL = """
+WITH docs AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+tf AS (
+  SELECT lang, t.term AS term, COUNT(*) AS tf
+  FROM docs, UNNEST(toks) AS t(term)
+  GROUP BY 1, 2
+),
+dfreq AS (
+  SELECT t.term AS term, COUNT(*) AS df
+  FROM (SELECT doc_id, list_distinct(toks) AS dt FROM docs), UNNEST(dt) AS t(term)
+  GROUP BY 1
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT lang, term, tf, df, tfidf, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT tf.lang, tf.term, tf.tf, dfreq.df,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf,
+         row_number() OVER (
+           PARTITION BY tf.lang
+           ORDER BY round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) DESC,
+                    tf.term ASC
+         ) AS rank
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+WHERE rank <= 3
+"""
+
+
 def mm01_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B26 — binary media column + typed metadata struct (checksum/size)."""
     from .functions.multimodal import attach_media_meta
@@ -2682,6 +2723,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "b05h_hll_merge": b05h_hll_merge,
     "evt01_time_rollup": evt01_time_rollup,
     "evt02_funnel": evt02_funnel,
+    "t06_tfidf_topterms": t06_tfidf_topterms,
 }
 
 # The driver's correctness gate checks the first N registry entries at
@@ -2756,6 +2798,7 @@ ORACLE_SQL: dict[str, str] = {
     "b30_salted_join": B30_SQL,
     "evt01_time_rollup": EVT01_SQL,
     "evt02_funnel": EVT02_SQL,
+    "t06_tfidf_topterms": T06_SQL,
     "t01_text_stats": T01_SQL,
     "t02_token_count": T02_SQL,
     "t03_quality": T03_SQL,
