@@ -135,6 +135,11 @@ class Engine:
             raise ValueError(f"method must be one of {sorted(self._TOPK)}")
         return self._TOPK[method](corpus, queries, k=k, **kw)
 
+    def top_terms(self, df: DataFrame, **kw) -> DataFrame:
+        """Corpus TF-IDF top terms per group (B25) — see
+        functions.text.tfidf_top_terms."""
+        return ftext.tfidf_top_terms(df, **kw)
+
     def enrich_text(self, df: DataFrame, text_col: str = "text") -> DataFrame:
         """Stats + quality score + language-ID + fingerprint in one
         single-pass projection chain (all codegen expressions)."""
