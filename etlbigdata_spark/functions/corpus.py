@@ -1,0 +1,200 @@
+"""Corpus curation for LLM-training-data pipelines (SURVEY §2 B23/B25
+neighborhood): deterministic splits, quota sampling, benchmark
+contamination checks, PII redaction.
+
+The reference has no counterpart (its cleaning surface is
+fillna/dedup/replace, ``/root/reference/simple_etl.py:192-228``); these
+are the operations a 100 TB training-data pipeline runs between "raw
+corpus" and "training mix". Everything here is built-in-expression
+PySpark — no Python in the hot path — and every operator is
+deterministic (content-addressed hashing, no RNG), so each has an exact
+DuckDB oracle twin in the workload.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import exploded_shingles
+
+# -- deterministic split ----------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def _id_md5(id_col: str | Column) -> Column:
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.md5(c.cast("string"))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    out_col: str = "split",
+    buckets: dict[str, int] | None = None,
+) -> DataFrame:
+    """Content-addressed train/val/test split: the first hex digit of
+    ``md5(id)`` selects the split, so assignment is (a) reproducible with
+    no RNG or ordering dependence, (b) stable under repartition/reshard
+    (a doc's split follows its id, not its file position), and (c) a pure
+    map-side expression — at 100 TB the split label is a free projected
+    column, no shuffle, no sampling pass.
+
+    ``buckets`` maps split name → how many of the 16 hex buckets it owns
+    (insertion order assigns digit ranges); default 13/2/1 ≈
+    81%/12.5%/6.25%. md5 rather than a seeded RNG is the point: the same
+    doc lands in the same split across runs, engines, and cluster sizes —
+    the property leakage audits depend on.
+    """
+    if buckets is None:
+        buckets = {"train": 13, "val": 2, "test": 1}
+    if sum(buckets.values()) != 16:
+        raise ValueError(f"bucket counts must sum to 16, got {buckets}")
+    digit = F.substring(_id_md5(id_col), 1, 1)
+    expr = None
+    pos = 0
+    for name, width in buckets.items():
+        digits = list(_HEX[pos : pos + width])
+        pos += width
+        expr = F.when(digit.isin(digits), F.lit(name)) if expr is None else expr.when(
+            digit.isin(digits), F.lit(name)
+        )
+    return df.withColumn(out_col, expr)
+
+
+# -- quota (stratified, deterministic) sampling -----------------------
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    prefilter_safety: int = 10,
+) -> DataFrame:
+    """Per-group deterministic quota sample: the ``k`` rows with the
+    smallest ``md5(id)`` per group — the reproducible version of
+    "sample k docs per language" used to build training mixes.
+
+    Scale shape: a naive ``row_number() OVER (PARTITION BY group ORDER
+    BY md5)`` sorts the entire corpus inside a handful of group
+    partitions (languages are few → maximal skew). Instead: (1) one
+    cheap count per group, broadcast back; (2) prefilter to rows whose
+    16-bit hash prefix is below ``safety·k/n`` of the hash space — a
+    map-side cut that keeps ≈ safety·k rows per group; (3) run the
+    window top-k on the survivors only. The prefilter orders by the same
+    hash that defines the sample, so it can only drop rows that cannot
+    be in the top-k, provided ≥ k rows survive: groups with
+    n ≤ safety·k are never filtered at all, and for larger groups the
+    survivor count is Binomial(n, safety·k/n) — short by chance with
+    probability < e^{-k·safety·(1−1/safety)²/2} (Chernoff), ~1e-18 at
+    k=20, safety=10. ``tests/test_operators.py`` proves
+    prefiltered ≡ unfiltered on real data where the prefilter is active.
+    """
+    h = _id_md5(id_col).alias("__h")
+    base = df.select(F.col(group_col).alias("__g"), F.col(id_col).alias("__id"), h)
+    counts = base.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+    # 16-bit prefix of the md5 as an integer in [0, 65536)
+    pref = F.conv(F.substring(F.col("__h"), 1, 4), 16, 10).cast("int")
+    thresh = F.least(
+        F.lit(65536),
+        F.ceil(F.lit(65536.0) * F.lit(float(prefilter_safety * k)) / F.col("__n")).cast("int"),
+    )
+    survivors = base.join(F.broadcast(counts), "__g").filter(pref <= thresh)
+    w = Window.partitionBy("__g").orderBy(F.col("__h").asc(), F.col("__id").asc())
+    picked = (
+        survivors.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(F.col("__g").alias(group_col), F.col("__id").alias(id_col))
+    )
+    return picked
+
+
+# -- benchmark contamination ------------------------------------------
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap_ratio: float = 0.05,
+) -> DataFrame:
+    """N-gram benchmark-contamination check (the GPT-3/PaLM-style
+    decontamination audit): for each corpus doc, the fraction of its
+    distinct word ``n``-grams that also occur anywhere in the benchmark
+    set; rows with ratio ≥ ``min_overlap_ratio`` are flagged.
+
+    Plan: benchmark shingles → distinct → ``xxhash64`` to 8 bytes →
+    **broadcast** (benchmark suites are tiny next to a 100 TB corpus);
+    corpus shingles stream through one map-side broadcast LEFT join with
+    a hit marker, then a single ``groupBy(doc)`` computes set size and
+    overlap in the same aggregation — the corpus is tokenized once and
+    its shingles are never shuffled, only (id, two counts) partials.
+    Collision note: as in ``ngram_jaccard_pairs``, hashing shingles to
+    64 bits risks ~|shingles|²/2⁶⁴ miscounts — unobservable below ~10⁹
+    distinct benchmark shingles (and a benchmark that large would need
+    the join inverted anyway).
+    """
+    bsh = (
+        exploded_shingles(benchmark, id_col, text_col, n)
+        .select(F.xxhash64("shingle").alias("shingle"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    csh = exploded_shingles(corpus, id_col, text_col, n).select(
+        "id", F.xxhash64("shingle").alias("shingle")
+    )
+    agg = (
+        csh.join(F.broadcast(bsh), "shingle", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).alias("n_overlap"),
+        )
+    )
+    return (
+        agg.withColumn("overlap_ratio", F.col("n_overlap") / F.col("n_shingles"))
+        .filter(F.col("overlap_ratio") >= min_overlap_ratio)
+        .select(F.col("id").alias(id_col), "n_overlap", "n_shingles", "overlap_ratio")
+    )
+
+
+# -- PII redaction ----------------------------------------------------
+
+# Patterns restricted to syntax that means the same thing in Java regex
+# (Spark) and RE2 (DuckDB oracle): no backrefs, no lookaround.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+\d{1,2}-\d{3}-\d{4}"
+
+DEFAULT_PII_PATTERNS: dict[str, str] = {
+    "email": EMAIL_PATTERN,
+    "phone": PHONE_PATTERN,
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "redacted",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Scrub PII spans, the standard pre-training hygiene pass: each
+    pattern's matches are replaced with ``[KIND]`` and counted
+    (``n_<kind>`` columns, counted on the original text so later
+    patterns can't eat earlier matches). One projection, all
+    ``regexp_replace``/``regexp_extract_all`` codegen expressions —
+    per-row Python here would be the classic 100 TB mistake.
+    """
+    if patterns is None:
+        patterns = DEFAULT_PII_PATTERNS
+    t = F.col(text_col)
+    out = df
+    for kind, pat in patterns.items():
+        out = out.withColumn(f"n_{kind}", F.size(F.regexp_extract_all(t, F.lit(pat), 0)))
+    red = t
+    for kind, pat in patterns.items():
+        red = F.regexp_replace(red, pat, f"[{kind.upper()}]")
+    return out.withColumn(out_col, red)

@@ -25,6 +25,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions import corpus as fcorpus
 from .functions import dedup as fdedup
 from .functions import similarity as fsim
 from .functions import text as ftext
@@ -1391,6 +1392,143 @@ WHERE rank <= 3
 """
 
 
+def t07_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation — content-addressed train/val/test split
+    (functions/corpus.hash_split): first hex digit of md5(doc_id) picks
+    the split (13/2/1 buckets), so assignment is RNG-free, reshard-stable
+    and a pure map-side expression; the only shuffle is the reporting
+    agg. At 100 TB the split label is a free column."""
+    docs = load(spark, sf_dir, "documents")
+    lab = fcorpus.hash_split(docs, "doc_id")
+    return lab.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+T07_SQL = """
+SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('d','e') THEN 'val'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f' THEN 'test'
+            ELSE 'train' END AS split,
+       lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+def t08_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation — n-gram benchmark-contamination audit
+    (functions/corpus.contamination_report): docs with doc_id % 97 = 0
+    stand in for a benchmark suite; each remaining corpus doc is scored
+    by the fraction of its distinct 3-gram shingles that appear anywhere
+    in the benchmark. Benchmark shingles are hashed to 8 bytes and
+    broadcast; corpus shingles never shuffle — one explode, one map-side
+    broadcast left-join, one agg."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return fcorpus.contamination_report(
+        corpus, bench, "doc_id", "text", n=3, min_overlap_ratio=0.05
+    )
+
+
+T08_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, doc_id % 97 = 0 AS is_bench,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        FOR i IN generate_series(1, greatest(len(toks) - 2, 0))]) AS shingles
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+),
+sh AS (SELECT doc_id, is_bench, unnest(shingles) AS shingle FROM docs),
+bsh AS (SELECT DISTINCT shingle FROM sh WHERE is_bench),
+agg AS (
+  SELECT s.doc_id, COUNT(*) AS n_shingles,
+         CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+  FROM sh s LEFT JOIN bsh b USING (shingle) WHERE NOT s.is_bench GROUP BY 1
+)
+SELECT doc_id, n_overlap, n_shingles,
+       CAST(n_overlap AS DOUBLE) / n_shingles AS overlap_ratio
+FROM agg
+WHERE CAST(n_overlap AS DOUBLE) / n_shingles >= 0.05
+"""
+
+
+def t09_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation — PII scrub (functions/corpus.redact_pii). The
+    synthetic corpus carries no PII, so the query deterministically
+    injects an email + phone derived from doc_id into each doc first —
+    the redaction pass then has real work at every SF and a broken
+    pattern or count can't pass vacuously. Reports per-language match
+    counts and characters removed; everything is codegen
+    regexp_replace/extract_all, no Python."""
+    docs = load(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.lit("Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        F.lit(". "),
+        F.col("text"),
+    )
+    red = fcorpus.redact_pii(docs.withColumn("text", injected), "text", "redacted")
+    return red.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").alias("emails"),
+        F.sum("n_phone").alias("phones"),
+        F.sum(F.length("text") - F.length("redacted")).alias("chars_redacted"),
+    )
+
+
+T09_SQL = r"""
+WITH injected AS (
+  SELECT lang,
+         'Contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-' ||
+         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '. ' || text AS text
+  FROM documents
+),
+red AS (
+  SELECT lang, text,
+         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+         len(regexp_extract_all(text, '\+\d{1,2}-\d{3}-\d{4}')) AS n_phone,
+         regexp_replace(
+           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           '\+\d{1,2}-\d{3}-\d{4}', '[PHONE]', 'g') AS redacted
+  FROM injected
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_email) AS BIGINT) AS emails,
+       CAST(SUM(n_phone) AS BIGINT) AS phones,
+       CAST(SUM(length(text) - length(redacted)) AS BIGINT) AS chars_redacted
+FROM red
+GROUP BY lang
+"""
+
+
+def t10_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation — deterministic per-language quota sample
+    (functions/corpus.quota_sample): the 20 docs with the smallest
+    md5(doc_id) per language. The scale path prefilters on a 16-bit hash
+    prefix before the per-group window sort, so the skewed
+    partition-by-language sort only ever sees ≈ safety·k rows per group;
+    the oracle is the plain window top-k, proving the prefilter lossless
+    on this corpus."""
+    docs = load(spark, sf_dir, "documents")
+    return fcorpus.quota_sample(docs, "lang", 20, "doc_id")
+
+
+T10_SQL = """
+SELECT lang, doc_id
+FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+  FROM documents
+)
+WHERE rn <= 20
+"""
+
+
 def mm01_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B26 — binary media column + typed metadata struct (checksum/size)."""
     from .functions.multimodal import attach_media_meta
@@ -2724,6 +2862,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "evt01_time_rollup": evt01_time_rollup,
     "evt02_funnel": evt02_funnel,
     "t06_tfidf_topterms": t06_tfidf_topterms,
+    # corpus curation (round 4): split / contamination / PII / quota
+    "t07_hash_split": t07_hash_split,
+    "t08_contamination": t08_contamination,
+    "t09_pii_redact": t09_pii_redact,
+    "t10_quota_sample": t10_quota_sample,
 }
 
 # The driver's correctness gate checks the first N registry entries at
@@ -2799,6 +2942,10 @@ ORACLE_SQL: dict[str, str] = {
     "evt01_time_rollup": EVT01_SQL,
     "evt02_funnel": EVT02_SQL,
     "t06_tfidf_topterms": T06_SQL,
+    "t07_hash_split": T07_SQL,
+    "t08_contamination": T08_SQL,
+    "t09_pii_redact": T09_SQL,
+    "t10_quota_sample": T10_SQL,
     "t01_text_stats": T01_SQL,
     "t02_token_count": T02_SQL,
     "t03_quality": T03_SQL,

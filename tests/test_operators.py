@@ -320,3 +320,93 @@ def test_approx_percentile_within_rank_error_of_exact(spark, sf_dir):
         assert b["p50_lo"] <= a["p50_qty"] <= b["p50_hi"], (b["l_returnflag"], "p50")
         assert b["p90_lo"] <= a["p90_qty"] <= b["p90_hi"], (b["l_returnflag"], "p90")
         assert b["med_lo"] <= a["med_price"] <= b["med_hi"], (b["l_returnflag"], "med")
+
+
+# -- corpus curation (functions/corpus) --------------------------------
+def test_hash_split_total_and_stability(spark, sf_dir):
+    """Split is exhaustive (every row labeled), proportions follow the
+    hex-bucket spec, and labels are content-addressed: recomputing after
+    a repartition yields the identical assignment."""
+    from etlbigdata_spark import workload
+    from etlbigdata_spark.functions import corpus as fcorpus
+
+    docs = workload.load(spark, sf_dir, "documents")
+    lab = fcorpus.hash_split(docs, "doc_id")
+    assert lab.filter(F.col("split").isNull()).count() == 0
+    a = {r["doc_id"]: r["split"] for r in lab.select("doc_id", "split").collect()}
+    relab = fcorpus.hash_split(docs.repartition(7), "doc_id")
+    b = {r["doc_id"]: r["split"] for r in relab.select("doc_id", "split").collect()}
+    assert a == b
+    assert set(a.values()) == {"train", "val", "test"}
+
+
+def test_hash_split_rejects_bad_spec(spark):
+    from etlbigdata_spark.functions import corpus as fcorpus
+
+    df = spark.createDataFrame([(1,)], "doc_id int")
+    with pytest.raises(ValueError):
+        fcorpus.hash_split(df, "doc_id", buckets={"train": 10, "val": 2})
+
+
+def test_quota_sample_prefilter_lossless_when_active(spark, sf_dir):
+    """k=3, safety=2 over ~100-doc language groups: keep_frac ≈ 6 % so
+    the hash prefilter is genuinely cutting rows; the result must still
+    equal the plain unfiltered window top-k."""
+    from etlbigdata_spark import workload
+    from etlbigdata_spark.functions import corpus as fcorpus
+    from pyspark.sql import Window
+
+    docs = workload.load(spark, sf_dir, "documents")
+    got = {
+        (r["lang"], r["doc_id"])
+        for r in fcorpus.quota_sample(docs, "lang", 3, "doc_id", prefilter_safety=2).collect()
+    }
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    want = {
+        (r["lang"], r["doc_id"])
+        for r in docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("lang", "doc_id")
+        .collect()
+    }
+    assert got == want
+    # quota respected per group
+    assert len(got) == docs.select("lang").distinct().count() * 3
+
+
+def test_redact_pii_counts_and_replaces(spark):
+    from etlbigdata_spark.functions import corpus as fcorpus
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and c.d@e.org, call +1-555-1234"),
+            (2, "no pii here"),
+            (3, None),
+        ],
+        "id int, text string",
+    )
+    out = {r["id"]: r for r in fcorpus.redact_pii(df, "text").collect()}
+    assert out[1]["n_email"] == 2 and out[1]["n_phone"] == 1
+    assert out[1]["redacted"] == "mail [EMAIL] and [EMAIL], call [PHONE]"
+    assert out[2]["n_email"] == 0 and out[2]["redacted"] == "no pii here"
+    assert out[3]["redacted"] is None
+
+
+def test_contamination_report_hand_checked(spark):
+    """3-token docs = exactly one 3-gram each: doc 10 duplicates the
+    benchmark shingle (ratio 1.0), doc 11 shares nothing, doc 12 is too
+    short for any shingle and must be absent, not divide-by-zero."""
+    from etlbigdata_spark.functions import corpus as fcorpus
+
+    bench = spark.createDataFrame([(1, "alpha beta gamma")], "doc_id int, text string")
+    corpus = spark.createDataFrame(
+        [(10, "alpha beta gamma"), (11, "delta epsilon zeta"), (12, "too short")],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            fcorpus.contamination_report(corpus, bench, min_overlap_ratio=0.0).collect()}
+    assert rows[10]["overlap_ratio"] == 1.0 and rows[10]["n_overlap"] == 1
+    assert rows[11]["n_overlap"] == 0
+    assert 12 not in rows
