@@ -1229,7 +1229,7 @@ def d04v_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     fdedup.release_cached()
     docs = load(spark, sf_dir, "documents")
     return fdedup.simhash_near_dups(
-        docs, "doc_id", "text", max_hamming=6, band_bits=8, portable_hash=True
+        docs, "doc_id", "text", max_hamming=6, scheme="bands", band_bits=8, portable_hash=True
     )
 
 

@@ -259,3 +259,51 @@ def test_cosine_topk_vectorized_equals_expression_path(spark, sf_dir):
     key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
     assert sorted(map(tuple, fast.collect()), key=lambda t: (t[0], t[3])) == \
            sorted(map(tuple, slow.collect()), key=lambda t: (t[0], t[3]))
+
+
+def test_simhash_block_tables_equal_banding(spark, sf_dir):
+    """The Manku block-permutation candidate scheme and plain banding
+    both guarantee recall by pigeonhole, so on identical signatures the
+    final Hamming-filtered output must be IDENTICAL — the scheme only
+    changes how many junk candidates get popcount-checked (n²·20/2³²
+    vs n²·4/2¹⁶ at the defaults)."""
+    from etlbigdata_spark import workload
+
+    docs = workload.load(spark, sf_dir, "documents")
+    fdedup.release_cached()
+    blocks = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in fdedup.simhash_near_dups(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+    fdedup.release_cached()
+    bands = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in fdedup.simhash_near_dups(
+            docs, "doc_id", "text", max_hamming=3, scheme="bands"
+        ).collect()
+    }
+    assert blocks == bands
+    fdedup.release_cached()
+
+
+def test_simhash_counter_packing_widths_agree(spark):
+    """counter_bits=16 (4 packed counters/long) and 32 (2/long, the
+    provably-safe default) must build identical signatures on docs below
+    the 16-bit overflow bound."""
+    rows = [(i, f"alpha beta gamma delta w{i} x{i} y{i} z{i} common tail words here") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    a = {
+        (r.id_a, r.id_b)
+        for r in fdedup.simhash_near_dups(
+            docs, "doc_id", "text", max_hamming=10, n_blocks=12, counter_bits=32
+        ).collect()
+    }
+    fdedup.release_cached()
+    b = {
+        (r.id_a, r.id_b)
+        for r in fdedup.simhash_near_dups(
+            docs, "doc_id", "text", max_hamming=10, n_blocks=12, counter_bits=16
+        ).collect()
+    }
+    assert a == b
+    fdedup.release_cached()
