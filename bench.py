@@ -53,20 +53,25 @@ RUNS = int(os.environ.get("BENCH_RUNS", "3"))
 # (agg, window, join, text, dedup, similarity, json).
 HEADLINE = [
     "q01_pricing_summary",
+    "q02_min_cost_supplier",
     "q03_top_orders",
     "q05_region_revenue",
     "q06_revenue_delta",
     "q04_priority_with_late_lines",
     "q07_nation_volume",
     "q08_market_share",
+    "q09_product_type_profit",
     "q10_returned_items",
+    "q11_important_parts",
     "q12_shipmode_priority",
     "q13_customer_distribution",
     "q14_promo_share",
     "q15_top_supplier",
+    "q16_supplier_relationship",
     "q17_small_quantity_revenue",
     "q18_large_orders",
     "q19_disjunctive_predicates",
+    "q20_heavy_shippers",
     "q21_sole_failing_supplier",
     "q22_idle_rich_customers",
     "b06_grouping_sets",

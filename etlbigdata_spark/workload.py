@@ -2736,6 +2736,242 @@ def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fdedup.embedding_near_dups(emb, threshold=0.35, num_hash_tables=6)
 
 
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4+B9 — min-per-group correlated subquery, decorrelated (Q2-like).
+    The testdata has no partsupp table, so the per-(part, supplier) offer
+    price is derived from lineitem (min observed unit price); the Q2 plan
+    shape is intact: per-part MIN as an agg + equality join-back (what an
+    optimizer decorrelates `WHERE cost = (SELECT MIN ...)` into), then a
+    dim-join chain (part/supplier/nation/region, all broadcast-size) and
+    a deterministic total-order top-100. Unit price is a double division
+    — bit-identical IEEE 754 in both engines, so the MIN/equality agree
+    without rounding."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "SMALL") & (F.col("p_size") <= 15)
+    )
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    min_cost = offers.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost")).withColumnRenamed(
+        "l_partkey", "mc_partkey"
+    )
+    best = offers.join(
+        min_cost,
+        (F.col("l_partkey") == F.col("mc_partkey")) & (F.col("unit_cost") == F.col("min_cost")),
+    )
+    return (
+        best.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
+        .orderBy(F.col("s_acctbal").desc(), F.col("s_name").asc(), F.col("p_partkey").asc())
+        .limit(100)
+    )
+
+
+Q02_SQL = """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+FROM offers
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE p_type = 'SMALL' AND p_size <= 15 AND r_name = 'EUROPE'
+  AND unit_cost = (SELECT MIN(o2.unit_cost) FROM offers o2 WHERE o2.l_partkey = offers.l_partkey)
+ORDER BY s_acctbal DESC, s_name ASC, p_partkey ASC
+LIMIT 100
+"""
+
+
+def q09_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4+B9 — 5-way join + per-row profit expression + year extraction
+    (Q9-like). No partsupp/ps_supplycost in the testdata, so cost is
+    modeled as 0.5 * p_retailprice per unit — which keeps Q9's defining
+    property: the profit expression mixes columns from THREE tables
+    (lineitem, part via retailprice, orders via the year group key), so
+    no single-table pre-aggregation is possible and the optimizer must
+    order the joins well. Filtered part dim is broadcast; the
+    lineitem⋈orders fact-fact join is left to AQE/sort-merge. Revenue
+    and cost are summed as separate exact decimals (each the q01-proven
+    product shape) and subtracted as doubles."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    nation = load(spark, sf_dir, "nation")
+    half = F.lit("0.5").cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(D("l_extendedprice") * (_dec1() - D("l_discount"))).cast("double")
+                - F.sum(half * D("p_retailprice") * D("l_quantity")).cast("double")
+            ).alias("profit")
+        )
+    )
+
+
+Q09_SQL = """
+SELECT n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+     - CAST(SUM(CAST(0.5 AS DECIMAL(18,4)) * CAST(p_retailprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+       AS profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER)
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 + scalar subquery (Q11-like): parts whose revenue through one
+    nation's suppliers exceeds a fixed fraction of that nation's total —
+    the global total enters as a 1-row broadcast (crossJoin), the HAVING
+    compares exact decimals so both engines keep identical row sets. The
+    supplier side is a broadcast semi-reduction (dim-size), lineitem is
+    aggregated once and reused for both the per-part values and the
+    grand total (AQE shuffle reuse)."""
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 7)
+    frac = F.lit("0.0001").cast("decimal(8,4)")
+    value = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(D("l_extendedprice") * (_dec1() - D("l_discount"))).alias("value_dec"))
+    )
+    total = value.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        value.crossJoin(F.broadcast(total))
+        .filter(F.col("value_dec") > F.col("total_dec") * frac)
+        .select("l_partkey", F.col("value_dec").cast("double").alias("part_value"))
+    )
+
+
+Q11_SQL = """
+WITH value AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS value_dec
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey = 7)
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+FROM value
+WHERE value_dec > (SELECT SUM(value_dec) FROM value) * CAST(0.0001 AS DECIMAL(8,4))
+"""
+
+
+def q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4+B9 — NOT-IN exclusion + grouped COUNT(DISTINCT) (Q16-like):
+    how many distinct suppliers ship each surviving (brand, type, size)
+    part family, excluding blacklisted suppliers (negative balance — the
+    testdata's stand-in for Q16's complaint-comment scan). The NOT IN
+    becomes a broadcast left-anti join (the blacklist is tiny by
+    construction); the distinct-count shuffles (group keys + suppkey)
+    once, then counts — Spark's two-phase distinct-agg plan."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#2")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 14, 23, 30, 45)
+    )
+    bad_supp = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#2' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 7, 10, 14, 23, 30, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9 — chained semi-joins + decorrelated per-group threshold
+    (Q20-like): suppliers in one nation who, for some 'blue' part in
+    1997, shipped more than 1.5× that part's average per-supplier
+    volume. Q20's nested `IN (… IN (…))` becomes: filtered part dim
+    (broadcast) → per-(supplier, part) agg → per-part average join-back
+    (the decorrelation) → DISTINCT supplier keys → left-semi into the
+    supplier dim. Volumes compare as doubles derived from exact decimal
+    sums, identical in both engines."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    blue = load(spark, sf_dir, "part").filter(F.col("p_name").contains("blue")).select("p_partkey")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    shipped = (
+        li.join(F.broadcast(blue), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(D("l_quantity")).alias("qty_dec"))
+    )
+    avg_part = shipped.groupBy("l_partkey").agg(
+        (F.sum("qty_dec").cast("double") / F.count(F.lit(1))).alias("avg_qty")
+    ).withColumnRenamed("l_partkey", "ap_partkey")
+    heavy = (
+        shipped.join(avg_part, F.col("l_partkey") == F.col("ap_partkey"))
+        .filter(F.col("qty_dec").cast("double") > 1.5 * F.col("avg_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_SQL = """
+WITH shipped AS (
+  SELECT l_suppkey, l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty_dec
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%blue%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey, l_partkey
+), avg_part AS (
+  SELECT l_partkey AS ap_partkey, CAST(SUM(qty_dec) AS DOUBLE) / COUNT(*) AS avg_qty
+  FROM shipped GROUP BY l_partkey
+)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM shipped
+                    JOIN avg_part ON l_partkey = ap_partkey
+                    WHERE CAST(qty_dec AS DOUBLE) > 1.5 * avg_qty)
+  AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_7')
+ORDER BY s_suppkey
+"""
+
+
 # ---------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------
@@ -2829,20 +3065,25 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "b16_unpivot": b16_unpivot,
     "b17_sample": b17_sample,
     "b18t_chunk_udtf": b18t_chunk_udtf,
+    "q02_min_cost_supplier": q02_min_cost_supplier,
     "q03_top_orders": q03_top_orders,
     "q04_priority_with_late_lines": q04_priority_with_late_lines,
     "q05_region_revenue": q05_region_revenue,
     "q06_revenue_delta": q06_revenue_delta,
     "q07_nation_volume": q07_nation_volume,
     "q08_market_share": q08_market_share,
+    "q09_product_type_profit": q09_product_type_profit,
     "q10_returned_items": q10_returned_items,
+    "q11_important_parts": q11_important_parts,
     "q12_shipmode_priority": q12_shipmode_priority,
     "q13_customer_distribution": q13_customer_distribution,
     "q14_promo_share": q14_promo_share,
     "q15_top_supplier": q15_top_supplier,
+    "q16_supplier_relationship": q16_supplier_relationship,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q18_large_orders": q18_large_orders,
     "q19_disjunctive_predicates": q19_disjunctive_predicates,
+    "q20_heavy_shippers": q20_heavy_shippers,
     "q21_sole_failing_supplier": q21_sole_failing_supplier,
     "q22_idle_rich_customers": q22_idle_rich_customers,
     "b06_rollup": b06_rollup,
@@ -2879,7 +3120,12 @@ DRIVER_SF_DIR = "/root/testdata/sf0.01"
 ORACLE_SQL: dict[str, str] = {
     "a01_csv_scan": A01_SQL,
     "q01_pricing_summary": Q01_SQL,
+    "q02_min_cost_supplier": Q02_SQL,
     "q03_top_orders": Q03_SQL,
+    "q09_product_type_profit": Q09_SQL,
+    "q11_important_parts": Q11_SQL,
+    "q16_supplier_relationship": Q16_SQL,
+    "q20_heavy_shippers": Q20_SQL,
     "q05_region_revenue": Q05_SQL,
     "q06_revenue_delta": Q06_SQL,
     "q07_nation_volume": Q07_SQL,
