@@ -189,6 +189,176 @@ def df_freq_cutoff(shingled: DataFrame, max_doc_freq: int) -> DataFrame:
 
 
 # -- MinHash LSH ------------------------------------------------------
+def _minhash_family(num_hashes: int) -> list[tuple[int, int]]:
+    """The (aᵢ, bᵢ) universal-hash coefficients over p = 2³¹−1. Seeded,
+    so signatures built in different sessions/jobs are COMPATIBLE — the
+    property the incremental index path depends on."""
+    p = (1 << 31) - 1  # Mersenne prime, as in pyspark.ml MinHashLSH
+    rng = random.Random(42)
+    return [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_hashes)]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    max_shingle_doc_freq: int | None = None,
+) -> DataFrame:
+    """(id, sig) MinHash signature table — the PERSISTABLE dedup index.
+
+    One row per document, ``num_hashes`` longs (~256 B at the default 32)
+    regardless of document length: this is the artifact a 100 TB corpus
+    stores (write it with ``sources.writers.write_parquet``) so later
+    batches dedup against the corpus without ever re-reading its text.
+    Plan: explode shingles once → ONE ``xxhash64`` per shingle → the
+    minhash functions derive as universal hashes ``(aᵢ·h + bᵢ) mod p``
+    (multiply-add on longs; every product stays under 2⁶² so ANSI
+    overflow semantics never trip) → ``groupBy(id).min`` with map-side
+    partial aggregation — scales like a word count. The hash family is
+    seed-pinned (``_minhash_family``), so signatures built today join
+    against signatures built last month.
+    """
+    sh = exploded_shingles(df, id_col, text_col, shingle_n)
+    if max_shingle_doc_freq:
+        sh = df_freq_cutoff(sh, max_shingle_doc_freq)
+    p = (1 << 31) - 1
+    ab = _minhash_family(num_hashes)
+    sh = sh.withColumn("__h0", F.pmod(F.xxhash64("shingle"), F.lit(p)))
+    hcols = [
+        F.min(F.pmod(F.lit(a) * F.col("__h0") + F.lit(b), F.lit(p))).alias(f"__h{i}")
+        for i, (a, b) in enumerate(ab)
+    ]
+    return (
+        sh.groupBy("id")
+        .agg(*hcols)
+        .select("id", F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("sig"))
+    )
+
+
+def _banded_signatures(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, sig, band, val) band-key table, derived from a signature
+    table by PURE PROJECTION (array slicing + xxhash64 — no shuffle, no
+    text): banding is recomputed at query time rather than stored, so
+    the persisted index stays one compact row per doc."""
+    r = num_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(*[F.col("sig")[i * r + j] for j in range(r)]).alias("val"),
+            )
+            for i in range(bands)
+        ]
+    )
+    return sig.select("id", "sig", F.explode(band_structs).alias("bv")).select(
+        "id", "sig", F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
+    )
+
+
+def _sig_agreement(sig_a, sig_b) -> Column:
+    """Fraction-agreeing-positions numerator: count of equal slots."""
+    return F.aggregate(
+        F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+
+
+def incremental_minhash_pairs(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    jaccard_distance_threshold: float = 0.5,
+) -> DataFrame:
+    """B23 — dedup a NEW batch against an EXISTING corpus signature index
+    (``minhash_signatures`` output, typically read back from parquet).
+
+    The production shape at 100 TB: the corpus text is NEVER re-read and
+    NEVER shuffles. The batch's signatures (small) are banded and
+    broadcast; the index is banded by projection and streamed through a
+    broadcast hash join — one scan of the compact signature table per
+    batch, zero exchanges on the corpus side. Candidates are scored by
+    signature agreement exactly like ``minhash_candidates``.
+
+    Returns (id_corpus, id_batch, jaccard_dist estimate). A batch doc
+    whose id also exists in the index matches itself at distance 0 —
+    filter upstream if batch ids can overlap corpus ids.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    bsig = minhash_signatures(
+        batch, id_col, text_col, shingle_n=shingle_n, num_hashes=num_hashes
+    )
+    bband = F.broadcast(
+        _banded_signatures(bsig, num_hashes, bands)
+        .withColumnRenamed("id", "id_batch")
+        .withColumnRenamed("sig", "sig_batch")
+    )
+    iband = _banded_signatures(index, num_hashes, bands)
+    cand = (
+        iband.join(bband, ["band", "val"])
+        .select(
+            F.col("id").alias("id_corpus"),
+            "id_batch",
+            F.col("sig").alias("sig_corpus"),
+            "sig_batch",
+        )
+        .dropDuplicates(["id_corpus", "id_batch"])
+    )
+    agree = _sig_agreement(F.col("sig_corpus"), F.col("sig_batch"))
+    return (
+        cand.withColumn("jaccard_dist", 1 - agree / F.lit(num_hashes))
+        .filter(F.col("jaccard_dist") <= jaccard_distance_threshold)
+        .select("id_corpus", "id_batch", "jaccard_dist")
+    )
+
+
+def incremental_verified_pairs(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """B23 — the oracle-checkable face of incremental dedup: recall-mode
+    banding (r=1, miss P ≤ (1-J)^num_hashes) against an index built here
+    from ``corpus``, then EXACT n-gram Jaccard verification restricted
+    to candidate documents — output equals the exact batch×corpus pairs
+    at J ≥ threshold (id_a < id_b convention, same schema as
+    ``ngram_jaccard_pairs``). In production the index arrives from
+    storage instead; the candidate → verify structure is identical."""
+    index = minhash_signatures(
+        corpus, id_col, text_col, shingle_n=n, num_hashes=num_hashes
+    )
+    cand = incremental_minhash_pairs(
+        batch,
+        index,
+        id_col,
+        text_col,
+        shingle_n=n,
+        num_hashes=num_hashes,
+        bands=num_hashes,  # r=1: recall mode
+        jaccard_distance_threshold=1.0,  # keep all candidates; exact verify below
+    ).select(
+        F.least("id_corpus", "id_batch").alias("id_a"),
+        F.greatest("id_corpus", "id_batch").alias("id_b"),
+    )
+    cand = _persist_scoped(cand)
+    ids = cand.select(F.explode(F.array("id_a", "id_b")).alias("__cid")).distinct()
+    both = corpus.unionByName(batch)
+    docs_c = both.join(ids, F.col(id_col) == F.col("__cid"), "left_semi")
+    exact = ngram_jaccard_pairs(docs_c, id_col, text_col, n=n, threshold=threshold)
+    return exact.join(cand, ["id_a", "id_b"], "left_semi")
+
+
 def minhash_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -229,36 +399,12 @@ def minhash_candidates(
     """
     if num_hashes % bands != 0:
         raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
-    r = num_hashes // bands
-    sh = exploded_shingles(df, id_col, text_col, shingle_n)
-    if max_shingle_doc_freq:
-        sh = df_freq_cutoff(sh, max_shingle_doc_freq)
-    p = (1 << 31) - 1  # Mersenne prime, as in pyspark.ml MinHashLSH
-    rng = random.Random(42)
-    ab = [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_hashes)]
-    sh = sh.withColumn("__h0", F.pmod(F.xxhash64("shingle"), F.lit(p)))
-    hcols = [
-        F.min(F.pmod(F.lit(a) * F.col("__h0") + F.lit(b), F.lit(p))).alias(f"__h{i}")
-        for i, (a, b) in enumerate(ab)
-    ]
-    sig = (
-        sh.groupBy("id")
-        .agg(*hcols)
-        .select("id", F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("sig"))
+    sig = minhash_signatures(
+        df, id_col, text_col, shingle_n=shingle_n, num_hashes=num_hashes,
+        max_shingle_doc_freq=max_shingle_doc_freq,
     )
     sig = _persist_scoped(sig)  # both self-join sides read it
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.xxhash64(*[F.col("sig")[i * r + j] for j in range(r)]).alias("val"),
-            )
-            for i in range(bands)
-        ]
-    )
-    banded = sig.select("id", "sig", F.explode(band_structs).alias("bv")).select(
-        "id", "sig", F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
-    )
+    banded = _banded_signatures(sig, num_hashes, bands)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

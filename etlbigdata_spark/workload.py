@@ -1179,6 +1179,31 @@ def d03v_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 D03V_SQL = _jaccard_oracle_sql(threshold=0.5)
 
 
+def d07_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B23 — INCREMENTAL dedup: a new batch (doc_id ≡ 0 mod 3) checked
+    against the existing corpus (the rest) through a MinHash signature
+    index — the production shape where the corpus text is never re-read
+    and never shuffles (batch signatures broadcast against a banded
+    projection of the compact (id, sig) index; see
+    ``dedup.incremental_minhash_pairs``). Recall-mode banding + exact
+    verification makes the output deterministic: exactly the exact
+    batch×corpus Jaccard-≥0.5 pairs, which the oracle expresses as the
+    all-pairs result restricted to pairs that straddle the split."""
+    fdedup.release_cached()
+    docs = load(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    return fdedup.incremental_verified_pairs(
+        batch, corpus, "doc_id", "text", n=3, threshold=0.5
+    )
+
+
+D07_SQL = (
+    "SELECT * FROM (" + _jaccard_oracle_sql(threshold=0.5)
+    + ") WHERE (id_a % 3 = 0) <> (id_b % 3 = 0)"
+)
+
+
 def d06_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B23 — near-dup CLUSTER resolution: exact Jaccard pairs → connected
     components (min-label propagation, one shuffle per round, early-
@@ -3092,6 +3117,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d03_minhash": d03_minhash,
     "d04_simhash": d04_simhash,
     "d05_embedding_neardup": d05_embedding_neardup,
+    "d07_incremental_dedup": d07_incremental_dedup,
     "s02_lsh_topk": s02_lsh_topk,
     "s03_ivf_topk": s03_ivf_topk,
     "t05_fingerprint": t05_fingerprint,
@@ -3199,6 +3225,7 @@ ORACLE_SQL: dict[str, str] = {
     "d01_dup_groups": D01_SQL,
     "d02_jaccard_pairs": D02_SQL,
     "d03v_minhash_verified": D03V_SQL,
+    "d07_incremental_dedup": D07_SQL,
     "d04v_simhash_verified": D04V_SQL,
     "d06_dup_clusters": D06_SQL,
     "s01_cosine_topk": S01_SQL,

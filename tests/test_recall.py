@@ -68,6 +68,76 @@ def test_minhash_verified_equals_exact(docs):
     assert verified == exact and len(exact) > 0
 
 
+def test_incremental_verified_equals_exact_cross_pairs(docs):
+    """Incremental dedup (batch vs corpus signature index) must return
+    exactly the exact-Jaccard pairs that straddle the split — same
+    guarantee as the self-join verified path, through the index join."""
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    exact_cross = {
+        (r.id_a, r.id_b)
+        for r in fdedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+        if (r.id_a % 3 == 0) != (r.id_b % 3 == 0)
+    }
+    fdedup.release_cached()
+    inc = {
+        (r.id_a, r.id_b)
+        for r in fdedup.incremental_verified_pairs(
+            batch, corpus, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    fdedup.release_cached()
+    assert inc == exact_cross and len(exact_cross) > 0
+
+
+def test_incremental_index_join_is_broadcast_and_corpus_shuffle_free(docs, spark):
+    """The 100 TB property of the incremental path, on a PERSISTED index
+    (the production shape — signatures read back from parquet): banding
+    the index is pure projection (zero Exchange), and the candidate join
+    is a broadcast hash join with the index on the streamed probe side —
+    so the corpus contributes no shuffle at all; the only shuffles in
+    the full plan are the batch signature build and the candidate-pair
+    dedup, both batch-sized."""
+    import tempfile
+
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    with tempfile.TemporaryDirectory() as td:
+        fdedup.minhash_signatures(
+            docs.filter(F.col("doc_id") % 10 != 0), "doc_id", "text"
+        ).write.mode("overwrite").parquet(td)
+        index = spark.read.parquet(td)
+        banded = fdedup._banded_signatures(index, 32, 16)
+        band_plan = banded._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in band_plan, f"banding shuffled:\n{band_plan}"
+        pairs = fdedup.incremental_minhash_pairs(batch, index, "doc_id", "text")
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        # broadcast build side = the batch; every non-broadcast Exchange
+        # is batch- or candidate-sized (batch sig groupBy + pair dedup)
+        n_shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+        assert n_shuffles <= 2, f"corpus side shuffled:\n{plan}"
+        pairs.count()  # the plan must also execute against the round-tripped index
+
+
+def test_incremental_signatures_compatible_across_builds(docs, spark):
+    """Signatures persisted in one job must join against signatures
+    built later (seed-pinned hash family): round-trip the index through
+    parquet and re-find a planted exact duplicate at distance 0."""
+    import tempfile
+
+    corpus = docs.filter(F.col("doc_id") < 400)
+    dup_doc = corpus.filter(F.col("doc_id") == 7).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        fdedup.minhash_signatures(corpus, "doc_id", "text").write.mode("overwrite").parquet(td)
+        index = spark.read.parquet(td)
+        hits = fdedup.incremental_minhash_pairs(
+            dup_doc, index, "doc_id", "text", jaccard_distance_threshold=0.0
+        ).collect()
+        assert any(r.id_corpus == 7 and r.id_batch == 100007 and r.jaccard_dist == 0.0 for r in hits)
+
+
 def test_release_cached_drops_all_blocks(docs, spark):
     """The dedup family's persisted intermediates must be releasable:
     after release_cached() the storage layer holds no cached RDDs (the
