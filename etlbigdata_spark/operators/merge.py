@@ -1,0 +1,81 @@
+"""MERGE / upsert (SQL:2003 MERGE semantics as a DataFrame composition).
+
+The reference loads tables into MySQL with overwrite/append only
+(``simple_etl.py:345`` mode="overwrite"); real ETL pipelines need the
+third mode — upsert a delta into an existing table. Spark has no MERGE
+on plain parquet (that is a table-format feature), but the semantics are
+a single full-outer join:
+
+* matched (key in both)      → source values win (last-write-wins update)
+* unmatched source (new key) → inserted
+* unmatched target           → kept
+* matched + delete condition → dropped
+
+At scale this is one shuffle on the merge keys (or none, if both sides
+are bucketed on them — compose with ``operators.scale``'s bucketed
+layout); broadcast a small delta by passing ``F.broadcast(source)``.
+The result is a DataFrame — pair with ``sources.writers.write_parquet``
+for read-merge-write, the standard pattern before table formats.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    update_cols: list[str] | None = None,
+    delete_condition: Column | None = None,
+) -> DataFrame:
+    """Upsert ``source`` into ``target`` on ``keys``.
+
+    ``update_cols`` limits which non-key columns a MATCHED row takes
+    from the source (default: all shared non-key columns; non-updated
+    columns keep the target value, and inserted rows take the source
+    value where one exists). ``delete_condition`` is evaluated over the
+    joined row for MATCHED rows only ("when matched and <cond> then
+    delete") — reference source columns as ``F.col("s.<name>")`` and
+    target columns as ``F.col("t.<name>")``. Output columns and order
+    follow the target schema.
+
+    Duplicate source keys produce one output row per duplicate, as a
+    join must — MERGE would reject them; deduplicate upstream. Keys are
+    matched null-safely (``eqNullSafe``, = DuckDB's IS NOT DISTINCT
+    FROM), so both engines agree on null-key rows.
+    """
+    cols = target.columns
+    missing = sorted({k for k in keys if k not in cols} | {k for k in keys if k not in source.columns})
+    if missing:
+        raise ValueError(f"merge keys {missing} absent from one side")
+    upd = set(update_cols) if update_cols is not None else (
+        {c for c in cols if c not in keys} & set(source.columns)
+    )
+    bad = sorted(upd - set(source.columns))
+    if bad:
+        raise ValueError(f"update_cols {bad} absent from source")
+
+    s = source.withColumn("__s", F.lit(1)).alias("s")
+    t = target.withColumn("__t", F.lit(1)).alias("t")
+    cond = reduce(
+        lambda a, b: a & b, [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
+    )
+    j = t.join(s, cond, "full_outer")
+    src_present = F.col("s.__s").isNotNull()
+    tgt_present = F.col("t.__t").isNotNull()
+    if delete_condition is not None:
+        j = j.filter(~(src_present & tgt_present & delete_condition))
+
+    out = []
+    for c in cols:
+        if c in keys or c in upd:
+            out.append(F.when(src_present, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c))
+        else:
+            fallback = F.col(f"s.{c}") if c in source.columns else F.lit(None)
+            out.append(F.when(tgt_present, F.col(f"t.{c}")).otherwise(fallback).alias(c))
+    return j.select(*out)

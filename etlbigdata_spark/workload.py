@@ -489,6 +489,68 @@ GROUP BY user_id
 """
 
 
+def evt03_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10+B4 composite — batch sessionization: assign gap-based session
+    ids (new session when > 6 h since the user's previous event), then
+    aggregate per session. The classic two-step window plan: lag → gap
+    flag → running sum of flags = session index. ONE shuffle total: the
+    window partitions by user_id, and the per-(user, session) aggregate
+    is satisfied by the same hash partitioning (user_id ⊆ group keys),
+    so Catalyst inserts no second Exchange. Gap arithmetic in integer
+    MICROSECONDS (unix_micros / epoch_us) so both engines compare
+    identical longs; ordering ties pinned by (ts, event_id)."""
+    gap_us = 21600 * 1_000_000  # 6 h
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev = F.lag(us).over(w)
+    flagged = ev.withColumn(
+        "__new_sess",
+        F.when(prev.isNull() | ((us - prev) > F.lit(gap_us)), F.lit(1)).otherwise(F.lit(0)),
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    sess = flagged.withColumn("session_idx", F.sum("__new_sess").over(run))
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(D("value")).cast("double").alias("sum_value"),
+    )
+
+
+EVT03_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value FROM events
+),
+flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+              ) > 21600000000
+              OR LAG(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+              ) IS NULL
+         THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+),
+sess AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM sess
+GROUP BY user_id, session_idx
+"""
+
+
 def b05h_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B5 — mergeable-sketch distinct count (rows-only: DataSketches HLL
     has no DuckDB twin; its oracle-checked sibling is b05's exact
@@ -962,6 +1024,65 @@ FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderkey < 5
 GROUP BY o_orderkey, o_orderpriority
+"""
+
+
+def b31_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics (operators/merge.merge_upsert): upsert a delta
+    into orders — every key ≡ 0 mod 7 updated (price doubled, priority
+    rewritten), every key ≡ 0 mod 11 re-inserted under a fresh key, and
+    matched rows whose NEW price exceeds 600 000 deleted ("when matched
+    and <cond> then delete"). One full-outer shuffle join; the oracle
+    expresses the identical three-way semantics in SQL. Result is the
+    per-priority profile of the merged table (counts + exact-decimal
+    totals), which pins update, insert and delete row routing at once."""
+    from .operators import merge as fmerge
+
+    orders = load(spark, sf_dir, "orders")
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        "o_orderdate", F.lit("X-UPDATED").alias("o_orderpriority"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 11 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey", F.lit("N").alias("o_orderstatus"),
+        F.lit(111.25).alias("o_totalprice"),
+        "o_orderdate", F.lit("X-NEW").alias("o_orderpriority"),
+    )
+    delta = updates.unionByName(inserts)
+    merged = fmerge.merge_upsert(
+        orders, delta, ["o_orderkey"],
+        delete_condition=F.col("s.o_totalprice") > 600_000,
+    )
+    return merged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(D("o_totalprice")).cast("double").alias("sum_total"),
+    )
+
+
+B31_SQL = """
+WITH delta AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice * 2 AS o_totalprice,
+         o_orderdate, 'X-UPDATED' AS o_orderpriority
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, 'N', 111.25, o_orderdate, 'X-NEW'
+  FROM orders WHERE o_orderkey % 11 = 0
+),
+merged AS (
+  SELECT CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+         CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderpriority ELSE t.o_orderpriority END AS o_orderpriority
+  FROM orders t
+  FULL OUTER JOIN delta s ON t.o_orderkey = s.o_orderkey
+  WHERE NOT (s.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL
+             AND s.o_totalprice > 600000)
+)
+SELECT o_orderpriority, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_total
+FROM merged
+GROUP BY o_orderpriority
 """
 
 
@@ -3125,9 +3246,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "b28a_approx_percentile": b28a_approx_percentile,
     "b29_salted_agg": b29_salted_agg,
     "b30_salted_join": b30_salted_join,
+    "b31_merge_upsert": b31_merge_upsert,
     "b05h_hll_merge": b05h_hll_merge,
     "evt01_time_rollup": evt01_time_rollup,
     "evt02_funnel": evt02_funnel,
+    "evt03_sessionize": evt03_sessionize,
     "t06_tfidf_topterms": t06_tfidf_topterms,
     # corpus curation (round 4): split / contamination / PII / quota
     "t07_hash_split": t07_hash_split,
@@ -3211,8 +3334,10 @@ ORACLE_SQL: dict[str, str] = {
     "b28_percentile": B28_SQL,
     "b29_salted_agg": B29_SQL,
     "b30_salted_join": B30_SQL,
+    "b31_merge_upsert": B31_SQL,
     "evt01_time_rollup": EVT01_SQL,
     "evt02_funnel": EVT02_SQL,
+    "evt03_sessionize": EVT03_SQL,
     "t06_tfidf_topterms": T06_SQL,
     "t07_hash_split": T07_SQL,
     "t08_contamination": T08_SQL,

@@ -410,3 +410,63 @@ def test_contamination_report_hand_checked(spark):
     assert rows[10]["overlap_ratio"] == 1.0 and rows[10]["n_overlap"] == 1
     assert rows[11]["n_overlap"] == 0
     assert 12 not in rows
+
+
+# -- MERGE / upsert ---------------------------------------------------
+def _merge_fixtures(spark):
+    target = spark.createDataFrame(
+        [Row(k=1, v="a", amt=10.0), Row(k=2, v="b", amt=20.0), Row(k=3, v="c", amt=30.0)]
+    )
+    source = spark.createDataFrame(
+        [Row(k=2, v="B2", amt=200.0), Row(k=4, v="d", amt=40.0)]
+    )
+    return target, source
+
+
+def test_merge_upsert_updates_inserts_keeps(spark):
+    from etlbigdata_spark.operators import merge as fmerge
+
+    target, source = _merge_fixtures(spark)
+    out = {r.k: (r.v, r.amt) for r in fmerge.merge_upsert(target, source, ["k"]).collect()}
+    assert out == {1: ("a", 10.0), 2: ("B2", 200.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_merge_upsert_update_cols_subset(spark):
+    from etlbigdata_spark.operators import merge as fmerge
+
+    target, source = _merge_fixtures(spark)
+    out = {r.k: (r.v, r.amt) for r in
+           fmerge.merge_upsert(target, source, ["k"], update_cols=["amt"]).collect()}
+    # matched row 2 takes only amt from source; insert row 4 still gets
+    # its source v (there is no target value to keep)
+    assert out[2] == ("b", 200.0) and out[4] == ("d", 40.0) and out[1] == ("a", 10.0)
+
+
+def test_merge_upsert_delete_condition(spark):
+    from etlbigdata_spark.operators import merge as fmerge
+
+    target, source = _merge_fixtures(spark)
+    out = fmerge.merge_upsert(
+        target, source, ["k"], delete_condition=F.col("s.amt") > 100
+    )
+    ks = {r.k for r in out.collect()}
+    assert ks == {1, 3, 4}  # matched k=2 deleted; insert k=4 unaffected
+
+
+def test_merge_upsert_null_safe_keys(spark):
+    from etlbigdata_spark.operators import merge as fmerge
+
+    target = spark.createDataFrame([Row(k=None, v="t-null"), Row(k=1, v="one")], "k int, v string")
+    source = spark.createDataFrame([Row(k=None, v="s-null")], "k int, v string")
+    out = {r.k: r.v for r in fmerge.merge_upsert(target, source, ["k"]).collect()}
+    assert out == {None: "s-null", 1: "one"}  # null key MATCHES null key
+
+
+def test_merge_upsert_rejects_bad_args(spark):
+    from etlbigdata_spark.operators import merge as fmerge
+
+    target, source = _merge_fixtures(spark)
+    with pytest.raises(ValueError, match="merge keys"):
+        fmerge.merge_upsert(target, source.drop("k"), ["k"])
+    with pytest.raises(ValueError, match="update_cols"):
+        fmerge.merge_upsert(target, source, ["k"], update_cols=["nope"])
