@@ -135,6 +135,37 @@ class Engine:
             raise ValueError(f"method must be one of {sorted(self._TOPK)}")
         return self._TOPK[method](corpus, queries, k=k, **kw)
 
+    def dedup_index(self, df: DataFrame, **kw) -> DataFrame:
+        """Persistable (id, sig) MinHash signature index — save with
+        :meth:`save_parquet`, dedup later batches against it with
+        :meth:`dedup_incremental` without re-reading the corpus."""
+        return fdedup.minhash_signatures(df, **kw)
+
+    def dedup_incremental(self, batch: DataFrame, index: DataFrame, **kw) -> DataFrame:
+        """(id_corpus, id_batch, jaccard_dist) candidates for a new batch
+        against a stored signature index (batch side broadcast; the
+        index never shuffles)."""
+        return fdedup.incremental_minhash_pairs(batch, index, **kw)
+
+    def merge(self, target: DataFrame, source: DataFrame, keys: list[str], **kw) -> DataFrame:
+        """SQL MERGE semantics (update/insert/keep/delete) as one
+        full-outer join — see operators.merge.merge_upsert."""
+        from .operators import merge as fmerge
+
+        return fmerge.merge_upsert(target, source, keys, **kw)
+
+    def keep_latest(self, df: DataFrame, keys: list[str], order_cols: list) -> DataFrame:
+        """CDC compaction: one deterministic winner per key."""
+        from .operators import cleaning
+
+        return cleaning.keep_latest(df, keys, order_cols)
+
+    def fuzzy_pairs(self, df: DataFrame, text_col: str, max_distance: int = 2) -> DataFrame:
+        """Levenshtein-≤k value pairs (typo dedup), length-band blocked."""
+        from .operators import joins
+
+        return joins.fuzzy_self_pairs(df, text_col, max_distance)
+
     def top_terms(self, df: DataFrame, **kw) -> DataFrame:
         """Corpus TF-IDF top terms per group (B25) — see
         functions.text.tfidf_top_terms."""

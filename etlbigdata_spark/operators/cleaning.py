@@ -9,7 +9,7 @@ chained pipeline fuses into one Catalyst plan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -145,3 +145,22 @@ def transpose(df: DataFrame, max_rows: int = 10_000) -> DataFrame:
 def with_column(df: DataFrame, name: str, expr: Column | str) -> DataFrame:
     """B2 helper — computed column from a Column or SQL expression string."""
     return df.withColumn(name, F.expr(expr) if isinstance(expr, str) else expr)
+
+
+def keep_latest(df: DataFrame, keys: list[str], order_cols: list) -> DataFrame:
+    """A8/B10 — CDC-style compaction: keep ONE row per key, the one
+    ranking first under ``order_cols`` (pass columns/expressions,
+    typically ``[F.col("updated_at").desc(), F.col("id").desc()]`` —
+    include a unique tiebreaker so the survivor is deterministic).
+
+    One hash shuffle on ``keys`` (window row_number), no join — the
+    standard "latest version wins" reducer over a change stream before
+    a merge/publish step. At scale prefer this over
+    ``dropDuplicates(keys)``, which keeps an ARBITRARY row.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -145,3 +145,56 @@ def range_join(
     )
     drop = ["__bucket"] + keys
     return out.drop(right_b["__bucket"]).drop(left_b["__bucket"]).drop(*[right_b[k] for k in keys])
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_distance: int = 2,
+) -> DataFrame:
+    """B9 CUSTOM — edit-distance (Levenshtein ≤ k) join with LOSSLESS
+    length-band blocking.
+
+    An edit distance ≤ k forces ``|len(a) − len(b)| ≤ k``, so the left
+    side explodes each value into the 2k+1 length blocks it can match
+    and the right side keys on its own length: the match becomes an
+    equi-join on the block id plus a residual ``levenshtein`` filter.
+    Each candidate pair meets EXACTLY once (the right length is a single
+    block), no distinct needed. Turns the all-pairs quadratic scan into
+    a shuffle bounded by length-band co-occurrence — the same
+    block-then-verify shape as the MinHash/SimHash dedup family; for
+    corpora where single length bands are still huge, pre-restrict with
+    an additional blocking key (first token, phonetic key) before
+    calling. ``levenshtein`` agrees exactly with DuckDB's, so results
+    are oracle-checkable.
+    """
+    k = max_distance
+    lb = left.withColumn(
+        "__blk",
+        F.explode(
+            F.sequence(F.length(left_col) - F.lit(k), F.length(left_col) + F.lit(k))
+        ),
+    )
+    rb = right.withColumn("__blk", F.length(right_col))
+    return (
+        lb.join(rb, "__blk")
+        .withColumn("distance", F.levenshtein(F.col(left_col), F.col(right_col)))
+        .filter(F.col("distance") <= k)
+        .drop("__blk")
+    )
+
+
+def fuzzy_self_pairs(
+    df: DataFrame, text_col: str, max_distance: int = 2
+) -> DataFrame:
+    """B9/B23 — near-identical string pairs within one column (typo
+    dedup over names/titles): distinct values, length-band blocked
+    self-join, ordered output (value_a < value_b) so each unordered pair
+    appears once."""
+    vals = df.select(F.col(text_col).alias("value_a")).distinct()
+    right = vals.select(F.col("value_a").alias("value_b"))
+    return fuzzy_join(vals, right, "value_a", "value_b", max_distance).filter(
+        F.col("value_a") < F.col("value_b")
+    )

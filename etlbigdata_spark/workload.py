@@ -489,6 +489,47 @@ GROUP BY user_id
 """
 
 
+def b32_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/B10 — CDC-style compaction (cleaning.keep_latest): one row per
+    customer — the most recent order (date desc, orderkey desc as the
+    deterministic tiebreaker). One window shuffle, no join; the oracle
+    is the identical QUALIFY row_number predicate."""
+    orders = load(spark, sf_dir, "orders")
+    latest = cleaning.keep_latest(
+        orders, ["o_custkey"], [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()]
+    )
+    return latest.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+
+
+B32_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+FROM orders
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+) = 1
+"""
+
+
+def b33_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9 CUSTOM — Levenshtein ≤ 2 name pairs (joins.fuzzy_self_pairs):
+    typo-distance matching with LOSSLESS length-band blocking (edit
+    distance ≤ k forces |len diff| ≤ k), the block-then-verify shape
+    that replaces the all-pairs quadratic scan at corpus scale. Spark
+    and DuckDB implement the same classic Levenshtein, so the pairs and
+    distances hash-match exactly."""
+    part = load(spark, sf_dir, "part")
+    return joins.fuzzy_self_pairs(part, "p_name", max_distance=2)
+
+
+B33_SQL = """
+WITH n AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS value_a, b.p_name AS value_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS distance
+FROM n a JOIN n b ON a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
 def evt03_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B10+B4 composite — batch sessionization: assign gap-based session
     ids (new session when > 6 h since the user's previous event), then
@@ -3263,6 +3304,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "b29_salted_agg": b29_salted_agg,
     "b30_salted_join": b30_salted_join,
     "b31_merge_upsert": b31_merge_upsert,
+    "b32_keep_latest": b32_keep_latest,
+    "b33_fuzzy_pairs": b33_fuzzy_pairs,
     "b05h_hll_merge": b05h_hll_merge,
     "evt01_time_rollup": evt01_time_rollup,
     "evt02_funnel": evt02_funnel,
@@ -3351,6 +3394,8 @@ ORACLE_SQL: dict[str, str] = {
     "b29_salted_agg": B29_SQL,
     "b30_salted_join": B30_SQL,
     "b31_merge_upsert": B31_SQL,
+    "b32_keep_latest": B32_SQL,
+    "b33_fuzzy_pairs": B33_SQL,
     "evt01_time_rollup": EVT01_SQL,
     "evt02_funnel": EVT02_SQL,
     "evt03_sessionize": EVT03_SQL,

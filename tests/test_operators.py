@@ -470,3 +470,37 @@ def test_merge_upsert_rejects_bad_args(spark):
         fmerge.merge_upsert(target, source.drop("k"), ["k"])
     with pytest.raises(ValueError, match="update_cols"):
         fmerge.merge_upsert(target, source, ["k"], update_cols=["nope"])
+
+
+def test_keep_latest_deterministic_winner(spark):
+    from etlbigdata_spark.operators import cleaning
+
+    df = spark.createDataFrame(
+        [Row(k=1, ver=1, v="old"), Row(k=1, ver=3, v="new"), Row(k=1, ver=2, v="mid"),
+         Row(k=2, ver=5, v="only")]
+    )
+    out = {r.k: (r.ver, r.v) for r in
+           cleaning.keep_latest(df, ["k"], [F.col("ver").desc()]).collect()}
+    assert out == {1: (3, "new"), 2: (5, "only")}
+
+
+def test_fuzzy_join_blocking_is_lossless(spark):
+    from etlbigdata_spark.operators import joins as fjoins
+
+    left = spark.createDataFrame([Row(a="kitten")])
+    right = spark.createDataFrame(
+        [Row(b="sitting"), Row(b="kitten"), Row(b="mitten"), Row(b="unrelated")]
+    )
+    # levenshtein(kitten, sitting) = 3: found at k=3, blocked-out at k=2
+    got3 = {r.b for r in fjoins.fuzzy_join(left, right, "a", "b", max_distance=3).collect()}
+    assert got3 == {"sitting", "kitten", "mitten"}
+    got2 = {r.b for r in fjoins.fuzzy_join(left, right, "a", "b", max_distance=2).collect()}
+    assert got2 == {"kitten", "mitten"}
+
+
+def test_fuzzy_self_pairs_each_pair_once(spark):
+    from etlbigdata_spark.operators import joins as fjoins
+
+    df = spark.createDataFrame([Row(t="abc"), Row(t="abd"), Row(t="abc"), Row(t="xyz")])
+    rows = fjoins.fuzzy_self_pairs(df, "t", max_distance=1).collect()
+    assert [(r.value_a, r.value_b, r.distance) for r in rows] == [("abc", "abd", 1)]
