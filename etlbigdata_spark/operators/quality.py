@@ -1,0 +1,100 @@
+"""Data-quality checks (expectations): declarative rules → one report.
+
+ETL pipelines gate loads on data-quality assertions (the reference has
+no equivalent — its only validation is the implicit all-strings rescue
+on CSV parse failure, ``simple_etl.py:168-169``). This module gives the
+engine a dbt-test-style surface: build rules with the small helpers,
+run them ALL in a single aggregate pass over the table (one scan, one
+1-row partial-agg reduction — no per-rule jobs), and get a long-format
+report (rule, n_violations, passed) ready to gate on or append to a
+quality log.
+
+NULL semantics: per-row value rules (``in_range``/``accepted_values``/
+``matches``) treat NULL as PASSING — nullability is asserted explicitly
+with ``not_null`` — so each rule tests exactly one property.
+``unique`` counts rows beyond the first per key (duplicates), via
+count − count-distinct in the same aggregate (Spark's expand path; at
+100 TB swap in approx_count_distinct for a bounded-error gate if the
+exact expand dominates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# a rule is (name, payload): payload is a boolean Column (per-row rule)
+# or a list of key column names (uniqueness rule)
+Rule = tuple[str, "Column | list[str]"]
+
+
+def not_null(col: str) -> Rule:
+    return (f"not_null:{col}", F.col(col).isNotNull())
+
+
+def in_range(col: str, lo, hi) -> Rule:
+    return (f"in_range:{col}", F.col(col).between(lo, hi))
+
+
+def accepted_values(col: str, values: list) -> Rule:
+    return (f"accepted_values:{col}", F.col(col).isin(*values))
+
+
+def matches(col: str, pattern: str) -> Rule:
+    return (f"matches:{col}", F.col(col).rlike(pattern))
+
+
+def expression(name: str, predicate: Column) -> Rule:
+    """Escape hatch: any boolean Column as a named rule."""
+    return (name, predicate)
+
+
+def unique(*cols: str) -> Rule:
+    return (f"unique:{','.join(cols)}", list(cols))
+
+
+def run_checks(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """(rule, n_violations, passed) — all rules in ONE aggregate pass."""
+    if not rules:
+        raise ValueError("no rules given")
+    aggs = []
+    for name, payload in rules:
+        if isinstance(payload, list):
+            keys = F.struct(*payload) if len(payload) > 1 else F.col(payload[0])
+            aggs.append(
+                (F.count(F.lit(1)) - F.count_distinct(keys)).cast("long").alias(name)
+            )
+        else:
+            # NULL predicate = pass (see module docstring)
+            aggs.append(
+                F.sum(
+                    F.when(F.coalesce(payload, F.lit(True)), F.lit(0)).otherwise(F.lit(1))
+                ).cast("long").alias(name)
+            )
+    row = df.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(name).alias("rule"), F.col(name).alias("n_violations"))
+            for name, _ in rules
+        ]
+    )
+    return (
+        row.select(F.explode(pairs).alias("r"))
+        .select(
+            F.col("r.rule").alias("rule"),
+            F.col("r.n_violations").alias("n_violations"),
+            (F.col("r.n_violations") == 0).alias("passed"),
+        )
+    )
+
+
+def assert_checks(df: DataFrame, rules: list[Rule]) -> None:
+    """Gate form: raise ``ValueError`` listing every failing rule."""
+    failing = [
+        (r["rule"], r["n_violations"])
+        for r in run_checks(df, rules).collect()
+        if not r["passed"]
+    ]
+    if failing:
+        detail = ", ".join(f"{n} ({v} violations)" for n, v in failing)
+        raise ValueError(f"data-quality checks failed: {detail}")

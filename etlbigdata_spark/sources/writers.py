@@ -71,3 +71,73 @@ def write_jdbc(
         .options(**opts)
         .save()
     )
+
+
+def zorder_column(cols: list[str], mins: list, maxs: list, bits: int = 16):
+    """Z-value (Morton code) expression over numeric columns: each value
+    is min/max-scaled to ``bits`` bits, then the bits are interleaved —
+    all in codegen bitwise expressions (no UDF). Min/max scaling keeps
+    the build one cheap 1-row agg; for heavily skewed columns
+    pre-transform (log, rank) before calling, as linear scaling
+    concentrates z-values where the data does."""
+    from pyspark.sql import functions as F
+
+    top = (1 << bits) - 1
+    scaled = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        span = float(hi - lo) or 1.0
+        scaled.append(
+            F.least(
+                F.lit(top),
+                F.greatest(
+                    F.lit(0),
+                    ((F.col(c).cast("double") - F.lit(float(lo))) / F.lit(span) * top).cast("long"),
+                ),
+            )
+        )
+    z = F.lit(0).cast("long")
+    n = len(scaled)
+    for b in range(bits):
+        for i, p in enumerate(scaled):
+            bit = F.shiftright(p, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 8,
+    bits: int = 16,
+    mode: str = "overwrite",
+    **opts,
+) -> None:
+    """A18 sibling — MULTI-dimensional clustered parquet layout: range-
+    partition + sort on a Morton z-value so every output file covers a
+    narrow region of the combined key space. Where ``cluster_by`` prunes
+    on ONE key's min/max stats, z-order keeps per-file ranges narrow on
+    ALL ``cols`` simultaneously — selective predicates on any clustered
+    dimension skip most files (the multi-column file-skipping lever used
+    by lakehouse OPTIMIZE ZORDER, here as a plain parquet write).
+
+    The min/max bounds come from one 1-row aggregate over the input
+    (scanned once more at write time — the write is the expensive step
+    anyway); the z-value is a pure codegen bitwise expression.
+    """
+    from pyspark.sql import functions as F
+
+    bounds = df.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in cols],
+        *[F.max(c).alias(f"hi_{c}") for c in cols],
+    ).collect()[0]
+    mins = [bounds[f"lo_{c}"] for c in cols]
+    maxs = [bounds[f"hi_{c}"] for c in cols]
+    z = zorder_column(cols, mins, maxs, bits)
+    out = (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    out.write.mode(mode).options(**opts).parquet(path)

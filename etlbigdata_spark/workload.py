@@ -510,6 +510,53 @@ QUALIFY ROW_NUMBER() OVER (
 """
 
 
+def b34_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate (operators/quality.run_checks): six declarative
+    rules over orders — nullability, key uniqueness, range, enum,
+    format, and a cross-column expression — evaluated in ONE aggregate
+    pass (single scan + 1-row reduction; the uniqueness rule rides the
+    same aggregate via count − count-distinct). The range rule is
+    deliberately violated by the data (o_totalprice > 450 000 exists)
+    so the report's failure path is exercised, not just the green
+    path."""
+    from .operators import quality as dq
+
+    orders = load(spark, sf_dir, "orders")
+    return dq.run_checks(
+        orders,
+        [
+            dq.not_null("o_custkey"),
+            dq.unique("o_orderkey"),
+            dq.in_range("o_totalprice", 0, 450_000),
+            dq.accepted_values("o_orderstatus", ["F", "O", "P"]),
+            dq.matches("o_orderpriority", r"^[1-5]-"),
+            dq.expression("priority_urgent_is_1", F.col("o_orderpriority") != "URGENT"),
+        ],
+    )
+
+
+B34_SQL = """
+WITH agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_notnull,
+    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v_unique,
+    CAST(SUM(CASE WHEN COALESCE(o_totalprice BETWEEN 0 AND 450000, TRUE) THEN 0 ELSE 1 END) AS BIGINT) AS v_range,
+    CAST(SUM(CASE WHEN COALESCE(o_orderstatus IN ('F','O','P'), TRUE) THEN 0 ELSE 1 END) AS BIGINT) AS v_enum,
+    CAST(SUM(CASE WHEN COALESCE(regexp_matches(o_orderpriority, '^[1-5]-'), TRUE) THEN 0 ELSE 1 END) AS BIGINT) AS v_fmt,
+    CAST(SUM(CASE WHEN COALESCE(o_orderpriority <> 'URGENT', TRUE) THEN 0 ELSE 1 END) AS BIGINT) AS v_expr
+  FROM orders
+)
+SELECT rule, n_violations, n_violations = 0 AS passed FROM (
+  SELECT 'not_null:o_custkey' AS rule, v_notnull AS n_violations FROM agg
+  UNION ALL SELECT 'unique:o_orderkey', v_unique FROM agg
+  UNION ALL SELECT 'in_range:o_totalprice', v_range FROM agg
+  UNION ALL SELECT 'accepted_values:o_orderstatus', v_enum FROM agg
+  UNION ALL SELECT 'matches:o_orderpriority', v_fmt FROM agg
+  UNION ALL SELECT 'priority_urgent_is_1', v_expr FROM agg
+)
+"""
+
+
 def b33_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B9 CUSTOM — Levenshtein ≤ 2 name pairs (joins.fuzzy_self_pairs):
     typo-distance matching with LOSSLESS length-band blocking (edit
@@ -3306,6 +3353,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "b31_merge_upsert": b31_merge_upsert,
     "b32_keep_latest": b32_keep_latest,
     "b33_fuzzy_pairs": b33_fuzzy_pairs,
+    "b34_dq_checks": b34_dq_checks,
     "b05h_hll_merge": b05h_hll_merge,
     "evt01_time_rollup": evt01_time_rollup,
     "evt02_funnel": evt02_funnel,
@@ -3396,6 +3444,7 @@ ORACLE_SQL: dict[str, str] = {
     "b31_merge_upsert": B31_SQL,
     "b32_keep_latest": B32_SQL,
     "b33_fuzzy_pairs": B33_SQL,
+    "b34_dq_checks": B34_SQL,
     "evt01_time_rollup": EVT01_SQL,
     "evt02_funnel": EVT02_SQL,
     "evt03_sessionize": EVT03_SQL,

@@ -344,3 +344,60 @@ def test_ppm_binaryfile_pipeline_end_to_end(engine, tmp_path):
     feats = extract_media_features(meta, "path", "content", strict=True)
     got = {r["key"].rsplit("/", 1)[-1]: (r["height"], r["width"]) for r in feats.collect()}
     assert got == {f"{n}.ppm": hw for n, hw in dims.items()}
+
+
+def test_zordered_write_narrows_both_dimensions(spark, sf_dir, tmp_path):
+    """A18 z-order: each output file covers a narrow region of BOTH
+    clustered columns at once — the multi-column file-skipping property
+    single-key clustering cannot give (its secondary column spans the
+    full range in every file). Metric: mean per-file fractional range
+    width per dimension; z-order must beat the naive layout decisively
+    on both, and roughly evenly (Morton interleaving splits precision
+    between dimensions)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_quantity")
+    )
+
+    def mean_widths(path):
+        spans = {"l_orderkey": [], "l_partkey": []}
+        glob_lo = {"l_orderkey": None, "l_partkey": None}
+        files = glob.glob(f"{path}/part-*.parquet")
+        per_file = []
+        for f in files:
+            t = pq.read_table(f, columns=["l_orderkey", "l_partkey"])
+            row = {}
+            for c in spans:
+                col = t.column(c).to_pylist()
+                if col:
+                    row[c] = (min(col), max(col))
+            if row:
+                per_file.append(row)
+        out = {}
+        for c in spans:
+            glo = min(r[c][0] for r in per_file)
+            ghi = max(r[c][1] for r in per_file)
+            width = (ghi - glo) or 1
+            out[c] = sum((r[c][1] - r[c][0]) / width for r in per_file) / len(per_file)
+        return out, len(per_file)
+
+    naive = str(tmp_path / "naive")
+    li.repartition(8).write.parquet(naive)
+    zord = str(tmp_path / "zord")
+    # 16 files = 4 z-bits = both dimensions quartered (a 2-D Morton
+    # curve alternates which dimension each extra bit splits)
+    writers.write_zordered(li, zord, ["l_orderkey", "l_partkey"], n_files=16)
+
+    wn, _ = mean_widths(naive)
+    wz, nfiles = mean_widths(zord)
+    assert nfiles > 1
+    for c in ("l_orderkey", "l_partkey"):
+        assert wn[c] > 0.9, f"naive layout should span ~full {c} range"
+        # ideal ≈ 0.25 per dim; range-boundary sampling blurs it
+        assert wz[c] < 0.45, f"z-order file width on {c} = {wz[c]:.2f}, want < 0.45"
+    # data intact
+    assert spark.read.parquet(zord).count() == li.count()

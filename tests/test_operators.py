@@ -504,3 +504,43 @@ def test_fuzzy_self_pairs_each_pair_once(spark):
     df = spark.createDataFrame([Row(t="abc"), Row(t="abd"), Row(t="abc"), Row(t="xyz")])
     rows = fjoins.fuzzy_self_pairs(df, "t", max_distance=1).collect()
     assert [(r.value_a, r.value_b, r.distance) for r in rows] == [("abc", "abd", 1)]
+
+
+# -- data-quality checks ----------------------------------------------
+def test_dq_rules_single_pass_semantics(spark):
+    from etlbigdata_spark.operators import quality as dq
+
+    df = spark.createDataFrame(
+        [Row(k=1, v=5.0, s="ok"), Row(k=1, v=50.0, s="bad"), Row(k=2, v=None, s=None)]
+    )
+    rep = {r.rule: (r.n_violations, r.passed) for r in dq.run_checks(df, [
+        dq.not_null("v"),
+        dq.unique("k"),
+        dq.in_range("v", 0, 10),        # null v passes (not_null's job)
+        dq.accepted_values("s", ["ok"]),  # null s passes
+        dq.expression("v_under_100", F.col("v") < 100),
+    ]).collect()}
+    assert rep["not_null:v"] == (1, False)
+    assert rep["unique:k"] == (1, False)
+    assert rep["in_range:v"] == (1, False)      # only 50.0 violates
+    assert rep["accepted_values:s"] == (1, False)  # only "bad"
+    assert rep["v_under_100"] == (0, True)
+
+
+def test_dq_unique_multi_column(spark):
+    from etlbigdata_spark.operators import quality as dq
+
+    df = spark.createDataFrame([Row(a=1, b=1), Row(a=1, b=2), Row(a=1, b=2)])
+    rep = dq.run_checks(df, [dq.unique("a", "b")]).collect()[0]
+    assert rep.n_violations == 1 and not rep.passed
+
+
+def test_dq_assert_checks_raises_with_detail(spark):
+    from etlbigdata_spark.operators import quality as dq
+
+    df = spark.createDataFrame([Row(x=None)], "x int")
+    with pytest.raises(ValueError, match="not_null:x"):
+        dq.assert_checks(df, [dq.not_null("x")])
+    dq.assert_checks(df, [dq.in_range("x", 0, 1)])  # null passes → no raise
+    with pytest.raises(ValueError, match="no rules"):
+        dq.run_checks(df, [])
