@@ -219,6 +219,19 @@ def minhash_signatures(
     partial aggregation — scales like a word count. The hash family is
     seed-pinned (``_minhash_family``), so signatures built today join
     against signatures built last month.
+
+    Evaluated and REJECTED (round 4, measured): a zero-shuffle per-row
+    plan — ``array_min(transform(shingle_hashes, h → (a·h+b) mod p))``
+    per function, no explode, no groupBy. Despite the better shuffle
+    story it ran **9× slower at sf1 (d03: 47 s vs 5.4 s)**: Spark
+    evaluates higher-order array lambdas interpreted — one closure call
+    per element per hash function (32 × |shingles| per doc) plus a
+    fresh array allocation per ``transform`` — while the explode plan
+    keeps every operator inside whole-stage codegen. The shuffle it
+    saves is 8-byte (id, hash) pairs with map-side combine — cheap; the
+    codegen loss is not. Same conclusion as the nested-HOF simhash
+    variant: on this engine, explode + codegen agg beats per-row HOF
+    loops.
     """
     sh = exploded_shingles(df, id_col, text_col, shingle_n)
     if max_shingle_doc_freq:
