@@ -250,6 +250,43 @@ def minhash_signatures(
     )
 
 
+def shingle_hashes_col(toks_col, n: int = 3) -> Column:
+    """array<long> of hashed distinct word-n-gram shingles from a token
+    array column — ONE xxhash64 per shingle, pre-reduced mod p so the
+    values feed ``minhash_signature_col`` directly and agree with the
+    exploded batch plan's ``__h0``."""
+    p = (1 << 31) - 1
+    return F.transform(
+        shingles_from_tokens(toks_col, n), lambda s: F.pmod(F.xxhash64(s), F.lit(p))
+    )
+
+
+def minhash_signature_col(shingle_hashes, num_hashes: int = 32) -> Column:
+    """PER-ROW MinHash signature expression (array<long>), same seeded
+    hash family as ``minhash_signatures`` — byte-identical values, so
+    row-wise signatures join against the batch-built index.
+
+    This is the STREAMING-projection variant: a streaming pipeline
+    cannot run the batch plan's explode → groupBy(id) aggregate in
+    append mode, and a projection can. The higher-order-function
+    evaluation is interpreted (measured 9× slower than the codegen
+    explode plan for BATCH corpus builds — see ``minhash_signatures``'s
+    rejection note; use that for bulk work), which is the right trade
+    only where per-row cost is bounded by arrival rate, i.e. streams.
+    """
+    p = (1 << 31) - 1
+    col = F.col(shingle_hashes) if isinstance(shingle_hashes, str) else shingle_hashes
+
+    def _uh(a: int, b: int):
+        # factory closure: PySpark derives HOF arity from the lambda's
+        # parameter count, so coefficients must be captured, not defaulted
+        return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(p))
+
+    return F.array(
+        *[F.array_min(F.transform(col, _uh(a, b))) for a, b in _minhash_family(num_hashes)]
+    )
+
+
 def _banded_signatures(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """(id, sig, band, val) band-key table, derived from a signature
     table by PURE PROJECTION (array slicing + xxhash64 — no shuffle, no

@@ -1983,6 +1983,111 @@ def _drain_to_table(writer) -> str:
     return name
 
 
+def _document_stream(spark: SparkSession, sf_dir: str):
+    """documents.parquet through the REAL Structured Streaming file
+    source (same staging pattern as ``_event_stream``)."""
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming import ops as stops
+
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stage = tempfile.mkdtemp(prefix="st_docs_src_")
+    _PENDING_STAGE_DIRS.append(stage)
+    src, dst = f"{sf_dir}/documents.parquet", os.path.join(stage, "documents.parquet")
+    try:
+        os.symlink(src, dst)
+    except OSError:
+        shutil.copyfile(src, dst)
+    return stops.read_file_stream(spark, stage, raw.schema)
+
+
+def st09_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19+B23 — incremental near-dup dedup ON A STREAM, through the
+    ACTUAL engine: new documents (doc_id ≡ 0 mod 3) arrive via
+    readStream, get a PER-ROW MinHash signature (projection —
+    ``minhash_signature_col``; a stream cannot run the batch explode →
+    groupBy plan in append mode), band keys by projection, and
+    stream-static join against the banded signature index of the
+    existing corpus (r=1 recall mode). Candidates verify EXACTLY inside
+    the stream: a second stream-static join fetches the corpus doc's
+    distinct shingle-hash set and ``array_intersect`` computes the true
+    Jaccard — so the appended output equals the exact batch×corpus
+    pairs at J ≥ 0.5, and the oracle is d07's SQL (all-pairs restricted
+    to pairs straddling the split). dropDuplicates de-dups multi-band
+    hits (append mode, no watermark: state is bounded by the batch's
+    pair count here; production would watermark on arrival time).
+    """
+    from .streaming import ops as stops
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    index = fdedup.minhash_signatures(corpus, "doc_id", "text")
+    banded_index = (
+        fdedup._banded_signatures(index, 32, 32)  # r=1: recall mode
+        .select(F.col("id").alias("id_corpus"), "band", "val")
+    )
+    corpus_sets = corpus.select(
+        F.col("doc_id").alias("id_corpus"),
+        F.array_distinct(
+            fdedup.shingle_hashes_col(ftext.tokens_col("text"), 3)
+        ).alias("set_corpus"),
+    )
+
+    stream = _document_stream(spark, sf_dir).filter(F.col("doc_id") % 3 == 0)
+    s = stream.select(
+        F.col("doc_id").alias("id_batch"),
+        F.array_distinct(fdedup.shingle_hashes_col(ftext.tokens_col("text"), 3)).alias(
+            "set_batch"
+        ),
+    ).filter(F.size("set_batch") > 0)
+    s = s.withColumn("sig", fdedup.minhash_signature_col(F.col("set_batch"), 32))
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(i).alias("band"), F.xxhash64(F.col("sig")[i]).alias("val"))
+            for i in range(32)
+        ]
+    )
+    s_banded = s.select(
+        "id_batch", "set_batch", F.explode(band_structs).alias("bv")
+    ).select("id_batch", "set_batch", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    cand = (
+        s_banded.join(banded_index, ["band", "val"])  # stream-static
+        .select("id_batch", "set_batch", "id_corpus")
+        .dropDuplicates(["id_batch", "id_corpus"])
+        .join(corpus_sets, "id_corpus")  # stream-static: fetch the set
+    )
+    n_shared = F.size(F.array_intersect("set_batch", "set_corpus"))
+    size_a = F.size("set_batch")
+    size_b = F.size("set_corpus")
+    verified = (
+        cand.withColumn("n_shared", n_shared.cast("long"))
+        .withColumn("sa", size_a)
+        .withColumn("sb", size_b)
+        .withColumn(
+            "jaccard", F.col("n_shared") / (F.col("sa") + F.col("sb") - F.col("n_shared"))
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select(
+            F.least("id_batch", "id_corpus").alias("id_a"),
+            F.greatest("id_batch", "id_corpus").alias("id_b"),
+            "n_shared",
+            F.when(F.col("id_batch") < F.col("id_corpus"), F.col("sa")).otherwise(F.col("sb")).cast("long").alias("size_a"),
+            F.when(F.col("id_batch") < F.col("id_corpus"), F.col("sb")).otherwise(F.col("sa")).cast("long").alias("size_b"),
+            "jaccard",
+        )
+    )
+    name = _drain_to_table(stops.write_stream_memory(verified, "placeholder", "append"))
+    return spark.table(name)
+
+
+ST09_SQL = (
+    "SELECT * FROM (" + _jaccard_oracle_sql(threshold=0.5)
+    + ") WHERE (id_a % 3 = 0) <> (id_b % 3 = 0)"
+)
+
+
 def st05_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B19 — source/sink plumbing driven through the ACTUAL streaming
     engine, not a batch twin: readStream file source → event-time
@@ -3312,6 +3417,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st04_sliding": st04_sliding,
     "st07_stream_join": st07_stream_join,
     "st08_stream_dedup": st08_stream_dedup,
+    "st09_stream_incremental_dedup": st09_stream_incremental_dedup,
     "b16_unpivot": b16_unpivot,
     "b17_sample": b17_sample,
     "b18t_chunk_udtf": b18t_chunk_udtf,
@@ -3474,6 +3580,7 @@ ORACLE_SQL: dict[str, str] = {
     "st06_stateful": ST06_SQL,
     "st07_stream_join": ST07_SQL,
     "st08_stream_dedup": ST08_SQL,
+    "st09_stream_incremental_dedup": ST09_SQL,
     "t05_fingerprint": T05_SQL,
     # rows-only (approximate / engine-specific RNG or hash): b17_sample,
     # d03_minhash, d04_simhash, s02_lsh_topk, d05_embedding_neardup —
