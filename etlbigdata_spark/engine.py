@@ -135,6 +135,24 @@ class Engine:
             raise ValueError(f"method must be one of {sorted(self._TOPK)}")
         return self._TOPK[method](corpus, queries, k=k, **kw)
 
+    def check_quality(self, df: DataFrame, rules: list) -> DataFrame:
+        """(rule, n_violations, passed) report — one aggregate pass; see
+        operators.quality for the rule helpers."""
+        from .operators import quality
+
+        return quality.run_checks(df, rules)
+
+    def assert_quality(self, df: DataFrame, rules: list) -> None:
+        """Gate form of :meth:`check_quality`: raises listing failures."""
+        from .operators import quality
+
+        quality.assert_checks(df, rules)
+
+    def save_zordered(self, df: DataFrame, path: str, cols: list[str], **kw) -> None:
+        """Multi-dimensional clustered parquet layout (Morton z-order) —
+        per-file min/max stays narrow on every clustered column."""
+        writers.write_zordered(df, path, cols, **kw)
+
     def dedup_index(self, df: DataFrame, **kw) -> DataFrame:
         """Persistable (id, sig) MinHash signature index — save with
         :meth:`save_parquet`, dedup later batches against it with

@@ -2976,6 +2976,34 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linesta
 """
 
 
+def b09_notin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9 — NULL-AWARE anti join (NOT IN subquery semantics): the
+    statement runs verbatim on both engines. Facet 'no_nulls' is a
+    plain anti join (non-empty). Facet 'with_null' plants a NULL in the
+    subquery, where SQL three-valued logic makes `x NOT IN (...)`
+    UNKNOWN for every x — the correct count is 0, and an engine that
+    lowered NOT IN to a NOT EXISTS-style anti join would return
+    thousands of rows and hash-mismatch. Spark plans this as a
+    null-aware BroadcastNestedLoopJoin; the pre-aggregated subquery
+    keeps the NL side a broadcast scalar set at any scale."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(B09_NOTIN_SQL)
+
+
+B09_NOTIN_SQL = """
+SELECT 'no_nulls' AS facet, COUNT(*) AS n FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderdate >= TIMESTAMP '2001-06-01')
+UNION ALL
+SELECT 'with_null' AS facet, COUNT(*) AS n FROM customer
+WHERE c_custkey NOT IN (SELECT CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                                    ELSE o_custkey END
+                        FROM orders
+                        WHERE o_orderdate >= TIMESTAMP '2001-06-01')
+"""
+
+
 def b09_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B9 — genuine theta join (inequality-only predicate → broadcast
     nested-loop on the small side): per supplier nation, how many
@@ -3412,6 +3440,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "b06_cube": b06_cube,
     "b08_except": b08_except,
     "b09_theta": b09_theta,
+    "b09_notin": b09_notin,
     "b10_range_frame": b10_range_frame,
     "b14_explode": b14_explode,
     "st04_sliding": st04_sliding,
@@ -3504,6 +3533,7 @@ ORACLE_SQL: dict[str, str] = {
     "q22_idle_rich_customers": Q22_SQL,
     "b06_grouping_sets": B06_GSETS_SQL,
     "b09_theta": B09_THETA_SQL,
+    "b09_notin": B09_NOTIN_SQL,
     "q15_top_supplier": Q15_SQL,
     "b10_range_frame": B10_RANGE_SQL,
     "b15_from_json": B15_FROM_JSON_SQL,
