@@ -66,3 +66,33 @@ def numeric_profile(df: DataFrame, columns: list[str]) -> DataFrame:
 def approx_quantiles(df: DataFrame, column: str, probabilities: list[float], rel_err: float = 0.01) -> list[float]:
     """B27 — Greenwald-Khanna sketch quantiles; no sort, no shuffle of data."""
     return df.approxQuantile(column, probabilities, rel_err)
+
+
+def histogram(df: DataFrame, column: str, lo: float, hi: float, n_bins: int) -> DataFrame:
+    """B27 — equi-width histogram in ONE aggregate pass: bucket index by
+    arithmetic (floor((x−lo)/width), IEEE-identical across engines),
+    out-of-range values clamped into sentinel buckets −1 / n_bins, NULLs
+    dropped. Returns (bucket, bucket_lo, bucket_hi, n_rows) — the
+    profiling primitive behind distribution views; one shuffle of
+    n_bins+2 partial counts regardless of table size."""
+    if n_bins <= 0 or not hi > lo:
+        raise ValueError("need n_bins > 0 and hi > lo")
+    width = (hi - lo) / n_bins
+    x = F.col(column)
+    bucket = (
+        F.when(x < lo, F.lit(-1))
+        .when(x >= hi, F.lit(n_bins))
+        .otherwise(F.floor((x - F.lit(lo)) / F.lit(width)))
+        .cast("int")
+    )
+    return (
+        df.filter(x.isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "bucket",
+            (F.lit(lo) + F.col("bucket") * F.lit(width)).alias("bucket_lo"),
+            (F.lit(lo) + (F.col("bucket") + 1) * F.lit(width)).alias("bucket_hi"),
+            "n_rows",
+        )
+    )

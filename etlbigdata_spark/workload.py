@@ -489,6 +489,31 @@ GROUP BY user_id
 """
 
 
+def b35_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B27 — equi-width histogram (sampling.histogram): 20 price buckets
+    over orders in one aggregate pass; bucket arithmetic is IEEE-
+    identical in both engines, so edges land identically."""
+    from .operators import sampling
+
+    orders = load(spark, sf_dir, "orders")
+    return sampling.histogram(orders, "o_totalprice", 0.0, 500_000.0, 20)
+
+
+B35_SQL = """
+SELECT bucket,
+       0.0 + bucket * 25000.0 AS bucket_lo,
+       0.0 + (bucket + 1) * 25000.0 AS bucket_hi,
+       COUNT(*) AS n_rows
+FROM (
+  SELECT CAST(CASE WHEN o_totalprice < 0.0 THEN -1
+              WHEN o_totalprice >= 500000.0 THEN 20
+              ELSE FLOOR((o_totalprice - 0.0) / 25000.0) END AS INTEGER) AS bucket
+  FROM orders WHERE o_totalprice IS NOT NULL
+)
+GROUP BY bucket
+"""
+
+
 def b32_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8/B10 — CDC-style compaction (cleaning.keep_latest): one row per
     customer — the most recent order (date desc, orderkey desc as the
@@ -3489,6 +3514,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "b32_keep_latest": b32_keep_latest,
     "b33_fuzzy_pairs": b33_fuzzy_pairs,
     "b34_dq_checks": b34_dq_checks,
+    "b35_histogram": b35_histogram,
     "b05h_hll_merge": b05h_hll_merge,
     "evt01_time_rollup": evt01_time_rollup,
     "evt02_funnel": evt02_funnel,
@@ -3581,6 +3607,7 @@ ORACLE_SQL: dict[str, str] = {
     "b32_keep_latest": B32_SQL,
     "b33_fuzzy_pairs": B33_SQL,
     "b34_dq_checks": B34_SQL,
+    "b35_histogram": B35_SQL,
     "evt01_time_rollup": EVT01_SQL,
     "evt02_funnel": EVT02_SQL,
     "evt03_sessionize": EVT03_SQL,

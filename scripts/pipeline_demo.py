@@ -52,6 +52,37 @@ def main(sf_dir: str = DEFAULT_SF_DIR) -> dict:
     queries = emb.filter(F.col("vec_id") < 3)
     stages["similarity_rows"] = eng.similar_topk(emb, queries, k=3, round_to=6).count()
 
+    # 7. (round 4) data-quality gate on the surviving corpus
+    from etlbigdata_spark.operators import quality as dq
+
+    eng.assert_quality(
+        kept,
+        [dq.not_null("doc_id"), dq.unique("doc_id"), dq.in_range("quality", 0.0, 1.0)],
+    )
+    stages["dq_rules_passed"] = 3
+
+    # 8. (round 4) persist the corpus signature index, then dedup a
+    # simulated NEW batch against it without re-reading the corpus
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        eng.save_parquet(eng.dedup_index(kept, id_col="doc_id", text_col="text"), td)
+        index = eng.load_parquet(td)
+        batch = kept.limit(20).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+        inc = eng.dedup_incremental(batch, index, id_col="doc_id", text_col="text",
+                                    jaccard_distance_threshold=0.1)
+        # every batch doc is a copy of a corpus doc → each must re-find
+        # its source at distance 0
+        stages["incremental_hits"] = inc.filter(F.col("jaccard_dist") == 0.0).count()
+        assert stages["incremental_hits"] >= 20
+
+    # 9. (round 4) CDC upsert: merge a price-corrected delta back in
+    delta = kept.limit(5).withColumn("quality", F.lit(1.0))
+    merged = eng.merge(kept, delta, ["doc_id"])
+    stages["after_merge"] = merged.count()
+
     return stages
 
 
