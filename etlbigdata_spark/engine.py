@@ -135,6 +135,15 @@ class Engine:
             raise ValueError(f"method must be one of {sorted(self._TOPK)}")
         return self._TOPK[method](corpus, queries, k=k, **kw)
 
+    def sessionize(
+        self, df: DataFrame, key_cols: list[str], ts_col: str, gap_seconds: int = 1800, **kw
+    ) -> DataFrame:
+        """Gap-based session_idx assignment (one shuffle; per-session
+        aggregates reuse the partitioning)."""
+        from .operators import aggregates
+
+        return aggregates.sessionize(df, key_cols, ts_col, gap_seconds, **kw)
+
     def check_quality(self, df: DataFrame, rules: list) -> DataFrame:
         """(rule, n_violations, passed) report — one aggregate pass; see
         operators.quality for the rule helpers."""

@@ -133,3 +133,87 @@ def ppm_frames(blob: bytes, n_frames: int) -> list[bytes]:
         return frames
     idx = np.linspace(0, len(frames) - 1, n_frames).round().astype(np.int64)
     return [frames[i] for i in idx]
+
+
+# -- BMP (24bpp uncompressed) — second REAL codec (round 4) -----------
+def decode_bmp(blob: bytes) -> np.ndarray:
+    """Decode an uncompressed 24-bit BMP (BITMAPINFOHEADER) to an RGB
+    uint8 array. Handles bottom-up (positive height, the common case)
+    and top-down (negative height) layouts and the 4-byte row padding.
+    Palette/compressed/other-depth BMPs raise — swap in PIL where it
+    exists."""
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP (missing BM magic)")
+    off = int.from_bytes(blob[10:14], "little")
+    w = int.from_bytes(blob[18:22], "little", signed=True)
+    h = int.from_bytes(blob[22:26], "little", signed=True)
+    bpp = int.from_bytes(blob[28:30], "little")
+    comp = int.from_bytes(blob[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only 24bpp uncompressed BMP supported (bpp={bpp}, compression={comp})")
+    top_down, height = h < 0, abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    data = np.frombuffer(blob, np.uint8, count=stride * height, offset=off).reshape(height, stride)
+    img = data[:, : w * 3].reshape(height, w, 3)[..., ::-1]  # BGR→RGB
+    if not top_down:
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) RGB uint8 array as a bottom-up 24bpp BMP."""
+    h, w = pixels.shape[:2]
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = pixels[..., ::-1].reshape(h, w * 3)
+    data = rows[::-1].tobytes()
+    off = 14 + 40
+    fh = b"BM" + (off + len(data)).to_bytes(4, "little") + b"\x00" * 4 + off.to_bytes(4, "little")
+    dib = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(data).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    return fh + dib + data
+
+
+def decode_image(blob: bytes) -> np.ndarray:
+    """Magic-byte dispatcher over the REAL built-in codecs (PPM P6, BMP
+    24bpp). The extension point for richer formats is the ``decode_fn``
+    argument on the multimodal operators, not this function."""
+    if blob[:2] == b"P6":
+        return decode_ppm(blob)
+    if blob[:2] == b"BM":
+        return decode_bmp(blob)
+    raise ValueError("unsupported image format (built-in real codecs: PPM P6, BMP 24bpp)")
+
+
+def image_features(key: str, blob: bytes) -> dict:
+    """Format-sniffing strict featurizer: real decode (PPM or BMP) →
+    FEATURE_SCHEMA row (same 8-dim pixel-statistic feature as
+    ``ppm_features``)."""
+    img = decode_image(blob)
+    h, w = img.shape[:2]
+    f = img.astype(np.float64)
+    means = f.mean(axis=(0, 1))
+    stds = f.std(axis=(0, 1))
+    lum = float(0.299 * means[0] + 0.587 * means[1] + 0.114 * means[2])
+    feature = [float(x) for x in means] + [float(x) for x in stds] + [w / h, lum]
+    return {"key": key, "width": w, "height": h, "n_frames": 1, "feature": feature}
+
+
+def image_resize(blob: bytes, width: int, height: int) -> bytes:
+    """Format-sniffing strict resize: decode (PPM or BMP) →
+    nearest-neighbor resample → re-encode in the ORIGINAL format."""
+    img = decode_image(blob)
+    src_h, src_w = img.shape[:2]
+    rows = np.minimum((np.arange(height) + 0.5) * src_h / height, src_h - 1).astype(np.int64)
+    cols = np.minimum((np.arange(width) + 0.5) * src_w / width, src_w - 1).astype(np.int64)
+    out = img[rows[:, None], cols[None, :]]
+    return encode_bmp(out) if blob[:2] == b"BM" else encode_ppm(out)

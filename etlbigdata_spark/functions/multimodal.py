@@ -85,16 +85,17 @@ def extract_media_features(
 ) -> DataFrame:
     """B26 — decode/featurize media via ``mapInPandas`` (Arrow batches of
     rows in, feature rows out).  ``strict=True`` with no ``decode_fn``
-    uses the REAL built-in PPM (P6) codec — true dimensions + pixel-stat
-    features, ValueError on non-PPM bytes; swap ``decode_fn`` for a
-    JPEG/PNG codec where those libs exist.  Default (non-strict) is the
+    uses the REAL built-in codecs (PPM P6 and 24bpp BMP, sniffed by
+    magic bytes) — true dimensions + pixel-stat features, ValueError on
+    other bytes; swap ``decode_fn`` for a JPEG/PNG codec where those
+    libs exist.  Default (non-strict) is the
     deterministic fake, for format-agnostic plumbing tests."""
     if decode_fn is not None:
         fn = decode_fn
     elif strict:
         from . import codecs
 
-        fn = codecs.ppm_features
+        fn = codecs.image_features
     else:
         fn = _fake_decode
     src = df.select(F.col(key_col).cast("string").alias("key"), F.col(bytes_col).alias("blob"))
@@ -190,15 +191,15 @@ def resize_media(
     """B26 — binary→binary media transform (decode→resize→re-encode) via
     ``mapInPandas``, output re-wrapped with the typed metadata struct so
     downstream ops see (key, media:binary, media_meta).  ``strict=True``
-    with no ``resize_fn`` uses the REAL PPM codec (decode →
-    nearest-neighbor resample → re-encode, ValueError on non-PPM
-    bytes)."""
+    with no ``resize_fn`` uses the REAL built-in codecs (PPM P6 / 24bpp BMP,
+    decode → nearest-neighbor resample → re-encode in the original
+    format, ValueError on other bytes)."""
     if resize_fn is not None:
         fn = resize_fn
     elif strict:
         from . import codecs
 
-        fn = codecs.ppm_resize
+        fn = codecs.image_resize
     else:
         fn = _fake_resize
     src = df.select(F.col(key_col).cast("string").alias("key"), F.col(bytes_col).alias("blob"))

@@ -104,3 +104,34 @@ def top_k_per_group(
     group key. ``order_by`` should include a tiebreaker for determinism."""
     w = Window.partitionBy(*partition_by).orderBy(*order_by)
     return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap_seconds: int = 1800,
+    tiebreakers: list[str] | None = None,
+) -> DataFrame:
+    """B10 composite — gap-based session assignment: adds a
+    ``session_idx`` column (1-based per key) that increments whenever
+    more than ``gap_seconds`` passed since the key's previous event.
+
+    The classic two-step window plan (lag → new-session flag → running
+    sum of flags), ONE shuffle on ``key_cols``; a following
+    ``groupBy(*key_cols, "session_idx")`` aggregate reuses the same
+    hash partitioning, so per-session rollups add no second Exchange
+    (plan-verified by the evt03 workload query). Gap arithmetic is in
+    integer microseconds so engines never disagree on boundaries; pass
+    ``tiebreakers`` (e.g. an event id) to pin ordering of same-
+    timestamp rows."""
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in (tiebreakers or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    us = F.unix_micros(F.col(ts_col))
+    prev = F.lag(us).over(w)
+    flag = F.when(
+        prev.isNull() | ((us - prev) > F.lit(gap_seconds * 1_000_000)), F.lit(1)
+    ).otherwise(F.lit(0))
+    flagged = df.withColumn("__new_sess", flag)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return flagged.withColumn("session_idx", F.sum("__new_sess").over(run)).drop("__new_sess")

@@ -612,17 +612,10 @@ def evt03_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     so Catalyst inserts no second Exchange. Gap arithmetic in integer
     MICROSECONDS (unix_micros / epoch_us) so both engines compare
     identical longs; ordering ties pinned by (ts, event_id)."""
-    gap_us = 21600 * 1_000_000  # 6 h
     ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
-    us = F.unix_micros(F.col("ts"))
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    prev = F.lag(us).over(w)
-    flagged = ev.withColumn(
-        "__new_sess",
-        F.when(prev.isNull() | ((us - prev) > F.lit(gap_us)), F.lit(1)).otherwise(F.lit(0)),
+    sess = aggregates.sessionize(
+        ev, ["user_id"], "ts", gap_seconds=21600, tiebreakers=["event_id"]
     )
-    run = w.rowsBetween(Window.unboundedPreceding, 0)
-    sess = flagged.withColumn("session_idx", F.sum("__new_sess").over(run))
     return sess.groupBy("user_id", "session_idx").agg(
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),

@@ -401,3 +401,26 @@ def test_zordered_write_narrows_both_dimensions(spark, sf_dir, tmp_path):
         assert wz[c] < 0.45, f"z-order file width on {c} = {wz[c]:.2f}, want < 0.45"
     # data intact
     assert spark.read.parquet(zord).count() == li.count()
+
+
+def test_bmp_strict_decode_and_resize_are_real(engine):
+    """B26 round-4: the strict path sniffs magic bytes and decodes 24bpp
+    BMP for real — true dimensions, pixel-stat features, and a resize
+    that re-encodes in the ORIGINAL format with correct new dims."""
+    import numpy as np
+
+    from etlbigdata_spark.functions import codecs
+    from etlbigdata_spark.functions.multimodal import resize_media
+
+    img = np.zeros((4, 10, 3), dtype=np.uint8)
+    img[:, :, 2] = 77  # solid blue channel
+    df = engine.spark.createDataFrame(
+        [("b1", bytearray(codecs.encode_bmp(img)))], "key string, blob binary"
+    )
+    r = extract_media_features(df, "key", "blob", strict=True).collect()[0]
+    assert (r["width"], r["height"]) == (10, 4)
+    assert abs(r["feature"][2] - 77.0) < 1e-6 and abs(r["feature"][0]) < 1e-6
+
+    out = resize_media(df, "key", "blob", width=5, height=2, strict=True).collect()[0]
+    back = codecs.decode_bmp(bytes(out["media"]))
+    assert back.shape == (2, 5, 3) and back[0, 0, 2] == 77
