@@ -98,3 +98,38 @@ def assert_checks(df: DataFrame, rules: list[Rule]) -> None:
     if failing:
         detail = ", ".join(f"{n} ({v} violations)" for n, v in failing)
         raise ValueError(f"data-quality checks failed: {detail}")
+
+
+def flag_outliers(
+    df: DataFrame,
+    column: str,
+    by: list[str],
+    k: float = 1.5,
+    round_bounds: int | None = 6,
+) -> DataFrame:
+    """Tukey IQR outlier flags per group: adds ``is_outlier`` where the
+    value falls outside [q1 − k·IQR, q3 + k·IQR] of its group.
+
+    Exact continuous-interpolation percentiles (cross-engine-stable,
+    same order statistic as DuckDB's quantile_cont — see b28); the
+    per-group bounds table is group-count-sized, so the join back is a
+    broadcast at any realistic cardinality. ``round_bounds`` rounds the
+    bounds before comparison so engines computing the quantile in a
+    different operation order cannot flip borderline rows. At 100 TB
+    swap the exact percentile for ``approx_percentile`` (mergeable GK
+    sketch) when rank error is tolerable — the shape is identical.
+    """
+    x = F.col(column)
+    q = df.groupBy(*by).agg(
+        F.percentile(column, 0.25).alias("__q1"),
+        F.percentile(column, 0.75).alias("__q3"),
+    )
+    lo = F.col("__q1") - k * (F.col("__q3") - F.col("__q1"))
+    hi = F.col("__q3") + k * (F.col("__q3") - F.col("__q1"))
+    if round_bounds is not None:
+        lo, hi = F.round(lo, round_bounds), F.round(hi, round_bounds)
+    return (
+        df.join(F.broadcast(q), by)
+        .withColumn("is_outlier", (x < lo) | (x > hi))
+        .drop("__q1", "__q3")
+    )

@@ -514,6 +514,50 @@ GROUP BY bucket
 """
 
 
+def b36_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ composite — Tukey IQR outlier detection per group
+    (quality.flag_outliers): the corpus unions a ×20-price spike slice
+    (o_orderkey ≡ 0 mod 97) so real outliers exist at every SF — the
+    uniform base distribution alone has none, which would make the
+    check vacuous. Exact percentiles (= quantile_cont), bounds rounded
+    to 6 dp in both engines so borderline rows can't flip."""
+    from .operators import quality as dq
+
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select("o_orderpriority", "o_totalprice")
+    spike = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderpriority", (F.col("o_totalprice") * 20).alias("o_totalprice")
+    )
+    corpus = base.unionByName(spike)
+    flagged = dq.flag_outliers(corpus, "o_totalprice", ["o_orderpriority"], k=1.5)
+    return flagged.groupBy("o_orderpriority").agg(
+        F.sum(F.col("is_outlier").cast("int")).cast("long").alias("n_outliers"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+B36_SQL = """
+WITH corpus AS (
+  SELECT o_orderpriority, o_totalprice FROM orders
+  UNION ALL
+  SELECT o_orderpriority, o_totalprice * 20 AS o_totalprice
+  FROM orders WHERE o_orderkey % 97 = 0
+), q AS (
+  SELECT o_orderpriority,
+         quantile_cont(o_totalprice, 0.25) AS q1,
+         quantile_cont(o_totalprice, 0.75) AS q3
+  FROM corpus GROUP BY o_orderpriority
+)
+SELECT c.o_orderpriority AS o_orderpriority,
+       CAST(SUM(CASE WHEN c.o_totalprice < ROUND(q1 - 1.5*(q3-q1), 6)
+                       OR c.o_totalprice > ROUND(q3 + 1.5*(q3-q1), 6)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       COUNT(*) AS n_rows
+FROM corpus c JOIN q USING (o_orderpriority)
+GROUP BY c.o_orderpriority
+"""
+
+
 def b32_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8/B10 — CDC-style compaction (cleaning.keep_latest): one row per
     customer — the most recent order (date desc, orderkey desc as the
@@ -3508,6 +3552,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "b33_fuzzy_pairs": b33_fuzzy_pairs,
     "b34_dq_checks": b34_dq_checks,
     "b35_histogram": b35_histogram,
+    "b36_outliers": b36_outliers,
     "b05h_hll_merge": b05h_hll_merge,
     "evt01_time_rollup": evt01_time_rollup,
     "evt02_funnel": evt02_funnel,
@@ -3601,6 +3646,7 @@ ORACLE_SQL: dict[str, str] = {
     "b33_fuzzy_pairs": B33_SQL,
     "b34_dq_checks": B34_SQL,
     "b35_histogram": B35_SQL,
+    "b36_outliers": B36_SQL,
     "evt01_time_rollup": EVT01_SQL,
     "evt02_funnel": EVT02_SQL,
     "evt03_sessionize": EVT03_SQL,

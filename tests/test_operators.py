@@ -544,3 +544,23 @@ def test_dq_assert_checks_raises_with_detail(spark):
     dq.assert_checks(df, [dq.in_range("x", 0, 1)])  # null passes → no raise
     with pytest.raises(ValueError, match="no rules"):
         dq.run_checks(df, [])
+
+
+def test_merge_upsert_empty_source_is_identity(spark):
+    from etlbigdata_spark.operators import merge as fmerge
+
+    target, source = _merge_fixtures(spark)
+    empty = source.filter(F.lit(False))
+    out = fmerge.merge_upsert(target, empty, ["k"])
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in target.collect()}
+
+
+def test_merge_upsert_idempotent(spark):
+    """Applying the same delta twice must equal applying it once —
+    the property that makes retried upsert jobs safe."""
+    from etlbigdata_spark.operators import merge as fmerge
+
+    target, source = _merge_fixtures(spark)
+    once = fmerge.merge_upsert(target, source, ["k"])
+    twice = fmerge.merge_upsert(once, source, ["k"])
+    assert {tuple(r) for r in twice.collect()} == {tuple(r) for r in once.collect()}
