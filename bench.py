@@ -79,6 +79,8 @@ HEADLINE = [
     "b09_asof",
     "b09_theta",
     "b10_running_sum",
+    "b31_merge_upsert",
+    "evt03_sessionize",
     "b10_range_frame",
     "b15_json",
     "b15_from_json",

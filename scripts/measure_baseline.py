@@ -37,7 +37,9 @@ HEADLINE = [
     "q18_large_orders", "q19_disjunctive_predicates", "q20_heavy_shippers",
     "q21_sole_failing_supplier", "q22_idle_rich_customers",
     "b06_grouping_sets", "b07_topk_group",
-    "b09_asof", "b09_theta", "b10_running_sum", "b10_range_frame",
+    "b09_asof", "b09_theta", "b10_running_sum",
+    "b31_merge_upsert",
+    "evt03_sessionize", "b10_range_frame",
     "b15_json", "b15_from_json", "b16_pivot", "t01_text_stats",
     "t02_token_count", "d01_dup_groups", "d02_jaccard_pairs",
     "s01_cosine_topk", "st02_sessions", "st03_watermark",
