@@ -701,6 +701,82 @@ GROUP BY user_id, session_idx
 """
 
 
+def evt04_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10+B4 — event-sequence transition matrix (Markov counts): for
+    each user's time-ordered stream, count (event_type → next
+    event_type) pairs. lag/lead + count in ONE shuffle (window on
+    user_id; the global pair count reuses nothing user-specific so it
+    re-shuffles only the tiny (from, to) pairs). Ties pinned by
+    (ts, event_id)."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    nxt = ev.withColumn("next_type", F.lead("event_type").over(w))
+    return (
+        nxt.filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+EVT04_SQL = """
+WITH seq AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
+         ) AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n_transitions
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+"""
+
+
+def evt05_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10+B4 — cohort retention: users grouped by first-activity week
+    (cohort), counted as retained in each later week they act. Two
+    shuffles total: the per-user MIN (cohort assignment — a window over
+    user_id) and the (cohort, week offset) distinct-count; the classic
+    product-analytics rollup, expressed without a self-join. Weeks are
+    whole 7-day offsets from the cohort week's start (date_trunc
+    'week'), identical arithmetic in both engines."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id")
+    withc = ev.withColumn("cohort_week", F.date_trunc("week", F.min("ts").over(w)))
+    offs = withc.select(
+        "user_id",
+        "cohort_week",
+        (
+            F.floor(
+                (F.unix_micros(F.date_trunc("week", F.col("ts"))) - F.unix_micros(F.col("cohort_week")))
+                / F.lit(7 * 86400 * 1_000_000)
+            )
+        ).cast("int").alias("week_offset"),
+    )
+    return offs.groupBy(
+        # cast: DuckDB's date_trunc('week') is a DATE, Spark's a timestamp
+        F.col("cohort_week").cast("date").alias("cohort_week"),
+        "week_offset",
+    ).agg(F.count_distinct("user_id").alias("n_active_users"))
+
+
+EVT05_SQL = """
+WITH base AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+), withc AS (
+  SELECT user_id, ts,
+         date_trunc('week', MIN(ts) OVER (PARTITION BY user_id)) AS cohort_week
+  FROM base
+)
+SELECT CAST(cohort_week AS DATE) AS cohort_week,
+       CAST(FLOOR((epoch_us(date_trunc('week', ts)) - epoch_us(cohort_week))
+                  / 604800000000.0) AS INTEGER) AS week_offset,
+       COUNT(DISTINCT user_id) AS n_active_users
+FROM withc
+GROUP BY 1, 2
+"""
+
+
 def b05h_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B5 — mergeable-sketch distinct count (rows-only: DataSketches HLL
     has no DuckDB twin; its oracle-checked sibling is b05's exact
@@ -3557,6 +3633,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "evt01_time_rollup": evt01_time_rollup,
     "evt02_funnel": evt02_funnel,
     "evt03_sessionize": evt03_sessionize,
+    "evt04_transitions": evt04_transitions,
+    "evt05_cohort_retention": evt05_cohort_retention,
     "t06_tfidf_topterms": t06_tfidf_topterms,
     # corpus curation (round 4): split / contamination / PII / quota
     "t07_hash_split": t07_hash_split,
@@ -3650,6 +3728,8 @@ ORACLE_SQL: dict[str, str] = {
     "evt01_time_rollup": EVT01_SQL,
     "evt02_funnel": EVT02_SQL,
     "evt03_sessionize": EVT03_SQL,
+    "evt04_transitions": EVT04_SQL,
+    "evt05_cohort_retention": EVT05_SQL,
     "t06_tfidf_topterms": T06_SQL,
     "t07_hash_split": T07_SQL,
     "t08_contamination": T08_SQL,
