@@ -489,6 +489,34 @@ GROUP BY user_id
 """
 
 
+def b37_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4/B11 — ordered string aggregation (SQL LISTAGG / string_agg):
+    per region, the alphabetized nation list. Spark has no ordered
+    string_agg aggregate, so the portable plan is collect_list →
+    array_sort → array_join — deterministic regardless of partial-agg
+    arrival order, which is exactly why the UNORDERED form can't be
+    oracle-checked. Bounded group sizes only (the list materializes per
+    group); for unbounded groups aggregate a capped slice instead."""
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+B37_SQL = """
+SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       COUNT(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 def b35_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B27 — equi-width histogram (sampling.histogram): 20 price buckets
     over orders in one aggregate pass; bucket arithmetic is IEEE-
@@ -3629,6 +3657,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "b34_dq_checks": b34_dq_checks,
     "b35_histogram": b35_histogram,
     "b36_outliers": b36_outliers,
+    "b37_string_agg": b37_string_agg,
     "b05h_hll_merge": b05h_hll_merge,
     "evt01_time_rollup": evt01_time_rollup,
     "evt02_funnel": evt02_funnel,
@@ -3725,6 +3754,7 @@ ORACLE_SQL: dict[str, str] = {
     "b34_dq_checks": B34_SQL,
     "b35_histogram": B35_SQL,
     "b36_outliers": B36_SQL,
+    "b37_string_agg": B37_SQL,
     "evt01_time_rollup": EVT01_SQL,
     "evt02_funnel": EVT02_SQL,
     "evt03_sessionize": EVT03_SQL,
