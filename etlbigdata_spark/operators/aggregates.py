@@ -135,3 +135,48 @@ def sessionize(
     flagged = df.withColumn("__new_sess", flag)
     run = w.rowsBetween(Window.unboundedPreceding, 0)
     return flagged.withColumn("session_idx", F.sum("__new_sess").over(run)).drop("__new_sess")
+
+
+def cms_frequencies(
+    df: DataFrame,
+    column: str,
+    queries: list,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> DataFrame:
+    """B5 sibling — Count–Min-Sketch frequency estimates: the
+    ``count_min_sketch`` aggregate reduces the whole column to one
+    KB-scale sketch (per-partition partials union associatively inside
+    the aggregate — the same mergeable-sketch scale shape as the HLL
+    distinct path), and the requested keys are answered from the sketch
+    without touching the data again (deserialized driver-side via
+    Spark's own CountMinSketch reader; the sketch, not the data, moves).
+    CMS guarantee: estimate ≥ true count and ≤ true + eps·N with the
+    given confidence — the 100 TB heavy-hitters primitive when an exact
+    per-key groupBy is too wide. Sketches from separate slices/jobs
+    merge with ``cms_merge``."""
+    row = df.agg(
+        F.count_min_sketch(
+            F.col(column), F.lit(float(eps)), F.lit(float(confidence)), F.lit(seed)
+        ).alias("sk")
+    ).collect()[0]
+    spark = df.sparkSession
+    sk = _cms_read(spark, bytes(row["sk"]))
+    rows = [(str(q), int(sk.estimateCount(q))) for q in queries]
+    return spark.createDataFrame(rows, "value string, est_count long")
+
+
+def _cms_read(spark, blob: bytes):
+    jvm = spark.sparkContext._jvm
+    bis = jvm.java.io.ByteArrayInputStream(bytearray(blob))
+    return jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bis)
+
+
+def cms_merge(spark, sketches: list[bytes]):
+    """Union serialized CMS sketches (associative) — the cross-job merge
+    path; returns the JVM sketch, query with ``estimateCount``."""
+    out = _cms_read(spark, sketches[0])
+    for b in sketches[1:]:
+        out.mergeInPlace(_cms_read(spark, b))
+    return out

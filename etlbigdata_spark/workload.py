@@ -489,6 +489,20 @@ GROUP BY user_id
 """
 
 
+def b38_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 sibling — Count–Min-Sketch heavy-hitter estimates (rows-only:
+    like b05h, the sketch binary has no DuckDB twin; the exact sibling
+    is a plain groupBy count, and the estimate is bound-tested in
+    pytest: exact ≤ estimate ≤ exact + eps·N, merge ≡ direct). One
+    KB-scale mergeable sketch per column — the frequency twin of the
+    HLL distinct path."""
+    orders = load(spark, sf_dir, "orders")
+    return aggregates.cms_frequencies(
+        orders, "o_orderpriority",
+        ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+    )
+
+
 def b37_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B4/B11 — ordered string aggregation (SQL LISTAGG / string_agg):
     per region, the alphabetized nation list. Spark has no ordered
@@ -3658,6 +3672,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "b35_histogram": b35_histogram,
     "b36_outliers": b36_outliers,
     "b37_string_agg": b37_string_agg,
+    "b38_cms_frequencies": b38_cms_frequencies,
     "b05h_hll_merge": b05h_hll_merge,
     "evt01_time_rollup": evt01_time_rollup,
     "evt02_funnel": evt02_funnel,

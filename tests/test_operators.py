@@ -564,3 +564,24 @@ def test_merge_upsert_idempotent(spark):
     once = fmerge.merge_upsert(target, source, ["k"])
     twice = fmerge.merge_upsert(once, source, ["k"])
     assert {tuple(r) for r in twice.collect()} == {tuple(r) for r in once.collect()}
+
+
+def test_cms_frequency_bounds_and_merge(spark):
+    """CMS guarantee over real data: exact <= estimate <= exact + eps*N,
+    and sketches from disjoint slices merged equal the one-shot bounds
+    (the cross-job merge path)."""
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    exact = {r[0]: r[1] for r in orders.groupBy("o_orderpriority").count().collect()}
+    n = sum(exact.values())
+    est = {r.value: r.est_count for r in
+           aggregates.cms_frequencies(orders, "o_orderpriority", sorted(exact)).collect()}
+    assert all(exact[k] <= est[k] <= exact[k] + 0.001 * n for k in exact)
+
+    halves = [
+        orders.filter(F.col("o_orderkey") % 2 == i)
+        .agg(F.count_min_sketch(F.col("o_orderpriority"), F.lit(0.001), F.lit(0.99), F.lit(42)).alias("sk"))
+        .collect()[0]["sk"]
+        for i in (0, 1)
+    ]
+    merged = aggregates.cms_merge(spark, [bytes(h) for h in halves])
+    assert all(exact[k] <= merged.estimateCount(k) <= exact[k] + 0.001 * n for k in exact)
