@@ -2736,6 +2736,31 @@ WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC)
 """
 
 
+def b14p_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B14 — posexplode (ordinal explode): each part name fans out to
+    (p_partkey, pos, word) rows with the ORDINAL preserved — the
+    position column is what separates posexplode from plain explode and
+    what sequence-sensitive consumers (tokenizer alignment, n-gram
+    reconstruction) need. Oracle: DuckDB struct-comprehension unnest."""
+    part = load(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ")
+    return part.select(
+        "p_partkey", F.posexplode(words).alias("pos", "word")
+    ).filter(F.col("p_partkey") < 500)
+
+
+B14P_SQL = """
+SELECT p_partkey, CAST(pos AS INTEGER) AS pos, word
+FROM (
+  SELECT p_partkey,
+         unnest([{'pos': i - 1, 'word': w[i]}
+                 FOR i IN generate_series(1, len(w))], recursive := true)
+  FROM (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part)
+)
+WHERE p_partkey < 500
+"""
+
+
 def b14_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B14 — explode a computed array + re-aggregate: token frequencies."""
     docs = load(spark, sf_dir, "documents")
@@ -3673,6 +3698,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "b36_outliers": b36_outliers,
     "b37_string_agg": b37_string_agg,
     "b38_cms_frequencies": b38_cms_frequencies,
+    "b14p_posexplode": b14p_posexplode,
     "b05h_hll_merge": b05h_hll_merge,
     "evt01_time_rollup": evt01_time_rollup,
     "evt02_funnel": evt02_funnel,
@@ -3770,6 +3796,7 @@ ORACLE_SQL: dict[str, str] = {
     "b35_histogram": B35_SQL,
     "b36_outliers": B36_SQL,
     "b37_string_agg": B37_SQL,
+    "b14p_posexplode": B14P_SQL,
     "evt01_time_rollup": EVT01_SQL,
     "evt02_funnel": EVT02_SQL,
     "evt03_sessionize": EVT03_SQL,
