@@ -135,6 +135,20 @@ class Engine:
             raise ValueError(f"method must be one of {sorted(self._TOPK)}")
         return self._TOPK[method](corpus, queries, k=k, **kw)
 
+    def audit_plan(self, df: DataFrame):
+        """Scale-relevant plan properties (pushdown, pruning, join
+        strategies, codegen, exchanges) — see plans.audit.PlanAudit."""
+        from .plans import audit as plan_audit
+
+        return plan_audit.audit(df)
+
+    def lint_plan(self, df: DataFrame) -> list[str]:
+        """Plan warnings only (cartesian/NL joins, missing pushdown,
+        unpruned scans); empty list = nothing suspicious."""
+        from .plans import audit as plan_audit
+
+        return plan_audit.lint(df)
+
     def sessionize(
         self, df: DataFrame, key_cols: list[str], ts_col: str, gap_seconds: int = 1800, **kw
     ) -> DataFrame:

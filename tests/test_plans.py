@@ -104,3 +104,27 @@ def test_b09_asof_single_shuffle_no_range_blowup(plans):
     plan = plans["b09_asof"]
     assert "CartesianProduct" not in plan
     assert "Window" in plan, "b09_asof no longer uses the window plan"
+
+
+def test_audit_api_extracts_known_plan_properties(spark, sf_dir):
+    """plans.audit: on the q05 star join the audit must see every scan
+    pushed+pruned, broadcast joins, no dangerous nodes, no warnings —
+    and on a deliberate crossJoin it must warn."""
+    from pyspark.sql import functions as F
+
+    from etlbigdata_spark.plans import audit as pa
+
+    df = workload.QUERIES["q05_region_revenue"](spark, sf_dir)
+    df.collect()
+    a = pa.audit(df)
+    assert a.total_scans >= 5 and a.pushed_filter_scans == a.total_scans
+    assert a.broadcast_hash_joins >= 3
+    assert a.cartesian_products == 0 and a.nested_loop_joins == 0
+    assert a.codegen_spans > 0
+    assert a.warnings == []
+    assert len(a.lines()) == 5
+
+    bad = spark.range(10).crossJoin(spark.range(10).select(F.col("id").alias("j")))
+    bad.collect()
+    warns = pa.lint(bad)
+    assert any("NestedLoop" in w or "Cartesian" in w for w in warns)
