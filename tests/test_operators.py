@@ -585,3 +585,21 @@ def test_cms_frequency_bounds_and_merge(spark):
     ]
     merged = aggregates.cms_merge(spark, [bytes(h) for h in halves])
     assert all(exact[k] <= merged.estimateCount(k) <= exact[k] + 0.001 * n for k in exact)
+
+
+def test_map_function_surface(spark):
+    """B14 names map fns: build → access → invert → explode, all
+    JVM-side expressions (no oracle face: DuckDB MAPs hash differently
+    in the driver compare; semantics pinned here instead)."""
+    df = spark.createDataFrame([Row(ks=["a", "b"], vs=[1, 2])])
+    out = df.select(
+        F.map_from_arrays("ks", "vs").alias("m")
+    ).select(
+        F.element_at("m", "b").alias("b_val"),
+        F.map_keys("m").alias("keys"),
+        F.size(F.map_filter("m", lambda k, v: v > 1)).alias("n_big"),
+        F.explode(F.map_entries("m")).alias("e"),
+    )
+    rows = out.collect()
+    assert rows[0]["b_val"] == 2 and rows[0]["keys"] == ["a", "b"] and rows[0]["n_big"] == 1
+    assert {(r["e"]["key"], r["e"]["value"]) for r in rows} == {("a", 1), ("b", 2)}
