@@ -128,3 +128,32 @@ def test_audit_api_extracts_known_plan_properties(spark, sf_dir):
     bad.collect()
     warns = pa.lint(bad)
     assert any("NestedLoop" in w or "Cartesian" in w for w in warns)
+
+
+def test_round4_plan_shapes_pinned(spark, sf_dir):
+    """Round-4 operators keep their scale-deciding plan shapes:
+    evt03 runs on ONE shuffle (the per-session agg reuses the window's
+    user_id partitioning), q02's dim filter stays below the offers
+    aggregate as a semi-join, b31 is a single full-outer join with no
+    per-row strategy, b33's fuzzy join never degrades to nested-loop."""
+    evt03 = workload.QUERIES["evt03_sessionize"](spark, sf_dir)
+    p = _final_plan(evt03)
+    # AQE prints final AND initial trees; count the final tree only
+    final_tree = p.split("+- == Initial Plan ==")[0]
+    assert len(re.findall(r"Exchange hashpartitioning", final_tree)) == 1, (
+        "evt03 grew a second shuffle"
+    )
+
+    q02 = workload.QUERIES["q02_min_cost_supplier"](spark, sf_dir)
+    p = _final_plan(q02)
+    assert "LeftSemi" in p, "q02 lost the pushed-down part-filter semi-join"
+    assert "CartesianProduct" not in p
+
+    b31 = workload.QUERIES["b31_merge_upsert"](spark, sf_dir)
+    p = _final_plan(b31)
+    assert "FullOuter" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+    b33 = workload.QUERIES["b33_fuzzy_pairs"](spark, sf_dir)
+    p = _final_plan(b33)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
