@@ -177,3 +177,18 @@ def fingerprint_col(text: Column | str, modulus: int = 1_000_000_007) -> Column:
 
 def add_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
     return df.withColumn(out_col, fingerprint_col(text_col))
+
+
+def normalize_text_col(text: Column | str) -> Column:
+    """B25 — canonical text normalization for dedup preprocessing:
+    lowercase → non-alphanumerics to spaces → whitespace collapsed →
+    trimmed. Pure codegen regex expressions (Spark's regexp_replace is
+    global by default; mirror with the 'g' flag in other engines).
+    Normalizing BEFORE shingling folds case/punctuation variants of the
+    same document into identical shingle sets — the cheap first lever
+    for near-dup recall."""
+    t = F.col(text) if isinstance(text, str) else text
+    t = F.lower(t)
+    t = F.regexp_replace(t, r"[^a-z0-9\s]", " ")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)

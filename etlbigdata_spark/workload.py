@@ -1747,6 +1747,31 @@ def s03_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fsim.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4, round_to=6)
 
 
+def t11_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B25 — canonical text normalization (ftext.normalize_text_col):
+    lowercase / punctuation-to-space / whitespace-collapse / trim as
+    pure codegen regexes; the oracle runs the identical regex chain
+    with DuckDB's explicit 'g' flag (Spark's regexp_replace is global
+    by default). Exact string compare over the first 200 docs."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id",
+        ftext.normalize_text_col("text").alias("norm_text"),
+        F.length(ftext.normalize_text_col("text")).alias("n_chars"),
+    )
+
+
+T11_SQL = r"""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                           '\s+', ' ', 'g')) AS norm_text,
+       CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                                       '\s+', ' ', 'g'))) AS INTEGER) AS n_chars
+FROM documents
+WHERE doc_id < 200
+"""
+
+
 def t05_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B25 — polynomial rolling-hash document fingerprint.  Oracle-
     checked since round 3: the char-fold ``acc = (acc*31 + code) % m``
@@ -3686,6 +3711,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s02_lsh_topk": s02_lsh_topk,
     "s03_ivf_topk": s03_ivf_topk,
     "t05_fingerprint": t05_fingerprint,
+    "t11_normalize": t11_normalize,
     "b28_percentile": b28_percentile,
     "b28a_approx_percentile": b28a_approx_percentile,
     "b29_salted_agg": b29_salted_agg,
@@ -3830,6 +3856,7 @@ ORACLE_SQL: dict[str, str] = {
     "st08_stream_dedup": ST08_SQL,
     "st09_stream_incremental_dedup": ST09_SQL,
     "t05_fingerprint": T05_SQL,
+    "t11_normalize": T11_SQL,
     # rows-only (approximate / engine-specific RNG or hash): b17_sample,
     # d03_minhash, d04_simhash, s02_lsh_topk, d05_embedding_neardup —
     # each now has an oracle-checked sibling (d03v/d04v/s02v) or is
