@@ -331,6 +331,19 @@ def write_stream_foreach_batch(df: DataFrame, fn: Callable[[DataFrame, int], Non
     return df.writeStream.foreachBatch(fn).outputMode(output_mode)
 
 
+def write_stream_files(df: DataFrame, path: str, fmt: str = "parquet", **opts):
+    """File sink (parquet/orc/json/csv) — the durable append-only lake
+    sink: exactly-once per micro-batch via the sink's transaction log
+    (_spark_metadata), partition-parallel writers, append mode only (a
+    file sink cannot retract). Pair with ``run_available_now`` for
+    bounded replays or ``.start()`` for continuous ingestion; readers
+    see committed batches atomically."""
+    w = df.writeStream.format(fmt).option("path", path).outputMode("append")
+    for k, v in opts.items():
+        w = w.option(k, v)
+    return w
+
+
 def run_available_now(writer, checkpoint_dir: str):
     """Drain all available input deterministically (availableNow trigger),
     block until done — the micro-batch replay used by the golden tests."""

@@ -348,3 +348,28 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     # complete-mode state survived the restart via the checkpoint: user 1
     # accumulates across BOTH runs without reprocessing f0
     assert second == {(1, 2, 5.0), (2, 1, 2.0)}
+
+
+def test_file_sink_roundtrip_real_engine(spark, sf_dir, tmp_path):
+    """B19 sink surface through the REAL engine: readStream → filter →
+    parquet file sink (availableNow) → read back equals the batch
+    projection; the sink's _spark_metadata commit log exists (the
+    exactly-once mechanism)."""
+    import os
+
+    from etlbigdata_spark.streaming import ops as stops
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stage = str(tmp_path / "src"); os.makedirs(stage)
+    os.symlink(f"{sf_dir}/events.parquet", os.path.join(stage, "events.parquet"))
+    stream = stops.read_file_stream(spark, stage, raw.schema)
+    out = stream.select("event_id", "user_id", "event_type").filter(F.col("user_id") % 10 == 0)
+    sink = str(tmp_path / "sink")
+    writer = stops.write_stream_files(out, sink)
+    stops.run_available_now(writer, str(tmp_path / "ckpt"))
+
+    back = spark.read.parquet(sink)
+    expected = raw.select("event_id", "user_id", "event_type").filter(F.col("user_id") % 10 == 0)
+    assert back.count() == expected.count() > 0
+    assert {r.event_id for r in back.collect()} == {r.event_id for r in expected.collect()}
+    assert os.path.isdir(os.path.join(sink, "_spark_metadata"))
