@@ -85,6 +85,36 @@ def read_kafka(
     return reader.options(**opts).load()
 
 
+def write_stream_kafka(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str | None = None,
+    output_mode: str = "append",
+    **opts,
+):
+    """Kafka sink (B19, write side of :func:`read_kafka`): the frame
+    must carry a string/binary ``value`` column (and optionally ``key``
+    / ``topic`` — a ``topic`` column overrides the default topic).
+    Same VERIFICATION GATE as the source: no broker or connector JAR in
+    this sandbox, so tests cover option/plan construction only.
+    Delivery is at-least-once (Kafka sink has no transactional commit);
+    make consumers idempotent or dedup downstream on a message key."""
+    if "value" not in df.columns:
+        raise ValueError("Kafka sink requires a 'value' column (string or binary)")
+    w = (
+        df.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .outputMode(output_mode)
+    )
+    if topic is not None:
+        w = w.option("topic", topic)
+    elif "topic" not in df.columns:
+        raise ValueError("pass topic= or provide a 'topic' column")
+    for k, v in opts.items():
+        w = w.option(k, v)
+    return w
+
+
 def kafka_value_string(df: DataFrame) -> DataFrame:
     """Deserialize the Kafka key/value binaries to strings, keeping the
     event-time ``timestamp`` for watermarking."""

@@ -220,3 +220,36 @@ def test_ngram_jaccard_matches_python_reference(spark, docs, threshold):
                     if j >= threshold:
                         want[(a, b)] = round(j, 9)
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.text(alphabet="abcx", min_size=0, max_size=6), min_size=1, max_size=8),
+    st.integers(min_value=1, max_value=2),
+)
+def test_fuzzy_join_blocking_lossless_vs_bruteforce(spark, values, k):
+    """Length-band blocking must find EXACTLY the pairs brute-force
+    levenshtein finds — for arbitrary short strings and k ∈ {1,2}."""
+    import itertools
+
+    from etlbigdata_spark.operators import joins as fjoins
+
+    df = spark.createDataFrame([(v,) for v in values], "t string")
+    got = {
+        (r.value_a, r.value_b)
+        for r in fjoins.fuzzy_self_pairs(df, "t", max_distance=k).collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    uniq = sorted(set(values))
+    want = {
+        (a, b) for a, b in itertools.combinations(uniq, 2) if lev(a, b) <= k
+    }
+    assert got == want

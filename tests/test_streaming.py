@@ -373,3 +373,21 @@ def test_file_sink_roundtrip_real_engine(spark, sf_dir, tmp_path):
     assert back.count() == expected.count() > 0
     assert {r.event_id for r in back.collect()} == {r.event_id for r in expected.collect()}
     assert os.path.isdir(os.path.join(sink, "_spark_metadata"))
+
+
+def test_kafka_sink_wrapper_validates_and_builds(spark, sf_dir):
+    """B19 write side: option/plan construction (no broker in sandbox —
+    gate documented in the docstring, matching the source wrapper)."""
+    import pytest as _pytest
+
+    from etlbigdata_spark.streaming import ops as stops
+
+    # schema-only frames suffice for writer construction
+    df = spark.readStream.format("rate").load().selectExpr("CAST(value AS STRING) AS value")
+    w = stops.write_stream_kafka(df, "broker:9092", topic="t1", **{"kafka.acks": "all"})
+    assert w is not None
+    no_value = spark.readStream.format("rate").load().select("timestamp")
+    with _pytest.raises(ValueError, match="value"):
+        stops.write_stream_kafka(no_value, "broker:9092", topic="t1")
+    with _pytest.raises(ValueError, match="topic"):
+        stops.write_stream_kafka(df, "broker:9092")
