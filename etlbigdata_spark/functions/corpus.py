@@ -198,3 +198,48 @@ def redact_pii(
     for kind, pat in patterns.items():
         red = F.regexp_replace(red, pat, f"[{kind.upper()}]")
     return out.withColumn(out_col, red)
+
+
+def pack_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    budget: int = 4096,
+    n_groups: int = 8,
+    out_col: str = "shard",
+) -> DataFrame:
+    """Sequence packing for training-data sharding: assign each document
+    to a token-budget shard, deterministically.
+
+    Documents are first routed to one of ``n_groups`` content-addressed
+    groups (md5 of the id — reshard-stable, no RNG, map-side; the same
+    mechanism as :func:`hash_split`), then packed SEQUENTIALLY within
+    each group in ``id_col`` order: shard index = floor(tokens-before-me
+    / budget). A shard may exceed the budget by at most one document
+    (standard greedy sequential packing); each group's packing is ONE
+    window shuffle bounded by the group, so parallelism = n_groups and
+    no global sort exists. Size ``n_groups`` to the cluster: at 100 TB
+    the per-group cumulative sum is the only ordered scan, and groups
+    pack independently.
+
+    Adds (group, shard) columns; shard ids are per-group.
+    """
+    import hashlib  # noqa: F401  (documentation pointer; md5 runs JVM-side)
+
+    group = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+        .cast("long") % n_groups
+    ).cast("int")
+    w = (
+        Window.partitionBy("__grp")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        df.withColumn("__grp", group)
+        .withColumn("__before", F.coalesce(F.sum(token_col).over(w), F.lit(0)))
+        .withColumn(out_col, F.floor(F.col("__before") / budget).cast("int"))
+        .withColumnRenamed("__grp", "group")
+        .drop("__before")
+    )
+    return out

@@ -1772,6 +1772,47 @@ WHERE doc_id < 200
 """
 
 
+def t12_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B23+ — training-shard sequence packing (corpus.pack_shards):
+    content-addressed groups (md5 — reshard-stable, map-side), then
+    greedy sequential token-budget packing within each group via ONE
+    bounded window cumsum (no global sort; parallelism = n_groups).
+    Profile per (group, shard): doc count + token totals. Token counts
+    and the md5 group arithmetic are cross-engine-exact."""
+    docs = load(spark, sf_dir, "documents")
+    n_tok = ftext.token_count_col(F.lower(F.col("text")), pattern="[a-z0-9]+")
+    sized = docs.select("doc_id", n_tok.cast("long").alias("n_tokens"))
+    packed = fcorpus.pack_shards(
+        sized, id_col="doc_id", token_col="n_tokens", budget=2000, n_groups=4
+    )
+    return packed.groupBy("group", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+T12_SQL = """
+WITH sized AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+         CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 4 AS INTEGER) AS grp
+  FROM documents
+), packed AS (
+  SELECT grp AS "group",
+         CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY grp ORDER BY doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) / 2000) AS INTEGER) AS shard,
+         n_tokens
+  FROM sized
+)
+SELECT "group", shard, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM packed
+GROUP BY 1, 2
+"""
+
+
 def t05_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B25 — polynomial rolling-hash document fingerprint.  Oracle-
     checked since round 3: the char-fold ``acc = (acc*31 + code) % m``
@@ -3712,6 +3753,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s03_ivf_topk": s03_ivf_topk,
     "t05_fingerprint": t05_fingerprint,
     "t11_normalize": t11_normalize,
+    "t12_pack_shards": t12_pack_shards,
     "b28_percentile": b28_percentile,
     "b28a_approx_percentile": b28a_approx_percentile,
     "b29_salted_agg": b29_salted_agg,
@@ -3857,6 +3899,7 @@ ORACLE_SQL: dict[str, str] = {
     "st09_stream_incremental_dedup": ST09_SQL,
     "t05_fingerprint": T05_SQL,
     "t11_normalize": T11_SQL,
+    "t12_pack_shards": T12_SQL,
     # rows-only (approximate / engine-specific RNG or hash): b17_sample,
     # d03_minhash, d04_simhash, s02_lsh_topk, d05_embedding_neardup —
     # each now has an oracle-checked sibling (d03v/d04v/s02v) or is
