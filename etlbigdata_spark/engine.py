@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from .catalog import Catalog
+from .functions import corpus as fcorpus
 from .functions import dedup as fdedup
 from .functions import similarity as fsim
 from .functions import text as ftext
@@ -134,6 +135,22 @@ class Engine:
         if method not in self._TOPK:
             raise ValueError(f"method must be one of {sorted(self._TOPK)}")
         return self._TOPK[method](corpus, queries, k=k, **kw)
+
+    def histogram(self, df: DataFrame, column: str, lo: float, hi: float, n_bins: int) -> DataFrame:
+        """Equi-width histogram in one aggregate pass."""
+        from .operators import sampling
+
+        return sampling.histogram(df, column, lo, hi, n_bins)
+
+    def flag_outliers(self, df: DataFrame, column: str, by: list[str], **kw) -> DataFrame:
+        """Per-group Tukey IQR outlier flags (exact percentiles)."""
+        from .operators import quality
+
+        return quality.flag_outliers(df, column, by, **kw)
+
+    def pack_shards(self, df: DataFrame, **kw) -> DataFrame:
+        """Token-budget training shards (md5 groups + bounded cumsum)."""
+        return fcorpus.pack_shards(df, **kw)
 
     def audit_plan(self, df: DataFrame):
         """Scale-relevant plan properties (pushdown, pruning, join
