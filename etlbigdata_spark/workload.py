@@ -2334,6 +2334,70 @@ ST09_SQL = (
 )
 
 
+def st10_stream_dq_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19+DQ composite — data-quality monitoring ON A STREAM through
+    the REAL engine: the event stream drains through ``foreachBatch``,
+    and each micro-batch is scored by the SAME ``quality.run_checks``
+    aggregate used in batch (b34) — the standard streaming-DQ shape
+    (per-batch quality log, gate or alert downstream). availableNow on
+    one file = one micro-batch, so the appended report equals the batch
+    report and the oracle is plain SQL over events. The range rule is
+    deliberately violated (value ≤ 400 exists to fail) so the failure
+    path is exercised."""
+    from .operators import quality as dq
+    from .streaming import ops as stops
+
+    stream = _event_stream(spark, sf_dir).select("event_id", "user_id", "event_type", "value")
+    reports: list = []
+
+    def score(batch_df: DataFrame, batch_id: int) -> None:
+        rep = dq.run_checks(
+            batch_df,
+            [
+                dq.not_null("user_id"),
+                dq.unique("event_id"),
+                dq.in_range("value", 0, 400),
+                dq.accepted_values("event_type", ["click", "signup", "error", "view", "purchase"]),
+            ],
+        )
+        reports.extend(rep.collect())
+
+    writer = stops.write_stream_foreach_batch(stream, score, output_mode="append")
+    # foreachBatch needs no memory sink; drain directly
+    import shutil
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="st10_ckpt_")
+    try:
+        stops.run_available_now(writer, ckpt)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        while _PENDING_STAGE_DIRS:
+            shutil.rmtree(_PENDING_STAGE_DIRS.pop(), ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["rule"], r["n_violations"], r["passed"]) for r in reports],
+        "rule string, n_violations long, passed boolean",
+    )
+
+
+ST10_SQL = """
+WITH agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_notnull,
+    CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS v_unique,
+    CAST(SUM(CASE WHEN COALESCE(value BETWEEN 0 AND 400, TRUE) THEN 0 ELSE 1 END) AS BIGINT) AS v_range,
+    CAST(SUM(CASE WHEN COALESCE(event_type IN ('click','signup','error','view','purchase'), TRUE) THEN 0 ELSE 1 END) AS BIGINT) AS v_enum
+  FROM events
+)
+SELECT rule, n_violations, n_violations = 0 AS passed FROM (
+  SELECT 'not_null:user_id' AS rule, v_notnull AS n_violations FROM agg
+  UNION ALL SELECT 'unique:event_id', v_unique FROM agg
+  UNION ALL SELECT 'in_range:value', v_range FROM agg
+  UNION ALL SELECT 'accepted_values:event_type', v_enum FROM agg
+)
+"""
+
+
 def st05_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B19 — source/sink plumbing driven through the ACTUAL streaming
     engine, not a batch twin: readStream file source → event-time
@@ -3718,6 +3782,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st07_stream_join": st07_stream_join,
     "st08_stream_dedup": st08_stream_dedup,
     "st09_stream_incremental_dedup": st09_stream_incremental_dedup,
+    "st10_stream_dq_monitor": st10_stream_dq_monitor,
     "b16_unpivot": b16_unpivot,
     "b17_sample": b17_sample,
     "b18t_chunk_udtf": b18t_chunk_udtf,
@@ -3897,6 +3962,7 @@ ORACLE_SQL: dict[str, str] = {
     "st07_stream_join": ST07_SQL,
     "st08_stream_dedup": ST08_SQL,
     "st09_stream_incremental_dedup": ST09_SQL,
+    "st10_stream_dq_monitor": ST10_SQL,
     "t05_fingerprint": T05_SQL,
     "t11_normalize": T11_SQL,
     "t12_pack_shards": T12_SQL,
