@@ -83,6 +83,11 @@ def main(sf_dir: str = DEFAULT_SF_DIR) -> dict:
     merged = eng.merge(kept, delta, ["doc_id"])
     stages["after_merge"] = merged.count()
 
+    # 10. (round 4) plan lint: the final pipeline plan must raise no
+    # scale warnings (cartesian/NL joins, missing pushdown, wide scans)
+    stages["plan_warnings"] = len(eng.lint_plan(merged))
+    assert stages["plan_warnings"] == 0
+
     return stages
 
 
