@@ -180,3 +180,46 @@ def cms_merge(spark, sketches: list[bytes]):
     for b in sketches[1:]:
         out.mergeInPlace(_cms_read(spark, b))
     return out
+
+
+def gap_fill(
+    df: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    step: str = "interval 1 day",
+    zero_fill: list[str] | None = None,
+    forward_fill: list[str] | None = None,
+) -> DataFrame:
+    """Time-series gap filling (pandas resample+ffill parity): for each
+    key, generate the COMPLETE time grid between that key's first and
+    last bucket (``sequence`` + explode — grid size is data-bounded,
+    never a driver loop), left-join the actuals back, then zero-fill
+    count-like columns and forward-fill level-like columns (``last``
+    IGNORE NULLS over an unbounded-preceding window).
+
+    ``df`` must already be bucketed at the grid granularity (one row
+    per key × bucket). Two shuffles at any scale: the per-key span agg
+    and the grid⋈actuals join (both keyed the same — AQE reuses); the
+    fill window rides the join's partitioning. Works for date and
+    timestamp buckets; ``step`` is any SQL interval literal.
+    """
+    keys = list(key_cols)
+    spans = df.groupBy(*keys).agg(
+        F.min(time_col).alias("__lo"), F.max(time_col).alias("__hi")
+    )
+    grid = spans.select(
+        *keys,
+        F.explode(F.expr(f"sequence(__lo, __hi, {step})")).alias(time_col),
+    )
+    out = grid.join(df, keys + [time_col], "left")
+    for c in zero_fill or []:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+    if forward_fill:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(time_col).asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        for c in forward_fill:
+            out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out

@@ -819,6 +819,59 @@ GROUP BY 1, 2
 """
 
 
+def evt06_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (aggregates.gap_fill — pandas
+    resample+ffill parity): sparse per-type daily activity (a ~2.5%
+    user slice, so real gaps exist at every SF) is completed to the
+    full per-type day grid; counts zero-fill, the level metric
+    forward-fills (last IGNORE NULLS). Grid generation is
+    sequence+explode — data-bounded, no driver loop; the oracle builds
+    the identical grid with generate_series."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 40 == 0)
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(D("value")).cast("double").alias("sum_value"),
+    )
+    filled = aggregates.gap_fill(
+        daily, ["event_type"], "day",
+        step="interval 1 day",
+        zero_fill=["n_events"],
+        forward_fill=["sum_value"],
+    )
+    return filled.select(
+        "event_type", "day",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value").alias("last_sum"),
+    )
+
+
+EVT06_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+  FROM events WHERE user_id % 40 = 0
+  GROUP BY 1, 2
+), spans AS (
+  SELECT event_type, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY 1
+), grid AS (
+  SELECT event_type, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM spans
+)
+SELECT g.event_type, g.day,
+       CAST(COALESCE(d.n_events, 0) AS BIGINT) AS n_events,
+       last_value(d.sum_value IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.day ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS last_sum
+FROM grid g LEFT JOIN daily d ON g.event_type = d.event_type AND g.day = d.day
+"""
+
+
 def b05h_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B5 — mergeable-sketch distinct count (rows-only: DataSketches HLL
     has no DuckDB twin; its oracle-checked sibling is b05's exact
@@ -3838,6 +3891,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "evt03_sessionize": evt03_sessionize,
     "evt04_transitions": evt04_transitions,
     "evt05_cohort_retention": evt05_cohort_retention,
+    "evt06_gapfill": evt06_gapfill,
     "t06_tfidf_topterms": t06_tfidf_topterms,
     # corpus curation (round 4): split / contamination / PII / quota
     "t07_hash_split": t07_hash_split,
@@ -3935,6 +3989,7 @@ ORACLE_SQL: dict[str, str] = {
     "evt03_sessionize": EVT03_SQL,
     "evt04_transitions": EVT04_SQL,
     "evt05_cohort_retention": EVT05_SQL,
+    "evt06_gapfill": EVT06_SQL,
     "t06_tfidf_topterms": T06_SQL,
     "t07_hash_split": T07_SQL,
     "t08_contamination": T08_SQL,
