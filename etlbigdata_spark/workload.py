@@ -503,6 +503,36 @@ def b38_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b39_stat_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 long tail — statistical aggregates: correlation, least-squares
+    regression slope/intercept, sample stddev/variance per group. All
+    co-moment accumulators (partial-aggregatable, one shuffle); values
+    rounded to 4 dp in BOTH engines because parallel co-moment
+    accumulation and serial accumulation differ in the last ulps."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
+        F.round(F.stddev_samp("l_discount"), 4).alias("sd_disc"),
+        F.round(F.var_samp("l_tax"), 4).alias("var_tax"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+B39_SQL = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       round(stddev_samp(l_discount), 4) AS sd_disc,
+       round(var_samp(l_tax), 4) AS var_tax,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 def b37_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B4/B11 — ordered string aggregation (SQL LISTAGG / string_agg):
     per region, the alphabetized nation list. Spark has no ordered
@@ -3884,6 +3914,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "b36_outliers": b36_outliers,
     "b37_string_agg": b37_string_agg,
     "b38_cms_frequencies": b38_cms_frequencies,
+    "b39_stat_aggs": b39_stat_aggs,
     "b14p_posexplode": b14p_posexplode,
     "b05h_hll_merge": b05h_hll_merge,
     "evt01_time_rollup": evt01_time_rollup,
@@ -3984,6 +4015,7 @@ ORACLE_SQL: dict[str, str] = {
     "b36_outliers": B36_SQL,
     "b37_string_agg": B37_SQL,
     "b14p_posexplode": B14P_SQL,
+    "b39_stat_aggs": B39_SQL,
     "evt01_time_rollup": EVT01_SQL,
     "evt02_funnel": EVT02_SQL,
     "evt03_sessionize": EVT03_SQL,
