@@ -223,3 +223,44 @@ def gap_fill(
         for c in forward_fill:
             out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return out
+
+
+def interpolate_linear(
+    df: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    columns: list[str],
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Linear interpolation over an equally-spaced, gap-filled grid
+    (pandas ``interpolate()`` parity; run :func:`gap_fill` first so one
+    row per key × bucket exists): nulls between two known points take
+    the straight-line value; leading/trailing nulls stay null (no
+    extrapolation).
+
+    Pure window arithmetic — known-neighbor values and positions via
+    last/first IGNORE NULLS over preceding/following frames, one
+    shuffle shared with the grid's partitioning. ``round_to`` keeps the
+    float division cross-engine-stable.
+    """
+    order = F.col(time_col).asc()
+    w_all = Window.partitionBy(*key_cols).orderBy(order)
+    w_prev = w_all.rowsBetween(Window.unboundedPreceding, 0)
+    w_next = w_all.rowsBetween(0, Window.unboundedFollowing)
+    out = df.withColumn("__rn", F.row_number().over(w_all))
+    for c in columns:
+        known_rn = F.when(F.col(c).isNotNull(), F.col("__rn"))
+        prev_v = F.last(c, ignorenulls=True).over(w_prev)
+        next_v = F.first(c, ignorenulls=True).over(w_next)
+        prev_x = F.last(known_rn, ignorenulls=True).over(w_prev)
+        next_x = F.first(known_rn, ignorenulls=True).over(w_next)
+        interp = prev_v + (next_v - prev_v) * (F.col("__rn") - prev_x) / (next_x - prev_x)
+        if round_to is not None:
+            interp = F.round(interp, round_to)
+        out = out.withColumn(
+            c,
+            F.when(F.col(c).isNotNull(), F.col(c))
+            .when(prev_v.isNull() | next_v.isNull(), F.lit(None))
+            .otherwise(interp),
+        )
+    return out.drop("__rn")

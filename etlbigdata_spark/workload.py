@@ -902,6 +902,64 @@ FROM grid g LEFT JOIN daily d ON g.event_type = d.event_type AND g.day = d.day
 """
 
 
+def evt07_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the gap-filled grid
+    (aggregates.interpolate_linear — pandas interpolate() parity):
+    missing daily sums take the straight-line value between the
+    neighboring known days; leading/trailing gaps stay null (no
+    extrapolation). Window-only arithmetic, one shuffle; both engines
+    round the interpolated division to 6 dp."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 40 == 0)
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(F.sum(D("value")).cast("double").alias("sum_value"))
+    grid = aggregates.gap_fill(daily, ["event_type"], "day", step="interval 1 day")
+    out = aggregates.interpolate_linear(grid, ["event_type"], "day", ["sum_value"])
+    return out.select("event_type", "day", F.col("sum_value").alias("interp_sum"))
+
+
+EVT07_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+  FROM events WHERE user_id % 40 = 0
+  GROUP BY 1, 2
+), spans AS (
+  SELECT event_type, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY 1
+), grid AS (
+  SELECT s.event_type, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM spans s
+), joined AS (
+  SELECT g.event_type, g.day, d.sum_value,
+         ROW_NUMBER() OVER (PARTITION BY g.event_type ORDER BY g.day ASC) AS rn
+  FROM grid g LEFT JOIN daily d ON g.event_type = d.event_type AND g.day = d.day
+), ctx AS (
+  SELECT event_type, day, sum_value, rn,
+         last_value(sum_value IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY day ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+         first_value(sum_value IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY day ASC
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+         last_value(CASE WHEN sum_value IS NOT NULL THEN rn END IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY day ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_x,
+         first_value(CASE WHEN sum_value IS NOT NULL THEN rn END IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY day ASC
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_x
+  FROM joined
+)
+SELECT event_type, day,
+       CASE WHEN sum_value IS NOT NULL THEN sum_value
+            WHEN prev_v IS NULL OR next_v IS NULL THEN NULL
+            ELSE round(prev_v + (next_v - prev_v) * (rn - prev_x) / (next_x - prev_x), 6)
+       END AS interp_sum
+FROM ctx
+"""
+
+
 def b05h_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B5 — mergeable-sketch distinct count (rows-only: DataSketches HLL
     has no DuckDB twin; its oracle-checked sibling is b05's exact
@@ -3923,6 +3981,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "evt04_transitions": evt04_transitions,
     "evt05_cohort_retention": evt05_cohort_retention,
     "evt06_gapfill": evt06_gapfill,
+    "evt07_interpolate": evt07_interpolate,
     "t06_tfidf_topterms": t06_tfidf_topterms,
     # corpus curation (round 4): split / contamination / PII / quota
     "t07_hash_split": t07_hash_split,
@@ -4022,6 +4081,7 @@ ORACLE_SQL: dict[str, str] = {
     "evt04_transitions": EVT04_SQL,
     "evt05_cohort_retention": EVT05_SQL,
     "evt06_gapfill": EVT06_SQL,
+    "evt07_interpolate": EVT07_SQL,
     "t06_tfidf_topterms": T06_SQL,
     "t07_hash_split": T07_SQL,
     "t08_contamination": T08_SQL,

@@ -603,3 +603,18 @@ def test_map_function_surface(spark):
     rows = out.collect()
     assert rows[0]["b_val"] == 2 and rows[0]["keys"] == ["a", "b"] and rows[0]["n_big"] == 1
     assert {(r["e"]["key"], r["e"]["value"]) for r in rows} == {("a", 1), ("b", 2)}
+
+
+def test_interpolate_linear_semantics(spark):
+    from etlbigdata_spark.operators import aggregates
+
+    df = spark.createDataFrame(
+        [("k", 1, None), ("k", 2, 10.0), ("k", 3, None), ("k", 4, None),
+         ("k", 5, 40.0), ("k", 6, None)],
+        "g string, t int, v double",
+    )
+    out = {r.t: r.v for r in
+           aggregates.interpolate_linear(df, ["g"], "t", ["v"]).collect()}
+    assert out[1] is None and out[6] is None  # no extrapolation
+    assert out[2] == 10.0 and out[5] == 40.0  # knowns untouched
+    assert out[3] == 20.0 and out[4] == 30.0  # straight line between
