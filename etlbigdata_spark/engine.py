@@ -136,6 +136,18 @@ class Engine:
             raise ValueError(f"method must be one of {sorted(self._TOPK)}")
         return self._TOPK[method](corpus, queries, k=k, **kw)
 
+    def gap_fill(self, df: DataFrame, key_cols: list[str], time_col: str, **kw) -> DataFrame:
+        """Complete each key's time grid; zero-fill / forward-fill."""
+        from .operators import aggregates
+
+        return aggregates.gap_fill(df, key_cols, time_col, **kw)
+
+    def interpolate(self, df: DataFrame, key_cols: list[str], time_col: str, columns: list[str], **kw) -> DataFrame:
+        """Linear interpolation between known neighbors on a filled grid."""
+        from .operators import aggregates
+
+        return aggregates.interpolate_linear(df, key_cols, time_col, columns, **kw)
+
     def histogram(self, df: DataFrame, column: str, lo: float, hi: float, n_bins: int) -> DataFrame:
         """Equi-width histogram in one aggregate pass."""
         from .operators import sampling
