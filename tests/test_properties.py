@@ -253,3 +253,35 @@ def test_fuzzy_join_blocking_lossless_vs_bruteforce(spark, values, k):
         (a, b) for a, b in itertools.combinations(uniq, 2) if lev(a, b) <= k
     }
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.floats(min_value=-100, max_value=100, allow_nan=False)),
+        min_size=2, max_size=10,
+    )
+)
+def test_interpolate_linear_matches_numpy(spark, series):
+    """interpolate_linear == numpy.interp over the known points, for
+    arbitrary null patterns (leading/trailing nulls stay null)."""
+    import numpy as np
+
+    from etlbigdata_spark.operators import aggregates
+
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(series)], "g string, t int, v double"
+    )
+    got = {r.t: r.v for r in
+           aggregates.interpolate_linear(df, ["g"], "t", ["v"], round_to=6).collect()}
+
+    known_x = [i for i, v in enumerate(series) if v is not None]
+    known_y = [series[i] for i in known_x]
+    for i, v in enumerate(series):
+        if v is not None:
+            assert got[i] == v
+        elif not known_x or i < known_x[0] or i > known_x[-1]:
+            assert got[i] is None
+        else:
+            want = float(np.interp(i, known_x, known_y))
+            assert got[i] is not None and abs(got[i] - want) < 1e-5, (i, got[i], want)
