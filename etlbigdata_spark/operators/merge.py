@@ -69,7 +69,13 @@ def merge_upsert(
     src_present = F.col("s.__s").isNotNull()
     tgt_present = F.col("t.__t").isNotNull()
     if delete_condition is not None:
-        j = j.filter(~(src_present & tgt_present & delete_condition))
+        # SQL MERGE "when matched and <cond> then delete" only deletes when
+        # the condition is TRUE; a NULL condition (e.g. it references a null
+        # column) must KEEP the row. Without the coalesce, ~(... & NULL) is
+        # NULL and filter() would silently drop it.
+        j = j.filter(
+            ~(src_present & tgt_present & F.coalesce(delete_condition, F.lit(False)))
+        )
 
     out = []
     for c in cols:

@@ -65,10 +65,16 @@ def run_checks(df: DataFrame, rules: list[Rule]) -> DataFrame:
                 (F.count(F.lit(1)) - F.count_distinct(keys)).cast("long").alias(name)
             )
         else:
-            # NULL predicate = pass (see module docstring)
+            # NULL predicate = pass (see module docstring). The outer
+            # coalesce makes an EMPTY table vacuously pass: SUM over zero
+            # rows is NULL, which would otherwise read as "None violations"
+            # and fail assert_checks on e.g. an empty micro-batch (st10).
             aggs.append(
-                F.sum(
-                    F.when(F.coalesce(payload, F.lit(True)), F.lit(0)).otherwise(F.lit(1))
+                F.coalesce(
+                    F.sum(
+                        F.when(F.coalesce(payload, F.lit(True)), F.lit(0)).otherwise(F.lit(1))
+                    ),
+                    F.lit(0),
                 ).cast("long").alias(name)
             )
     row = df.agg(*aggs)
@@ -124,12 +130,23 @@ def flag_outliers(
         F.percentile(column, 0.25).alias("__q1"),
         F.percentile(column, 0.75).alias("__q3"),
     )
+    # groupBy emits a null-key bounds row, so the join back must match it
+    # null-safely — a plain equi-join on the names would silently DROP every
+    # null-group input row instead of flagging it.
+    q = q.select(
+        *[F.col(c).alias(f"__g_{c}") for c in by], "__q1", "__q3"
+    )
+    from functools import reduce
+
+    cond = reduce(
+        lambda a, b: a & b, [F.col(c).eqNullSafe(F.col(f"__g_{c}")) for c in by]
+    )
     lo = F.col("__q1") - k * (F.col("__q3") - F.col("__q1"))
     hi = F.col("__q3") + k * (F.col("__q3") - F.col("__q1"))
     if round_bounds is not None:
         lo, hi = F.round(lo, round_bounds), F.round(hi, round_bounds)
     return (
-        df.join(F.broadcast(q), by)
+        df.join(F.broadcast(q), cond)
         .withColumn("is_outlier", (x < lo) | (x > hi))
-        .drop("__q1", "__q3")
+        .drop("__q1", "__q3", *[f"__g_{c}" for c in by])
     )

@@ -79,9 +79,21 @@ def zorder_column(cols: list[str], mins: list, maxs: list, bits: int = 16):
     all in codegen bitwise expressions (no UDF). Min/max scaling keeps
     the build one cheap 1-row agg; for heavily skewed columns
     pre-transform (log, rank) before calling, as linear scaling
-    concentrates z-values where the data does."""
+    concentrates z-values where the data does.
+
+    ``len(cols) * bits`` must fit in the 64-bit z-value: the JVM's
+    shiftleft wraps the shift amount mod 64, so an overflowing interleave
+    would silently corrupt the Morton code (degraded clustering, no
+    error). Raises instead — callers with many columns should pass
+    ``bits=64 // len(cols)`` (``write_zordered`` does this automatically).
+    """
     from pyspark.sql import functions as F
 
+    if len(cols) * bits > 64:
+        raise ValueError(
+            f"z-order interleave needs len(cols)*bits <= 64, got "
+            f"{len(cols)}*{bits}={len(cols) * bits}; use bits<={64 // len(cols)}"
+        )
     top = (1 << bits) - 1
     scaled = []
     for c, lo, hi in zip(cols, mins, maxs):
@@ -133,6 +145,9 @@ def write_zordered(
     ).collect()[0]
     mins = [bounds[f"lo_{c}"] for c in cols]
     maxs = [bounds[f"hi_{c}"] for c in cols]
+    # auto-fit the per-column resolution to the 64-bit z-value (5 cols at
+    # the default 16 bits would otherwise overflow the interleave)
+    bits = min(bits, 64 // len(cols))
     z = zorder_column(cols, mins, maxs, bits)
     out = (
         df.withColumn("__z", z)

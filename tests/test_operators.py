@@ -555,6 +555,77 @@ def test_merge_upsert_empty_source_is_identity(spark):
     assert {tuple(r) for r in out.collect()} == {tuple(r) for r in target.collect()}
 
 
+def test_merge_upsert_null_delete_condition_keeps_row(spark):
+    """MERGE 'when matched and <cond> then delete' keeps rows whose
+    condition evaluates to NULL (unknown ≠ true) — regression for the
+    silent-delete bug where ~(... & NULL) is NULL and filter() dropped
+    the row."""
+    from etlbigdata_spark.operators import merge as fmerge
+
+    target = spark.createDataFrame(
+        [Row(k=1, v="a", amt=10.0), Row(k=2, v="b", amt=None)], "k int, v string, amt double"
+    )
+    source = spark.createDataFrame(
+        [Row(k=1, amt=200.0), Row(k=2, amt=None)], "k int, amt double"
+    )
+    out = fmerge.merge_upsert(
+        target, source, ["k"], delete_condition=F.col("s.amt") > 100
+    )
+    ks = {r.k for r in out.collect()}
+    # k=1: condition TRUE → deleted. k=2: condition NULL → KEPT.
+    assert ks == {2}
+
+
+def test_dq_empty_table_vacuously_passes(spark):
+    """Per-row rules over an EMPTY table must pass with 0 violations
+    (SUM over zero rows is NULL without the coalesce) — the empty
+    micro-batch case in the streaming DQ monitor."""
+    from etlbigdata_spark.operators import quality as dq
+
+    df = spark.createDataFrame([], "x int, s string")
+    rep = {r.rule: (r.n_violations, r.passed) for r in dq.run_checks(df, [
+        dq.not_null("x"),
+        dq.in_range("x", 0, 10),
+        dq.matches("s", "^ok$"),
+        dq.unique("x"),
+    ]).collect()}
+    assert all(v == (0, True) for v in rep.values()), rep
+    dq.assert_checks(df, [dq.not_null("x")])  # no raise
+
+
+def test_flag_outliers_null_group_rows_survive(spark):
+    """Rows whose group key is NULL must still appear in the output,
+    flagged against the null-group's own bounds (null-unsafe equi-join
+    used to drop them silently)."""
+    from etlbigdata_spark.operators import quality as dq
+
+    rows = [Row(g=None, v=float(x)) for x in [1, 2, 3, 4, 100]] + [
+        Row(g="a", v=float(x)) for x in [10, 11, 12, 13, 500]
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = dq.flag_outliers(df, "v", ["g"]).collect()
+    assert len(out) == len(rows)  # nothing dropped
+    flagged = {(r.g, r.v) for r in out if r.is_outlier}
+    assert (None, 100.0) in flagged and ("a", 500.0) in flagged
+    assert (None, 2.0) not in flagged
+
+
+def test_zorder_bits_overflow_guarded(spark, tmp_path):
+    """len(cols)*bits > 64 silently corrupts the Morton interleave (JVM
+    shiftleft wraps mod 64) — zorder_column must raise; write_zordered
+    auto-reduces bits instead."""
+    from etlbigdata_spark.sources import writers
+
+    with pytest.raises(ValueError, match="<= 64"):
+        writers.zorder_column(["a", "b", "c", "d", "e"], [0] * 5, [1] * 5, bits=16)
+    df = spark.createDataFrame(
+        [Row(a=i, b=i * 2, c=i * 3, d=i * 5, e=i * 7) for i in range(100)]
+    )
+    dest = str(tmp_path / "z5")
+    writers.write_zordered(df, dest, ["a", "b", "c", "d", "e"], n_files=4)
+    assert spark.read.parquet(dest).count() == 100
+
+
 def test_merge_upsert_idempotent(spark):
     """Applying the same delta twice must equal applying it once —
     the property that makes retried upsert jobs safe."""
