@@ -98,18 +98,15 @@ def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred
     lang asc; 'und' when nothing matched."""
     scores = language_scores(text_col)
     entries = F.map_entries(scores)  # array<struct<key,value>>
+    # one asc sort of (neg score, lang) serves both the argmax and the
+    # lang-asc tiebreak: the winner has the most-negative neg, and equal
+    # scores fall through to lexicographic lang order
     best = F.sort_array(
-        F.transform(entries, lambda e: F.struct(e["value"].alias("score"), e["key"].alias("lang"))),
-        asc=False,
-    )[0]
-    # sort desc of (score, lang) → tie prefers lexicographically LAST lang;
-    # flip to asc-first tiebreak by sorting (score desc) via negated score
-    best_tie = F.sort_array(
         F.transform(entries, lambda e: F.struct((-e["value"]).alias("neg"), e["key"].alias("lang"))),
         asc=True,
     )[0]
     return df.withColumn(
-        out_col, F.when(best["score"] > 0, best_tie["lang"]).otherwise(F.lit("und"))
+        out_col, F.when(best["neg"] < 0, best["lang"]).otherwise(F.lit("und"))
     )
 
 
@@ -162,10 +159,25 @@ def tfidf_top_terms(
     )
 
 
-def fingerprint_col(text: Column | str, modulus: int = 1_000_000_007) -> Column:
-    """B25 — deterministic polynomial rolling hash of the document, fully
-    JVM-side: fold over characters with acc = (acc*31 + code) % m. Stable
-    across runs/engines (no JVM hashCode dependence)."""
+def fingerprint_col(text: Column | str) -> Column:
+    """B25 — document fingerprint, production face: ``xxhash64`` of the
+    text — one codegen hash call per row, run-stable and seed-pinned
+    (Spark's default seed 42). This is the path to use at scale; the
+    per-character fold in :func:`rolling_fingerprint_col` costs O(chars)
+    interpreted closure calls per document (the repo's HOF-vs-codegen
+    measurements put such folds at the bottom of the library) and exists
+    only as cross-engine oracle apparatus."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.xxhash64(c)
+
+
+def rolling_fingerprint_col(text: Column | str, modulus: int = 1_000_000_007) -> Column:
+    """Deterministic polynomial rolling hash: fold over characters with
+    acc = (acc*31 + code) % m. Engine-portable by construction (no JVM
+    hashCode dependence; DuckDB ``list_reduce`` computes the identical
+    value — the t05 oracle twin), but an interpreted ``F.aggregate``
+    HOF, so O(chars) closure calls per document. Oracle apparatus —
+    production code should use :func:`fingerprint_col` (xxhash64)."""
     c = F.col(text) if isinstance(text, str) else text
     chars = F.split(c, "")
     return F.aggregate(
@@ -175,8 +187,19 @@ def fingerprint_col(text: Column | str, modulus: int = 1_000_000_007) -> Column:
     )
 
 
-def add_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
-    return df.withColumn(out_col, fingerprint_col(text_col))
+def add_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "fingerprint",
+    method: str = "xxhash64",
+) -> DataFrame:
+    """``method``: 'xxhash64' (production, codegen) or 'rolling'
+    (cross-engine-portable polynomial hash, interpreted HOF)."""
+    if method == "xxhash64":
+        return df.withColumn(out_col, fingerprint_col(text_col))
+    if method == "rolling":
+        return df.withColumn(out_col, rolling_fingerprint_col(text_col))
+    raise ValueError(f"unknown fingerprint method {method!r}")
 
 
 def normalize_text_col(text: Column | str) -> Column:

@@ -189,6 +189,7 @@ def gap_fill(
     step: str = "interval 1 day",
     zero_fill: list[str] | None = None,
     forward_fill: list[str] | None = None,
+    max_grid_rows_per_key: int | None = 10_000_000,
 ) -> DataFrame:
     """Time-series gap filling (pandas resample+ffill parity): for each
     key, generate the COMPLETE time grid between that key's first and
@@ -202,11 +203,43 @@ def gap_fill(
     and the grid⋈actuals join (both keyed the same — AQE reuses); the
     fill window rides the join's partitioning. Works for date and
     timestamp buckets; ``step`` is any SQL interval literal.
+
+    ``max_grid_rows_per_key`` guards the explode: one key whose span is
+    years at a fine ``step`` (bad data, wrong unit) would otherwise
+    materialize an enormous sequence inside a single task. The guard is
+    a cheap predicate over the group-count-sized spans table that raises
+    with the offending key and span — same spirit as the transpose row
+    cap. Pass ``None`` to disable (e.g. when spans are contractually
+    bounded).
     """
     keys = list(key_cols)
     spans = df.groupBy(*keys).agg(
         F.min(time_col).alias("__lo"), F.max(time_col).alias("__hi")
     )
+    if max_grid_rows_per_key is not None:
+        # bucket count from the span arithmetic, NOT by generating the
+        # sequence (Spark would only fail after burning the task, with an
+        # opaque error); one extra action over the small spans table.
+        lo, hi = F.col("__lo").cast("timestamp"), F.col("__hi").cast("timestamp")
+        step_sec = F.unix_micros(F.to_timestamp(F.lit("1970-01-01")) + F.expr(step)) / 1e6
+        n_steps = (
+            (F.unix_micros(hi) - F.unix_micros(lo)) / 1e6 / step_sec + 1
+        ).cast("long")
+        bad = (
+            spans.withColumn("__n", n_steps)
+            .filter(F.col("__n") > max_grid_rows_per_key)
+            .select(*keys, "__lo", "__hi", "__n")
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            r = bad[0].asDict()
+            raise ValueError(
+                f"gap_fill: key {dict((k, r[k]) for k in keys)} spans "
+                f"{r['__lo']} -> {r['__hi']} ~= {r['__n']} grid rows at step "
+                f"'{step}' (> max_grid_rows_per_key={max_grid_rows_per_key}); "
+                "check the step unit or raise/disable the guard"
+            )
     grid = spans.select(
         *keys,
         F.explode(F.expr(f"sequence(__lo, __hi, {step})")).alias(time_col),

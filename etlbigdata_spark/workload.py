@@ -1955,13 +1955,19 @@ GROUP BY 1, 2
 
 
 def t05_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B25 — polynomial rolling-hash document fingerprint.  Oracle-
-    checked since round 3: the char-fold ``acc = (acc*31 + code) % m``
-    is expressible in the oracle dialect via ``list_reduce`` with a
-    prepended zero accumulator, and both engines agree on ``ascii`` code
-    points (verified over the full corpus)."""
+    """B25 — polynomial rolling-hash document fingerprint (the
+    cross-engine oracle twin).  Oracle-checked since round 3: the
+    char-fold ``acc = (acc*31 + code) % m`` is expressible in the oracle
+    dialect via ``list_reduce`` with a prepended zero accumulator, and
+    both engines agree on ``ascii`` code points (verified over the full
+    corpus).  Production fingerprinting uses the xxhash64 face
+    (``text.fingerprint_col`` — codegen, no per-char HOF); this query
+    keeps the ``method='rolling'`` twin alive because xxhash64 has no
+    cross-engine equivalent to oracle against."""
     docs = load(spark, sf_dir, "documents")
-    return ftext.add_fingerprint(docs, "text").select("doc_id", "fingerprint")
+    return ftext.add_fingerprint(docs, "text", method="rolling").select(
+        "doc_id", "fingerprint"
+    )
 
 
 T05_SQL = """

@@ -200,8 +200,20 @@ def test_language_id_heuristic(spark):
 
 def test_fingerprint_deterministic(spark):
     df = spark.createDataFrame([("abc",), ("abc",), ("abd",)], "text string")
-    fps = [r.fingerprint for r in ftext.add_fingerprint(df, "text").collect()]
-    assert fps[0] == fps[1] != fps[2]
+    for method in ("xxhash64", "rolling"):
+        fps = [
+            r.fingerprint
+            for r in ftext.add_fingerprint(df, "text", method=method).collect()
+        ]
+        assert fps[0] == fps[1] != fps[2], method
+    # rolling face: known polynomial value for "abc" = ((97*31)+98)*31+99
+    roll = ftext.add_fingerprint(df, "text", method="rolling").collect()[0]
+    assert roll.fingerprint == ((97 * 31 + 98) * 31 + 99) % 1_000_000_007
+    # production face stays codegen: no interpreted ArrayAggregate fold
+    plan = ftext.add_fingerprint(df, "text")._jdf.queryExecution().executedPlan().toString()
+    assert "aggregate(" not in plan and "xxhash64" in plan.lower()
+    with pytest.raises(ValueError, match="unknown fingerprint"):
+        ftext.add_fingerprint(df, "text", method="nope")
 
 
 def test_quality_score_bounds(spark):
@@ -689,3 +701,37 @@ def test_interpolate_linear_semantics(spark):
     assert out[1] is None and out[6] is None  # no extrapolation
     assert out[2] == 10.0 and out[5] == 40.0  # knowns untouched
     assert out[3] == 20.0 and out[4] == 30.0  # straight line between
+
+
+def test_gap_fill_span_guard(spark):
+    """A key spanning years at a seconds step must fail LOUDLY naming
+    the key, instead of exploding a giant sequence inside one task."""
+    import datetime
+
+    from etlbigdata_spark.operators import aggregates
+
+    ts = datetime.datetime
+    df = spark.createDataFrame(
+        [
+            ("ok", ts(2024, 1, 1), 1.0),
+            ("ok", ts(2024, 1, 1, 0, 0, 30), 2.0),
+            ("bad", ts(2015, 1, 1), 1.0),     # 9-year span at 1-second step
+            ("bad", ts(2024, 1, 1), 2.0),
+        ],
+        "g string, t timestamp, v double",
+    )
+    with pytest.raises(ValueError, match="'bad'.*grid rows|grid rows"):
+        aggregates.gap_fill(
+            df, ["g"], "t", step="interval 1 second",
+            max_grid_rows_per_key=1_000_000,
+        ).count()
+    # guard off → plan builds lazily without the driver-side check
+    aggregates.gap_fill(
+        df.filter(F.col("g") == "ok"), ["g"], "t",
+        step="interval 1 second", max_grid_rows_per_key=None,
+    ).count()
+    # in-bounds data passes the guard unchanged
+    n = aggregates.gap_fill(
+        df.filter(F.col("g") == "ok"), ["g"], "t", step="interval 1 second"
+    ).count()
+    assert n == 31
