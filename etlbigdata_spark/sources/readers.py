@@ -108,22 +108,122 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType | None = None
     return reader.json(path)
 
 
-def read_excel(spark: SparkSession, path, sheet_name=0, **opts) -> DataFrame:
-    """Excel (A2, ref ``simple_etl.py:71-72``): driver-side pandas by design.
+def _xlsx_col_index(ref: str) -> int:
+    """'B7' → 1 (0-based column from an A1-style cell reference)."""
+    idx = 0
+    for ch in ref:
+        if not ch.isalpha():
+            break
+        idx = idx * 26 + (ord(ch.upper()) - ord("A") + 1)
+    return idx - 1
+
+
+def _read_xlsx_stdlib(src, sheet_name=0) -> list[list]:
+    """Minimal .xlsx parser on the stdlib only (zipfile + ElementTree).
+
+    .xlsx is a zip of SpreadsheetML XML parts; this reads the workbook's
+    sheet list, the shared-string table, and one worksheet, yielding a
+    rectangular list of rows. Covers the cell types a data file uses:
+    shared/inline/formula-cached strings, numbers (int where integral),
+    booleans; empty cells → None. Styles, dates-as-serials, merged
+    ranges, and formula recomputation are out of scope — that is
+    openpyxl's job (this is the fallback when it is absent).
+    """
+    import io
+    import zipfile
+    from xml.etree import ElementTree as ET
+
+    if isinstance(src, (bytes, bytearray)):
+        src = io.BytesIO(bytes(src))
+    with zipfile.ZipFile(src) as zf:
+        wb = ET.fromstring(zf.read("xl/workbook.xml"))
+        rel_ns = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
+        sheets = [(s.get("name"), s.get(rel_ns)) for s in wb.findall(".//{*}sheet")]
+        if isinstance(sheet_name, int):
+            if sheet_name >= len(sheets):
+                raise ValueError(f"sheet index {sheet_name} out of range ({len(sheets)} sheets)")
+            rid = sheets[sheet_name][1]
+        else:
+            match = [r for n, r in sheets if n == sheet_name]
+            if not match:
+                raise ValueError(f"sheet {sheet_name!r} not found; have {[n for n, _ in sheets]}")
+            rid = match[0]
+        rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+        target = {r.get("Id"): r.get("Target") for r in rels.findall(".//{*}Relationship")}[rid]
+        target = target.lstrip("/") if target.startswith("/") else f"xl/{target}"
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in zf.namelist():
+            ss = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+            shared = ["".join(t.text or "" for t in si.findall(".//{*}t")) for si in ss.findall(".//{*}si")]
+        sheet = ET.fromstring(zf.read(target))
+
+    raw_rows: list[dict[int, object]] = []
+    for row in sheet.findall(".//{*}row"):
+        cells: dict[int, object] = {}
+        for pos, c in enumerate(row.findall("{*}c")):
+            ref = c.get("r")
+            col = _xlsx_col_index(ref) if ref else pos
+            ctype = c.get("t", "n")
+            if ctype == "inlineStr":
+                cells[col] = "".join(t.text or "" for t in c.findall(".//{*}t"))
+                continue
+            v = c.find("{*}v")
+            if v is None or v.text is None:
+                continue
+            if ctype == "s":
+                cells[col] = shared[int(v.text)]
+            elif ctype == "b":
+                cells[col] = bool(int(v.text))
+            elif ctype == "str":  # formula with cached string result
+                cells[col] = v.text
+            else:
+                num = float(v.text)
+                cells[col] = int(num) if num.is_integer() else num
+        raw_rows.append(cells)
+    width = max((max(c) + 1 for c in raw_rows if c), default=0)
+    return [[r.get(i) for i in range(width)] for r in raw_rows]
+
+
+def read_excel(spark: SparkSession, path, sheet_name=0, header: bool = True, **opts) -> DataFrame:
+    """Excel (A2, ref ``simple_etl.py:71-72``): driver-side by design.
 
     ``path`` may be a filesystem path or an in-memory buffer (``bytes`` /
-    file-like — the reference's ``st.file_uploader`` hands exactly that);
-    ``pd.read_excel`` accepts both natively. Documented small-file-only
-    path (SURVEY §7 hard-parts); a .xlsx that matters at scale should be
-    converted to parquet upstream.
+    file-like — the reference's ``st.file_uploader`` hands exactly that).
+    Parses with ``pd.read_excel`` when an Excel engine (openpyxl) is
+    installed; otherwise falls back to the dependency-free
+    :func:`_read_xlsx_stdlib` parser (xlsx only — .xls needs xlrd).
+    Documented small-file-only path (SURVEY §7 hard-parts); a .xlsx that
+    matters at scale should be converted to parquet upstream.
     """
     import io
 
     import pandas as pd
 
-    if isinstance(path, (bytes, bytearray)):
-        path = io.BytesIO(path)
-    pdf = pd.read_excel(path, sheet_name=sheet_name, **opts)
+    buf = io.BytesIO(bytes(path)) if isinstance(path, (bytes, bytearray)) else path
+    try:
+        if not header:
+            opts = {"header": None, **opts}
+        pdf = pd.read_excel(buf, sheet_name=sheet_name, **opts)
+        return spark.createDataFrame(pdf)
+    except ImportError:
+        opts.pop("header", None)  # no Excel engine — stdlib fallback below
+    if opts:
+        raise ValueError(
+            f"stdlib xlsx fallback cannot honor pandas option(s) {sorted(opts)}; "
+            "install openpyxl for the full pd.read_excel surface"
+        )
+    if hasattr(buf, "seek"):
+        buf.seek(0)
+    rows = _read_xlsx_stdlib(buf, sheet_name=sheet_name)
+    if not rows:
+        raise ValueError("empty worksheet")
+    if header:
+        names = [str(h) if h is not None else f"_c{i}" for i, h in enumerate(rows[0])]
+        data = rows[1:]
+    else:
+        names = [f"_c{i}" for i in range(len(rows[0]))]
+        data = rows
+    pdf = pd.DataFrame(data, columns=names)
     return spark.createDataFrame(pdf)
 
 

@@ -79,15 +79,87 @@ def test_csv_from_memory_buffer(engine):
     assert {tuple(r) for r in back2.collect()} == {("1", "x"), ("2", "y")}
 
 
-def test_excel_from_memory_buffer(engine):
-    pd = pytest.importorskip("pandas")
-    pytest.importorskip("openpyxl")
+def _make_xlsx(rows, sheet="Sheet1"):
+    """Minimal valid .xlsx built with stdlib zipfile + hand-written
+    SpreadsheetML (inline strings, no shared-string table) so the Excel
+    tests run with or without openpyxl. openpyxl reads this file fine
+    when present, so the same fixture exercises whichever parse path
+    read_excel selects."""
     import io
+    import zipfile
 
+    def cell(r, c, v):
+        ref = f"{chr(ord('A') + c)}{r + 1}"
+        if v is None:
+            return ""
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        return f'<c r="{ref}" t="inlineStr"><is><t>{v}</t></is></c>'
+
+    rows_xml = "".join(
+        f'<row r="{i + 1}">' + "".join(cell(i, j, v) for j, v in enumerate(row)) + "</row>"
+        for i, row in enumerate(rows)
+    )
+    main = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rel = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    pkg_rel = "http://schemas.openxmlformats.org/package/2006/relationships"
+    ct = "http://schemas.openxmlformats.org/package/2006/content-types"
     buf = io.BytesIO()
-    pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}).to_excel(buf, index=False)
-    back = readers.read_excel(engine.spark, io.BytesIO(buf.getvalue()))
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(
+            "[Content_Types].xml",
+            f'<Types xmlns="{ct}">'
+            '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+            '<Default Extension="xml" ContentType="application/xml"/>'
+            '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+            '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+            "</Types>",
+        )
+        zf.writestr(
+            "_rels/.rels",
+            f'<Relationships xmlns="{pkg_rel}">'
+            f'<Relationship Id="rId1" Type="{rel}/officeDocument" Target="xl/workbook.xml"/>'
+            "</Relationships>",
+        )
+        zf.writestr(
+            "xl/workbook.xml",
+            f'<workbook xmlns="{main}" xmlns:r="{rel}"><sheets>'
+            f'<sheet name="{sheet}" sheetId="1" r:id="rId1"/></sheets></workbook>',
+        )
+        zf.writestr(
+            "xl/_rels/workbook.xml.rels",
+            f'<Relationships xmlns="{pkg_rel}">'
+            f'<Relationship Id="rId1" Type="{rel}/worksheet" Target="worksheets/sheet1.xml"/>'
+            "</Relationships>",
+        )
+        zf.writestr(
+            "xl/worksheets/sheet1.xml",
+            f'<worksheet xmlns="{main}"><sheetData>{rows_xml}</sheetData></worksheet>',
+        )
+    return buf.getvalue()
+
+
+def test_excel_from_memory_buffer(engine):
+    raw = _make_xlsx([["a", "b"], [1, "x"], [2, "y"]])
+    back = readers.read_excel(engine.spark, raw)
     assert back.count() == 2 and back.columns == ["a", "b"]
+    got = {(r.a, r.b) for r in back.collect()}
+    assert got == {(1, "x"), (2, "y")}
+
+
+def test_excel_stdlib_parser_types_and_sheets(engine):
+    """The no-openpyxl fallback parser directly: numbers, strings,
+    booleans, empty cells, sheet selection by name, and error paths."""
+    raw = _make_xlsx([["n", "s", "flag"], [1.5, "hello", True], [2, None, False]])
+    rows = readers._read_xlsx_stdlib(raw)
+    assert rows == [["n", "s", "flag"], [1.5, "hello", True], [2, None, False]]
+    assert readers._read_xlsx_stdlib(raw, sheet_name="Sheet1") == rows
+    with pytest.raises(ValueError, match="not found"):
+        readers._read_xlsx_stdlib(raw, sheet_name="nope")
+    with pytest.raises(ValueError, match="out of range"):
+        readers._read_xlsx_stdlib(raw, sheet_name=3)
 
 
 def test_json_roundtrip(engine, tmp_path):
@@ -98,13 +170,25 @@ def test_json_roundtrip(engine, tmp_path):
     assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
 
 
-def test_excel_reader_gated(engine, tmp_path):
-    pd = pytest.importorskip("pandas")
-    pytest.importorskip("openpyxl")
+def test_excel_reader_from_path(engine, tmp_path):
     path = str(tmp_path / "t.xlsx")
-    pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}).to_excel(path, index=False)
+    with open(path, "wb") as f:
+        f.write(_make_xlsx([["a", "b"], [1, "x"], [2, "y"]]))
     back = readers.read_excel(engine.spark, path)
     assert back.count() == 2
+
+
+def test_excel_openpyxl_path(engine):
+    """The fancy-feature path: when openpyxl is installed, read_excel
+    routes through pd.read_excel with its full option surface."""
+    pd = pytest.importorskip("pandas")
+    pytest.importorskip("openpyxl")
+    import io
+
+    buf = io.BytesIO()
+    pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}).to_excel(buf, index=False)
+    back = readers.read_excel(engine.spark, io.BytesIO(buf.getvalue()))
+    assert back.count() == 2 and back.columns == ["a", "b"]
 
 
 def test_jdbc_roundtrip_derby(engine, tmp_path):
