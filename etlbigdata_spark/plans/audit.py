@@ -39,6 +39,8 @@ class PlanAudit:
     shuffle_exchanges: int
     broadcast_exchanges: int
     aqe_coalesced_reads: int
+    hof_folds: int = 0
+    hof_nontrivial_lambdas: int = 0
     warnings: list[str] = field(default_factory=list)
 
     def lines(self) -> list[str]:
@@ -92,6 +94,18 @@ def _audit_text(plan: str) -> PlanAudit:
         shuffle_exchanges=len(re.findall(r"\(\d+\) Exchange\n", detail)),
         broadcast_exchanges=len(re.findall(r"\(\d+\) BroadcastExchange\n", detail)),
         aqe_coalesced_reads=len(re.findall(r"\(\d+\) AQEShuffleRead", detail)),
+        # Higher-order array functions evaluate their lambdas INTERPRETED —
+        # one closure call per element — while everything around them is
+        # whole-stage codegen. This repo has measured the gap twice:
+        # explode+codegen agg beat the per-row HOF minhash plan 9× at sf1
+        # and the two-step shingle plan beats the fused-lambda one 2×
+        # (functions/dedup.py:80 and the rejection note in
+        # minhash_signatures). Folds (`aggregate`) are O(elements) always;
+        # a transform/filter lambda is counted non-trivial when its body
+        # starts with a nested function call (array_join(slice(...)) etc.)
+        # rather than a bare comparison/arithmetic on the element.
+        hof_folds=len(re.findall(r"\baggregate\(", detail)),
+        hof_nontrivial_lambdas=len(re.findall(r"lambdafunction\([a-z_]+\(", detail)),
     )
     if a.cartesian_products:
         a.warnings.append(
@@ -115,9 +129,33 @@ def _audit_text(plan: str) -> PlanAudit:
             f"scan(s) reading {wide} columns — check column pruning if the query "
             "projects fewer"
         )
+    if a.hof_folds:
+        a.warnings.append(
+            f"[hof] {a.hof_folds} higher-order aggregate() fold(s) — O(elements) "
+            "interpreted closure calls per row (this repo measured explode+"
+            "codegen agg 2-9x faster); keep only as cross-engine oracle "
+            "apparatus or on contractually tiny arrays"
+        )
+    if a.hof_nontrivial_lambdas:
+        a.warnings.append(
+            f"[hof] {a.hof_nontrivial_lambdas} transform/filter lambda(s) doing "
+            "nested function calls per element — interpreted, not codegen; fine "
+            "for small bounded arrays or streaming projections where the batch "
+            "explode plan cannot run (minhash_signature_col's documented trade), "
+            "move corpus-scale work to explode + codegen"
+        )
     return a
 
 
-def lint(df: DataFrame) -> list[str]:
-    """Just the warnings (empty list = nothing suspicious)."""
-    return audit(df).warnings
+def lint(df: DataFrame, allow_hofs: bool = False) -> list[str]:
+    """Just the warnings (empty list = nothing suspicious).
+
+    ``allow_hofs=True`` suppresses the interpreted-HOF rules for plans
+    where the trade is deliberate — streaming per-row projections that
+    cannot run an explode+groupBy in append mode, or lambdas over
+    contractually tiny arrays (a 5-language score map).
+    """
+    warns = audit(df).warnings
+    if allow_hofs:
+        warns = [w for w in warns if not w.startswith("[hof]")]
+    return warns

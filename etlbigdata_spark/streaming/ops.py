@@ -66,23 +66,49 @@ def read_kafka(
     test this environment cannot run.  Reference cite: none (the
     reference has no streaming); SURVEY §2 B19 declares the surface.
     """
+    options = kafka_source_options(
+        bootstrap_servers,
+        topics,
+        subscribe_pattern=subscribe_pattern,
+        starting_offsets=starting_offsets,
+        max_offsets_per_trigger=max_offsets_per_trigger,
+        fail_on_data_loss=fail_on_data_loss,
+        **opts,
+    )
+    return spark.readStream.format("kafka").options(**options).load()
+
+
+def kafka_source_options(
+    bootstrap_servers: str,
+    topics: str | list[str] | None = None,
+    *,
+    subscribe_pattern: str | None = None,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+    fail_on_data_loss: bool = True,
+    **opts,
+) -> dict[str, str]:
+    """The exact option map :func:`read_kafka` hands to the Kafka
+    source, as a pure function — the CI surface for an environment with
+    no broker: tests golden-pin this dict (and the sink's twin) so any
+    edit to the option names the connector contract depends on fails
+    loudly, instead of surfacing as a silent misconfiguration on the
+    first real ``start()``."""
     if (topics is None) == (subscribe_pattern is None):
         raise ValueError("pass exactly one of topics= or subscribe_pattern=")
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("startingOffsets", starting_offsets)
-        .option("failOnDataLoss", str(fail_on_data_loss).lower())
-    )
+    options: dict[str, str] = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": str(fail_on_data_loss).lower(),
+    }
     if topics is not None:
-        reader = reader.option(
-            "subscribe", topics if isinstance(topics, str) else ",".join(topics)
-        )
+        options["subscribe"] = topics if isinstance(topics, str) else ",".join(topics)
     else:
-        reader = reader.option("subscribePattern", subscribe_pattern)
+        options["subscribePattern"] = subscribe_pattern
     if max_offsets_per_trigger is not None:
-        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
-    return reader.options(**opts).load()
+        options["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    options.update({k: str(v) for k, v in opts.items()})
+    return options
 
 
 def write_stream_kafka(
@@ -99,20 +125,25 @@ def write_stream_kafka(
     this sandbox, so tests cover option/plan construction only.
     Delivery is at-least-once (Kafka sink has no transactional commit);
     make consumers idempotent or dedup downstream on a message key."""
-    if "value" not in df.columns:
+    options = kafka_sink_options(df.columns, bootstrap_servers, topic, **opts)
+    return df.writeStream.format("kafka").outputMode(output_mode).options(**options)
+
+
+def kafka_sink_options(
+    columns: list[str], bootstrap_servers: str, topic: str | None = None, **opts
+) -> dict[str, str]:
+    """Option map + frame-shape validation for :func:`write_stream_kafka`
+    (pure function, golden-pinned by tests — see
+    :func:`kafka_source_options`)."""
+    if "value" not in columns:
         raise ValueError("Kafka sink requires a 'value' column (string or binary)")
-    w = (
-        df.writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .outputMode(output_mode)
-    )
-    if topic is not None:
-        w = w.option("topic", topic)
-    elif "topic" not in df.columns:
+    if topic is None and "topic" not in columns:
         raise ValueError("pass topic= or provide a 'topic' column")
-    for k, v in opts.items():
-        w = w.option(k, v)
-    return w
+    options: dict[str, str] = {"kafka.bootstrap.servers": bootstrap_servers}
+    if topic is not None:
+        options["topic"] = topic
+    options.update({k: str(v) for k, v in opts.items()})
+    return options
 
 
 def kafka_value_string(df: DataFrame) -> DataFrame:

@@ -130,6 +130,50 @@ def test_audit_api_extracts_known_plan_properties(spark, sf_dir):
     assert any("NestedLoop" in w or "Cartesian" in w for w in warns)
 
 
+def test_lint_flags_interpreted_hofs(spark):
+    """The institutionalized HOF rule (round-5 brief item 7): the repo
+    measured interpreted HOF lambdas 2-9x slower than explode+codegen,
+    so lint must fire on the fused word_shingles face and on per-char
+    folds, stay quiet on codegen-only plans, and be suppressible for
+    the deliberate streaming-projection trade."""
+    from pyspark.sql import functions as F
+
+    from etlbigdata_spark.functions import dedup as fdedup
+    from etlbigdata_spark.functions import text as ftext
+    from etlbigdata_spark.plans import audit as pa
+
+    docs = spark.createDataFrame([("a b c d e",)], "text string")
+
+    # word_shingles: transform lambda calls array_join(slice(...)) → fires
+    shingled = docs.select(fdedup.word_shingles("text").alias("sh"))
+    warns = pa.lint(shingled)
+    assert any(w.startswith("[hof]") and "transform" in w for w in warns), warns
+
+    # rolling fingerprint: aggregate() fold → fires
+    folded = docs.select(ftext.rolling_fingerprint_col("text").alias("fp"))
+    assert any("aggregate() fold" in w for w in pa.lint(folded))
+
+    # production fingerprint (xxhash64) and the two-step shingle plan
+    # (tokenize → explode) are codegen: quiet
+    assert pa.lint(docs.select(ftext.fingerprint_col("text").alias("fp"))) == []
+    exploded = fdedup.exploded_shingles(
+        docs.select(F.lit(1).alias("id"), "text"), "id", "text"
+    )
+    # exploded_shingles still slices inside a transform over the token
+    # array — the documented two-step trade; whitelisting silences it
+    assert pa.lint(exploded, allow_hofs=True) == []
+
+    # streaming minhash projection: deliberate per-row HOF (append-mode
+    # streams cannot run the explode+groupBy plan) → whitelisted by design
+    sig = docs.select(
+        ftext.tokens_col("text").alias("__toks")
+    ).select(fdedup.shingle_hashes_col("__toks").alias("hs")).select(
+        fdedup.minhash_signature_col("hs", num_hashes=4).alias("sig")
+    )
+    assert any(w.startswith("[hof]") for w in pa.lint(sig))
+    assert pa.lint(sig, allow_hofs=True) == []
+
+
 def test_round4_plan_shapes_pinned(spark, sf_dir):
     """Round-4 operators keep their scale-deciding plan shapes:
     evt03 runs on ONE shuffle (the per-session agg reuses the window's

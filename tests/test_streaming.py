@@ -284,6 +284,66 @@ def test_kafka_wrapper_options_and_deserializers(spark):
     assert (j["user_id"], j["value"], j["topic"]) == (7, 1.5, "t")
 
 
+def test_kafka_option_map_golden(spark):
+    """Round-5 brief item 9 — the Kafka plan-construction CI surface:
+    golden-pin the EXACT option maps the wrappers generate (these names
+    are the connector's external contract; a typo or rename here would
+    otherwise only surface on the first start() against a real broker),
+    and pin the kafka_value_json projection schema."""
+    from etlbigdata_spark.streaming import ops
+
+    assert ops.kafka_source_options("h1:9092,h2:9092", topics=["a", "b"]) == {
+        "kafka.bootstrap.servers": "h1:9092,h2:9092",
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "true",
+        "subscribe": "a,b",
+    }
+    assert ops.kafka_source_options(
+        "h:9092",
+        subscribe_pattern="events-.*",
+        starting_offsets="latest",
+        max_offsets_per_trigger=50_000,
+        fail_on_data_loss=False,
+        **{"kafka.security.protocol": "SASL_SSL"},
+    ) == {
+        "kafka.bootstrap.servers": "h:9092",
+        "startingOffsets": "latest",
+        "failOnDataLoss": "false",
+        "subscribePattern": "events-.*",
+        "maxOffsetsPerTrigger": "50000",
+        "kafka.security.protocol": "SASL_SSL",
+    }
+    assert ops.kafka_sink_options(["key", "value"], "h:9092", topic="out") == {
+        "kafka.bootstrap.servers": "h:9092",
+        "topic": "out",
+    }
+    # per-row topic column: no topic option emitted
+    assert ops.kafka_sink_options(["value", "topic"], "h:9092") == {
+        "kafka.bootstrap.servers": "h:9092",
+    }
+    with pytest.raises(ValueError, match="'value' column"):
+        ops.kafka_sink_options(["key"], "h:9092", topic="out")
+    with pytest.raises(ValueError, match="'topic' column"):
+        ops.kafka_sink_options(["value"], "h:9092")
+
+    # the deserializer's projection schema is part of the same contract:
+    # a Kafka-source-shaped frame must come out typed exactly like this
+    fake = spark.createDataFrame(
+        [], "key binary, value binary, topic string, partition int, offset long, "
+            "timestamp timestamp",
+    )
+    j = ops.kafka_value_json(fake, "user_id long, value double")
+    assert [(f.name, f.dataType.simpleString()) for f in j.schema.fields] == [
+        ("user_id", "bigint"), ("value", "double"), ("topic", "string"),
+        ("partition", "int"), ("offset", "bigint"), ("timestamp", "timestamp"),
+    ]
+    s = ops.kafka_value_string(fake)
+    assert [(f.name, f.dataType.simpleString()) for f in s.schema.fields] == [
+        ("key", "string"), ("value", "string"), ("topic", "string"),
+        ("partition", "int"), ("offset", "bigint"), ("timestamp", "timestamp"),
+    ]
+
+
 def test_transform_with_state_gated(spark, tmp_path):
     """B22 — transformWithStateInPandas equivalence vs the batch GROUP BY
     (the same contract st06 proves for applyInPandasWithState), on a
