@@ -3854,13 +3854,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a06_union_all": a06_union_all,
     "a07_fill_nulls": a07_fill_nulls,
     "a08_dedup": a08_dedup,
-    "a09_count": a09_count,
     "a10_replace": a10_replace,
     "a11_filter_contains": a11_filter_contains,
-    "a12_transpose": a12_transpose,
-    "a13_split_merge": a13_split_merge,
     "a15_cast": a15_cast,
     "a16_join": a16_join,
+    # round-5 window rotation (VERDICT r4 item 6): a09_count (A9),
+    # a12_transpose (A12), a13_split_merge (A13/A14) were driver-green
+    # for three straight rounds and stay oracle-checked by
+    # tests/test_oracle.py past the window; their slots now exercise
+    # flagship plans that were pytest-only — the q05 star join
+    # (4 broadcast dims, single fact scan), q21's bounded collect_set
+    # single-pass plan, and d07's incremental-vs-persisted-index dedup
+    # (the production 100 TB dedup shape).
+    "q05_region_revenue": q05_region_revenue,
+    "q21_sole_failing_supplier": q21_sole_failing_supplier,
+    "d07_incremental_dedup": d07_incremental_dedup,
     # Part B relational core
     "b01_sql": b01_sql,
     "b02_projection": b02_projection,
@@ -3936,7 +3944,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q02_min_cost_supplier": q02_min_cost_supplier,
     "q03_top_orders": q03_top_orders,
     "q04_priority_with_late_lines": q04_priority_with_late_lines,
-    "q05_region_revenue": q05_region_revenue,
     "q06_revenue_delta": q06_revenue_delta,
     "q07_nation_volume": q07_nation_volume,
     "q08_market_share": q08_market_share,
@@ -3952,7 +3959,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q18_large_orders": q18_large_orders,
     "q19_disjunctive_predicates": q19_disjunctive_predicates,
     "q20_heavy_shippers": q20_heavy_shippers,
-    "q21_sole_failing_supplier": q21_sole_failing_supplier,
     "q22_idle_rich_customers": q22_idle_rich_customers,
     "b06_rollup": b06_rollup,
     "b09_semi": b09_semi,
@@ -3960,7 +3966,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d03_minhash": d03_minhash,
     "d04_simhash": d04_simhash,
     "d05_embedding_neardup": d05_embedding_neardup,
-    "d07_incremental_dedup": d07_incremental_dedup,
+    # a09/a12/a13 rotated out of the window in round 5 (three rounds
+    # driver-green); still oracle-checked here
+    "a09_count": a09_count,
+    "a12_transpose": a12_transpose,
+    "a13_split_merge": a13_split_merge,
     "s02_lsh_topk": s02_lsh_topk,
     "s03_ivf_topk": s03_ivf_topk,
     "t05_fingerprint": t05_fingerprint,

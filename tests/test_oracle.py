@@ -95,8 +95,17 @@ def test_driver_window_covers_expected_components():
         "st06_stateful",
         "d04v_simhash_verified",
         "d06_dup_clusters",
+        # round-5 rotation: the flagship plans now spend driver slots
+        "q05_region_revenue",
+        "q21_sole_failing_supplier",
+        "d07_incremental_dedup",
     ):
         assert required in DRIVER_WINDOW
+    # round-5: a09/a12/a13 rotated out after three driver-green rounds;
+    # they stay oracle-checked past the window
+    for rotated_out in ("a09_count", "a12_transpose", "a13_split_merge"):
+        assert rotated_out not in DRIVER_WINDOW
+        assert rotated_out in workload.QUERIES and rotated_out in workload.ORACLE_SQL
     # round-4: every window row is oracle-bearing (b17's RNG query was
     # demoted; its component is proven by seed-deterministic pytest)
     assert "b17_sample" not in DRIVER_WINDOW
