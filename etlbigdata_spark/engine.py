@@ -171,12 +171,15 @@ class Engine:
 
         return plan_audit.audit(df)
 
-    def lint_plan(self, df: DataFrame) -> list[str]:
+    def lint_plan(self, df: DataFrame, allow_hofs: bool = False) -> list[str]:
         """Plan warnings only (cartesian/NL joins, missing pushdown,
-        unpruned scans); empty list = nothing suspicious."""
+        unpruned scans, interpreted HOF lambdas); empty list = nothing
+        suspicious. ``allow_hofs=True`` accepts the deliberate HOF
+        trades (streaming projections, tiny bounded arrays — see
+        plans.audit.lint)."""
         from .plans import audit as plan_audit
 
-        return plan_audit.lint(df)
+        return plan_audit.lint(df, allow_hofs=allow_hofs)
 
     def sessionize(
         self, df: DataFrame, key_cols: list[str], ts_col: str, gap_seconds: int = 1800, **kw

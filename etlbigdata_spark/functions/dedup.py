@@ -591,8 +591,9 @@ def _simhash_signatures(toks: DataFrame, hash_expr: Column, counter_bits: int = 
     unreachable, a single doc would need >2 GB of text (Spark's string
     cap) to produce that many distinct shingles, so the packing is
     unconditionally safe. ``counter_bits=16`` (4 counters/long, fastest)
-    is safe only when every doc has <65 536 distinct shingles — opt-in
-    for small-doc corpora."""
+    is safe only when every doc has <65 536 distinct shingles — auto-
+    selected by :func:`simhash_near_dups` when a cheap token-count probe
+    proves the bound, opt-in here."""
     per_long = 64 // counter_bits
     n_agg = 64 // per_long
     packed_cols = []
@@ -630,7 +631,7 @@ def simhash_near_dups(
     scheme: str = "blocks",
     n_blocks: int = 6,
     band_bits: int = 16,
-    counter_bits: int = 32,
+    counter_bits: "int | str" = "auto",
 ) -> DataFrame:
     """B23 — near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
@@ -674,6 +675,16 @@ def simhash_near_dups(
     """
     toks = exploded_shingles(df, id_col, text_col, shingle_n, out_col="tok")
     h = _md5_hash64(F.col("tok")) if portable_hash else F.xxhash64("tok")
+    if counter_bits == "auto":
+        # distinct shingles per doc <= word count, so one narrow
+        # scan+1-row agg (no explode, no shuffle) proves whether the
+        # 16-bit packing (4 counters/long -> 1/4 the agg update columns)
+        # is safe; pass an int to skip the probe (e.g. when the corpus
+        # is re-processed often and the bound is known by contract)
+        max_words = df.agg(
+            F.max(F.size(tokens_col(F.col(text_col)))).alias("m")
+        ).collect()[0]["m"]
+        counter_bits = 16 if (max_words or 0) < (1 << 16) else 32
     sig = _persist_scoped(_simhash_signatures(toks, h, counter_bits))
 
     if scheme == "blocks":
