@@ -195,3 +195,51 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_zipf_scaled_sf_properties(tmp_path):
+    """Pin the --zipf scale-harness invariants (round-5 skew evidence
+    rests on them): FKs stay valid, hot keys carry Zipf-decaying row
+    shares far above the typical key, and ~20% of documents carry the
+    hot phrase whose shingles must cross the dedup doc-freq guard."""
+    import subprocess
+    import sys
+
+    import duckdb
+
+    out = str(tmp_path / "zipf")
+    r = subprocess.run(
+        [sys.executable, "scripts/make_scaled_sf.py", "2", "/root/testdata/sf0.001", out, "--zipf"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    con = duckdb.connect()
+
+    def q(sql):
+        return con.sql(sql.format(d=out)).fetchall()
+
+    # FK validity survives the remap
+    assert q("SELECT COUNT(*) FROM read_parquet('{d}/orders.parquet') o "
+             "WHERE o.o_custkey NOT IN (SELECT c_custkey FROM read_parquet('{d}/customer.parquet'))")[0][0] == 0
+    assert q("SELECT COUNT(*) FROM read_parquet('{d}/lineitem.parquet') l "
+             "WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM read_parquet('{d}/orders.parquet'))")[0][0] == 0
+
+    # Zipf decay: top-5 custkeys are exactly the hot set 0..4, in rank
+    # order, each well above the typical key's count
+    top = q("SELECT o_custkey, COUNT(*) n FROM read_parquet('{d}/orders.parquet') "
+            "GROUP BY 1 ORDER BY n DESC, o_custkey LIMIT 6")
+    assert [r0[0] for r0 in top[:5]] == [0, 1, 2, 3, 4]
+    counts = [r0[1] for r0 in top]
+    assert counts[0] > counts[1] > counts[2] > counts[3] > counts[4] > counts[5]
+    # the head of the distribution dwarfs the typical key (15% share on
+    # rank 0 vs ~2 rows/key uniform); rank 4's ~1% share can sit near
+    # the max-uniform count at tiny SF, so pin the dominance on rank 2
+    assert counts[2] > 3 * counts[5]
+
+    # ~20% of docs carry the hot phrase (binomial tolerance at n=200)
+    n_docs, n_hot = q("SELECT COUNT(*), SUM(CASE WHEN text LIKE '%zq0 zq1%' THEN 1 ELSE 0 END) "
+                      "FROM read_parquet('{d}/documents.parquet')")[0]
+    assert 0.10 <= n_hot / n_docs <= 0.30, (n_hot, n_docs)
+    # and n_chars stays consistent with the rewritten text
+    assert q("SELECT COUNT(*) FROM read_parquet('{d}/documents.parquet') "
+             "WHERE n_chars <> length(text)")[0][0] == 0
