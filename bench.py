@@ -29,6 +29,12 @@ its proof-apparatus twin d03v (recall-mode r=1/b=32, candidate set ≈
 all near pairs by construction) stays in the driver correctness window
 but NOT here — benching it would report a plan the module itself
 documents as the thing not to run at scale (functions/dedup.py).
+Same call for d07_incremental_dedup (promoted to the driver window in
+round 5): its oracle face rebuilds the corpus index inline and runs
+r=1 recall banding + exact verification so DuckDB can check it
+all-pairs; the production path is incremental_minhash_pairs against a
+PRE-BUILT parquet index (r×b banding, no exact verify), whose cost a
+rebuild-every-run bench would misstate ~3×.
 """
 
 from __future__ import annotations
