@@ -244,6 +244,11 @@ class Engine:
         functions.text.tfidf_top_terms."""
         return ftext.tfidf_top_terms(df, **kw)
 
+    def repetition_stats(self, df: DataFrame, **kw) -> DataFrame:
+        """Gopher-style within-doc repetition filters (B25) — see
+        functions.text.repetition_stats."""
+        return ftext.repetition_stats(df, **kw)
+
     def enrich_text(self, df: DataFrame, text_col: str = "text") -> DataFrame:
         """Stats + quality score + language-ID + fingerprint in one
         single-pass projection chain (all codegen expressions)."""

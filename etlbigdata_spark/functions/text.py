@@ -202,6 +202,69 @@ def add_fingerprint(
     raise ValueError(f"unknown fingerprint method {method!r}")
 
 
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """B25 — within-document repetition signals in the style of the
+    public Gopher quality filters (Rae et al. 2021, §A1.1 "repetitious
+    text"): ``dup_word_frac`` (fraction of word occurrences that repeat
+    an earlier word: 1 − distinct/total) and ``top_bigram_share`` (share
+    of all 2-gram occurrences taken by the most frequent one). High
+    values flag boilerplate/spam documents for removal before training.
+
+    Plan: one projection computes token counts (``array_distinct`` —
+    codegen, no HOF lambdas); bigram OCCURRENCES (not the distinct
+    shingle sets dedup uses) come from zipping the token array with its
+    own shift (``slice`` + ``arrays_zip`` — regular functions, stays in
+    codegen) and exploding; two id-keyed aggregations that AQE plans on
+    one partitioning. Docs with <2 tokens get null ``top_bigram_share``
+    (no bigrams exist), never a division error.
+    """
+    t = tokens_col(F.col(text_col))
+    toked = df.select(F.col(id_col).alias("id"), t.alias("__t"))
+    base = toked.select(
+        "id",
+        F.size("__t").alias("n_tokens"),
+        F.size(F.array_distinct("__t")).alias("__n_distinct"),
+    )
+    pair_len = F.greatest(F.size("__t") - 1, F.lit(0))
+    bi = toked.select(
+        "id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("__t", 1, pair_len), F.slice("__t", 2, pair_len)
+            )
+        ).alias("__bg"),
+    ).select("id", F.concat_ws(" ", F.col("__bg.0"), F.col("__bg.1")).alias("bigram"))
+    counts = bi.groupBy("id", "bigram").agg(F.count(F.lit(1)).alias("__c"))
+    top = counts.groupBy("id").agg(
+        F.max("__c").alias("__top_cnt"), F.sum("__c").alias("__n_bigrams")
+    )
+    return (
+        base.join(top, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            # try_divide: an empty doc has 0 tokens — null metric, not an
+            # ANSI divide-by-zero error
+            F.round(
+                F.try_divide(
+                    F.col("n_tokens") - F.col("__n_distinct"),
+                    F.col("n_tokens").cast("double"),
+                ),
+                round_to,
+            ).alias("dup_word_frac"),
+            F.round(
+                F.try_divide(F.col("__top_cnt"), F.col("__n_bigrams").cast("double")),
+                round_to,
+            ).alias("top_bigram_share"),
+        )
+    )
+
+
 def normalize_text_col(text: Column | str) -> Column:
     """B25 — canonical text normalization for dedup preprocessing:
     lowercase → non-alphanumerics to spaces → whitespace collapsed →

@@ -1954,6 +1954,36 @@ GROUP BY 1, 2
 """
 
 
+def t13_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B25 — Gopher-style within-document repetition filters
+    (text.repetition_stats): duplicate-word fraction and top-bigram
+    share, the public quality signals that flag boilerplate/spam before
+    training. All codegen (array_distinct + slice/arrays_zip bigrams —
+    no HOF lambdas); two id-keyed aggs on one AQE partitioning."""
+    docs = load(spark, sf_dir, "documents")
+    return ftext.repetition_stats(docs, "doc_id", "text")
+
+
+T13_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+base AS (
+  SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
+         len(list_distinct(t)) AS n_distinct
+  FROM toks
+),
+bi AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram
+  FROM toks, UNNEST(range(1, len(t))) AS r(i)
+),
+cnt AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+top AS (SELECT doc_id, MAX(c) AS top_cnt, SUM(c) AS n_bigrams FROM cnt GROUP BY 1)
+SELECT b.doc_id, n_tokens,
+       round((n_tokens - n_distinct) / CAST(n_tokens AS DOUBLE), 6) AS dup_word_frac,
+       round(top_cnt / CAST(n_bigrams AS DOUBLE), 6) AS top_bigram_share
+FROM base b LEFT JOIN top USING (doc_id)
+"""
+
+
 def t05_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B25 — polynomial rolling-hash document fingerprint (the
     cross-engine oracle twin).  Oracle-checked since round 3: the
@@ -3976,6 +4006,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t05_fingerprint": t05_fingerprint,
     "t11_normalize": t11_normalize,
     "t12_pack_shards": t12_pack_shards,
+    "t13_repetition": t13_repetition,
     "b28_percentile": b28_percentile,
     "b28a_approx_percentile": b28a_approx_percentile,
     "b29_salted_agg": b29_salted_agg,
@@ -4129,6 +4160,7 @@ ORACLE_SQL: dict[str, str] = {
     "t05_fingerprint": T05_SQL,
     "t11_normalize": T11_SQL,
     "t12_pack_shards": T12_SQL,
+    "t13_repetition": T13_SQL,
     # rows-only (approximate / engine-specific RNG or hash): b17_sample,
     # d03_minhash, d04_simhash, s02_lsh_topk, d05_embedding_neardup —
     # each now has an oracle-checked sibling (d03v/d04v/s02v) or is

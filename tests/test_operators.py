@@ -216,6 +216,23 @@ def test_fingerprint_deterministic(spark):
         ftext.add_fingerprint(df, "text", method="nope")
 
 
+def test_repetition_stats_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y z"), (3, "solo"), (4, "")],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in ftext.repetition_stats(df).collect()}
+    # doc 1: 4 tokens, 2 distinct -> dup 0.5; bigrams "a a","a a","a b" -> 2/3
+    assert out[1].n_tokens == 4 and out[1].dup_word_frac == 0.5
+    assert out[1].top_bigram_share == round(2 / 3, 6)
+    # doc 2: no repetition
+    assert out[2].dup_word_frac == 0.0 and out[2].top_bigram_share == round(1 / 2, 6)
+    # doc 3: single token -> no bigrams -> null share, zero dup
+    assert out[3].dup_word_frac == 0.0 and out[3].top_bigram_share is None
+    # doc 4: empty -> 0 tokens, null metrics, no crash
+    assert out[4].n_tokens == 0 and out[4].dup_word_frac is None
+
+
 def test_quality_score_bounds(spark):
     df = spark.createDataFrame(
         [("the cat and the dog sat for it was warm",), ("!!!",)], "text string"
