@@ -88,6 +88,8 @@ def _make_xlsx(rows, sheet="Sheet1"):
     import io
     import zipfile
 
+    from xml.sax.saxutils import escape
+
     def cell(r, c, v):
         ref = f"{chr(ord('A') + c)}{r + 1}"
         if v is None:
@@ -95,8 +97,8 @@ def _make_xlsx(rows, sheet="Sheet1"):
         if isinstance(v, bool):
             return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
         if isinstance(v, (int, float)):
-            return f'<c r="{ref}"><v>{v}</v></c>'
-        return f'<c r="{ref}" t="inlineStr"><is><t>{v}</t></is></c>'
+            return f'<c r="{ref}"><v>{v!r}</v></c>'
+        return f'<c r="{ref}" t="inlineStr"><is><t>{escape(v)}</t></is></c>'
 
     rows_xml = "".join(
         f'<row r="{i + 1}">' + "".join(cell(i, j, v) for j, v in enumerate(row)) + "</row>"

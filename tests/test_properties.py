@@ -285,3 +285,45 @@ def test_interpolate_linear_matches_numpy(spark, series):
         else:
             want = float(np.interp(i, known_x, known_y))
             assert got[i] is not None and abs(got[i] - want) < 1e-5, (i, got[i], want)
+
+
+# -- stdlib xlsx parser round-trip -----------------------------------
+_xlsx_cell = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(10**12), max_value=10**12),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs", "Cc"),  # no surrogates/control chars
+        ),
+        max_size=20,
+    ),
+)
+
+
+@given(
+    rows=st.lists(
+        st.lists(_xlsx_cell, min_size=1, max_size=5), min_size=1, max_size=6
+    ).filter(lambda rs: len({len(r) for r in rs}) == 1)
+)
+@settings(**_SETTINGS)
+def test_xlsx_stdlib_parser_roundtrip(rows):
+    """write(minimal SpreadsheetML) → _read_xlsx_stdlib recovers every
+    cell: types (bool/int/float/str/None), XML-escaped text, unicode."""
+    from etlbigdata_spark.sources import readers
+    from test_io import _make_xlsx
+
+    got = readers._read_xlsx_stdlib(_make_xlsx(rows))
+    assert len(got) == len(rows)
+    for want_row, got_row in zip(rows, got):
+        for want, g in zip(want_row, got_row):
+            if want is None or want == "":
+                # empty cell and empty string both serialize to no <v>
+                assert g is None or g == ""
+            elif isinstance(want, bool):
+                assert g is want
+            elif isinstance(want, float) and want.is_integer():
+                assert g == int(want)  # parser normalizes integral floats
+            else:
+                assert g == want, (want, g)
