@@ -82,6 +82,11 @@ class Engine:
     def save_jdbc(self, df: DataFrame, url: str, table: str, mode: str = "overwrite", **opts) -> None:
         writers.write_jdbc(df, url, table, mode=mode, **opts)
 
+    def compact_parquet(self, path: str, **kw) -> dict:
+        """Rewrite a many-small-files parquet dir into right-sized files
+        (streaming-sink hygiene) — see sources.writers.compact_parquet."""
+        return writers.compact_parquet(self.spark, path, **kw)
+
     # -- Training-data pipeline (B23-B25) -----------------------------
     # Thin dispatch over functions/*: one facade entry per family so a
     # pipeline is writable against Engine alone.

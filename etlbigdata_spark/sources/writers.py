@@ -156,3 +156,52 @@ def write_zordered(
         .drop("__z")
     )
     out.write.mode(mode).options(**opts).parquet(path)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+    sort_within: list[str] | None = None,
+) -> dict:
+    """Small-files compaction (the lifecycle op every streaming parquet
+    sink eventually needs): rewrite a directory of many small parquet
+    files into ``ceil(bytes / target_file_bytes)`` right-sized ones.
+
+    Micro-batch sinks shed one file per partition per trigger; at
+    100 TB that is millions of KB-sized files whose open/footer cost
+    dominates scans and whose row groups are too small for effective
+    min/max pruning. Compaction is one job: coalesce to the target
+    count when shrinking (no shuffle — partitions concatenate) or
+    repartition when growing; optional ``sort_within`` restores a
+    clustering order destroyed by interleaved micro-batches.
+
+    Rewrite is staged through ``<path>.__compacting`` then swapped in,
+    so a concurrent reader sees the old files or the new ones, never a
+    half-written mix (same-filesystem rename; object stores need a
+    table format for atomicity — documented boundary). Returns
+    ``{files_before, files_after, bytes}``. No-op below ``min_files``.
+    """
+    import glob as _glob
+    import math
+    import os
+    import shutil
+
+    files = [f for f in _glob.glob(os.path.join(path, "*.parquet")) if os.path.isfile(f)]
+    if len(files) < min_files:
+        return {"files_before": len(files), "files_after": len(files), "bytes": sum(map(os.path.getsize, files))}
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    out = df.coalesce(n_out) if n_out < len(files) else df.repartition(n_out)
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
+    staging = path.rstrip("/") + ".__compacting"
+    out.write.mode("overwrite").parquet(staging)
+    backup = path.rstrip("/") + ".__precompact"
+    os.rename(path.rstrip("/"), backup)
+    os.rename(staging, path.rstrip("/"))
+    shutil.rmtree(backup)
+    after = [f for f in _glob.glob(os.path.join(path, "*.parquet")) if os.path.isfile(f)]
+    return {"files_before": len(files), "files_after": len(after), "bytes": total}

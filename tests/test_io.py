@@ -510,3 +510,35 @@ def test_bmp_strict_decode_and_resize_are_real(engine):
     out = resize_media(df, "key", "blob", width=5, height=2, strict=True).collect()[0]
     back = codecs.decode_bmp(bytes(out["media"]))
     assert back.shape == (2, 5, 3) and back[0, 0, 2] == 77
+
+
+def test_compact_parquet_small_files(engine, tmp_path):
+    """Streaming-sink-shaped directory (many tiny files) compacts to the
+    target count; rows and values survive; staging swap leaves no
+    leftover dirs; below min_files it is a no-op."""
+    import glob
+    import os
+
+    spark = engine.spark
+    dest = str(tmp_path / "sink")
+    # 16 micro-batch-sized appends -> 16+ small files
+    for i in range(16):
+        spark.range(i * 100, (i + 1) * 100).selectExpr(
+            "id", "id * 2 AS v"
+        ).coalesce(1).write.mode("append").parquet(dest)
+    before = glob.glob(os.path.join(dest, "*.parquet"))
+    assert len(before) >= 16
+
+    stats = writers.compact_parquet(spark, dest, target_file_bytes=10 * 1024 * 1024)
+    after = glob.glob(os.path.join(dest, "*.parquet"))
+    assert stats["files_before"] >= 16 and stats["files_after"] == len(after)
+    assert len(after) < len(before)
+    back = spark.read.parquet(dest)
+    assert back.count() == 1600
+    assert back.agg(F.sum("v")).collect()[0][0] == sum(2 * i for i in range(1600))
+    assert not os.path.exists(dest + ".__compacting")
+    assert not os.path.exists(dest + ".__precompact")
+
+    # already-compacted dir: no-op under min_files
+    stats2 = writers.compact_parquet(spark, dest, min_files=len(after) + 1)
+    assert stats2["files_before"] == stats2["files_after"] == len(after)
