@@ -49,6 +49,10 @@ class Engine:
         df = readers.read_text(self.spark, path, **opts)
         return self._maybe_register(name, df)
 
+    def load_xml(self, path: str, name: str | None = None, **opts) -> DataFrame:
+        df = readers.read_xml(self.spark, path, **opts)
+        return self._maybe_register(name, df)
+
     def load_jdbc(self, url: str, table: str, name: str | None = None, **opts) -> DataFrame:
         df = readers.read_jdbc(self.spark, url, table, **opts)
         return self._maybe_register(name, df)
@@ -81,6 +85,9 @@ class Engine:
 
     def save_jdbc(self, df: DataFrame, url: str, table: str, mode: str = "overwrite", **opts) -> None:
         writers.write_jdbc(df, url, table, mode=mode, **opts)
+
+    def save_xml(self, df: DataFrame, path: str, **opts) -> None:
+        writers.write_xml(df, path, **opts)
 
     def compact_parquet(self, path: str, **kw) -> dict:
         """Rewrite a many-small-files parquet dir into right-sized files

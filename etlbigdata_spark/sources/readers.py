@@ -227,6 +227,36 @@ def read_excel(spark: SparkSession, path, sheet_name=0, header: bool = True, **o
     return spark.createDataFrame(pdf)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema: T.StructType | None = None,
+    **opts,
+) -> DataFrame:
+    """XML scan (A1 sibling — Spark 4 ships the XML datasource
+    natively): one row per ``row_tag`` element, schema inferred from
+    element structure unless given. Distributed like every other file
+    scan; attribute columns surface prefixed ``_``."""
+    reader = spark.read.format("xml").option("rowTag", row_tag).options(**opts)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def read_avro(spark: SparkSession, path: str, **opts) -> DataFrame:
+    """Avro scan (A1 sibling, row-based interchange format).
+
+    VERIFICATION GATE (documented, same pattern as the Kafka source):
+    pyspark bundles the Avro core library but NOT the ``spark-avro``
+    datasource module — deploy with ``--packages
+    org.apache.spark:spark-avro_2.13:<spark-version>``. Without it this
+    raises Spark's own 'Failed to find data source: avro' error, which
+    names the fix.
+    """
+    return spark.read.format("avro").options(**opts).load(path)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

@@ -53,6 +53,20 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite", **opts) -> Non
     df.write.mode(mode).options(**opts).json(path)
 
 
+def write_xml(
+    df: DataFrame, path: str, row_tag: str = "row", mode: str = "overwrite", **opts
+) -> None:
+    """XML sink (Spark 4 native datasource; one ``row_tag`` element per
+    row, partition-parallel like every file sink)."""
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).options(**opts).save(path)
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite", **opts) -> None:
+    """Avro sink — needs the ``spark-avro`` datasource module on the
+    classpath (see ``readers.read_avro``'s documented gate)."""
+    df.write.mode(mode).format("avro").options(**opts).save(path)
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,
