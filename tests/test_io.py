@@ -569,3 +569,35 @@ def test_avro_gated(engine, tmp_path):
     if has_avro:  # pragma: no cover - not in this sandbox
         back = readers.read_avro(engine.spark, path)
         assert back.count() == df.count()
+
+
+def test_xlsx_datasource_distributed(engine, tmp_path):
+    """A2 scale path: the Python DataSource reads a DIRECTORY of
+    workbooks with one partition per file on the executors (no driver
+    loop), inferring the schema from the first file."""
+    from etlbigdata_spark.sources import xlsx_datasource
+
+    d = tmp_path / "books"
+    d.mkdir()
+    for i in range(3):
+        with open(d / f"b{i}.xlsx", "wb") as f:
+            f.write(_make_xlsx([["store", "amount", "ok"],
+                                [f"s{i}", 10 * i + 1, True],
+                                [f"s{i}", 1.5, False]]))
+    xlsx_datasource.register(engine.spark)
+    df = engine.spark.read.format("xlsx").load(str(d))
+    assert [f.name for f in df.schema.fields] == ["store", "amount", "ok"]
+    # amount mixes int and float -> double; ok is boolean
+    assert dict(df.dtypes) == {"store": "string", "amount": "double", "ok": "boolean"}
+    assert df.count() == 6
+    assert df.rdd.getNumPartitions() == 3  # one per workbook
+    assert df.filter(F.col("ok")).count() == 3
+    got = {(r.store, r.amount) for r in df.collect()}
+    assert (f"s2", 21.0) in got and ("s0", 1.5) in got
+
+    # explicit schema + headerless + sheet options still flow through
+    df2 = (engine.spark.read.format("xlsx")
+           .schema("a string, b string, c string")
+           .option("header", "false")
+           .load(str(d / "b0.xlsx")))
+    assert df2.count() == 3 and df2.first().a == "store"
