@@ -221,7 +221,11 @@ def gap_fill(
         # sequence (Spark would only fail after burning the task, with an
         # opaque error); one extra action over the small spans table.
         lo, hi = F.col("__lo").cast("timestamp"), F.col("__hi").cast("timestamp")
-        step_sec = F.unix_micros(F.to_timestamp(F.lit("1970-01-01")) + F.expr(step)) / 1e6
+        # base-relative step length: unix_micros(base + step) alone would
+        # embed the session timezone's 1970-01-01 offset into step_sec
+        # for non-UTC sessions
+        base = F.to_timestamp(F.lit("1970-01-01"))
+        step_sec = (F.unix_micros(base + F.expr(step)) - F.unix_micros(base)) / 1e6
         n_steps = (
             (F.unix_micros(hi) - F.unix_micros(lo)) / 1e6 / step_sec + 1
         ).cast("long")

@@ -161,6 +161,8 @@ def write_zordered(
     maxs = [bounds[f"hi_{c}"] for c in cols]
     # auto-fit the per-column resolution to the 64-bit z-value (5 cols at
     # the default 16 bits would otherwise overflow the interleave)
+    if len(cols) > 64:
+        raise ValueError(f"z-order supports at most 64 columns, got {len(cols)}")
     bits = min(bits, 64 // len(cols))
     z = zorder_column(cols, mins, maxs, bits)
     out = (
