@@ -454,6 +454,13 @@ def minhash_candidates(
         max_shingle_doc_freq=max_shingle_doc_freq,
     )
     sig = _persist_scoped(sig)  # both self-join sides read it
+    # Evaluated and REJECTED (round 5, measured): banding WITHOUT the
+    # sig payload (join on (id, band, val) only, then re-join the two
+    # signatures from the persisted compact table for scoring) — saves
+    # ~10× the shuffle bytes but adds two join stages, and measured
+    # 6.3 → 7.3 s at sf1: on this engine the band join's bytes are
+    # cheap relative to per-stage overhead. On a bandwidth-bound
+    # cluster the trade can flip; the variant is one projection away.
     banded = _banded_signatures(sig, num_hashes, bands)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -471,10 +478,10 @@ def minhash_candidates(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    agree = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
+    # literal-indexed comparisons instead of zip_with+aggregate: same
+    # value, stays in whole-stage codegen (the repo's HOF lint rule)
+    agree = sum(
+        (F.col("sig_a")[i] == F.col("sig_b")[i]).cast("int") for i in range(num_hashes)
     )
     return (
         cand.withColumn("jaccard_dist", 1 - agree / F.lit(num_hashes))
