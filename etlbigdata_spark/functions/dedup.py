@@ -154,7 +154,17 @@ def ngram_jaccard_pairs(
     # persist it so the tokenizer runs once, not four times
     sh = _persist_scoped(sh)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # shuffle_hash hint on the self-join: sort-merge would SORT both
+    # multi-million-row sides by shingle hash only to feed a pair-count
+    # aggregate that doesn't need order — the sorts dominated the query.
+    # Measured round 5 at sf1 (4× alternating same-session runs):
+    # 21.3-30.0 s SMJ vs 10.4-12.8 s SHJ (~2.1×). Scale-safe because
+    # the build side is the narrow (id, 8-byte shingle hash) projection
+    # whose per-partition volume is controlled by shuffle partitioning,
+    # and ``max_doc_freq`` has already capped the hot keys a partition
+    # can accumulate; this is a per-query hint, NOT the rejected global
+    # preferSortMergeJoin=false (BASELINE.md).
+    a, b = sh.alias("a"), sh.hint("shuffle_hash").alias("b")
     shared = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
