@@ -472,6 +472,10 @@ def minhash_candidates(
     # cheap relative to per-stage overhead. On a bandwidth-bound
     # cluster the trade can flip; the variant is one projection away.
     banded = _banded_signatures(sig, num_hashes, bands)
+    # (round 5) shuffle_hash measured here too after d02's 2.1× win:
+    # 6.5 → 6.1 s at sf1 — inside run noise; the band table is ~5×
+    # smaller than d02's shingle table, so SMJ's sorts are cheap and
+    # the hint stays off (same null result on the simhash block join).
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
