@@ -70,6 +70,14 @@ class Engine:
         """SQL entry point (B1): Catalyst is the parser/optimizer/planner."""
         return self.spark.sql(query)
 
+    def register_sql_functions(self) -> list[str]:
+        """Register the ``etl_*`` SQL scalar-UDF library (expression-
+        backed codegen faces of functions.text — see
+        functions.sql_functions); returns the registered names."""
+        from .functions.sql_functions import register_sql_functions
+
+        return register_sql_functions(self.spark)
+
     def table(self, name: str) -> DataFrame:
         return self.catalog.get(name)
 

@@ -135,3 +135,51 @@ def test_pipeline_demo_runs(spark, sf_dir):
     assert stages["input"] >= stages["after_exact_dedup"] >= stages["after_near_dedup"]
     assert stages["after_near_dedup"] >= stages["after_quality_filter"] > 0
     assert stages["total_tokens"] > 0 and stages["similarity_rows"] > 0
+
+
+def test_sql_function_library_matches_dataframe_twins(spark, sf_dir):
+    """B1 x B25 — the etl_* SQL scalar UDFs must stay in lockstep with
+    their DataFrame twins: value-equal over the real corpus, and
+    expression-backed (codegen), not Python UDFs."""
+    from pyspark.sql import functions as F
+
+    from etlbigdata_spark import workload
+    from etlbigdata_spark.functions import sql_functions, text as ftext
+
+    names = sql_functions.register_sql_functions(spark)
+    assert "etl_token_count" in names
+    docs = workload.load(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("docs_sqlfn")
+
+    via_sql = spark.sql("""
+        SELECT doc_id,
+               etl_token_count(text)   AS n_tok,
+               etl_word_count(text)    AS n_words,
+               etl_normalize_text(text) AS norm,
+               etl_fingerprint(text)   AS fp,
+               etl_rolling_fingerprint(text) AS rfp,
+               round(etl_punct_ratio(text), 6) AS pr,
+               etl_word_shingles(text, 3) AS sh
+        FROM docs_sqlfn
+    """)
+    via_df = docs.select(
+        "doc_id",
+        ftext.token_count_col("text").alias("n_tok"),
+        F.size(ftext.tokens_col("text")).alias("n_words"),
+        ftext.normalize_text_col("text").alias("norm"),
+        ftext.fingerprint_col("text").alias("fp"),
+        ftext.rolling_fingerprint_col("text").alias("rfp"),
+        F.round(
+            F.when(F.length("text") > 0,
+                   (F.length("text") - F.length(F.regexp_replace("text", r"[^\w\s]", "")))
+                   / F.length("text")).otherwise(F.lit(0.0)), 6).alias("pr"),
+        __import__("etlbigdata_spark.functions.dedup", fromlist=["word_shingles"])
+        .word_shingles("text", 3).alias("sh"),
+    )
+    a = {r.doc_id: tuple(r)[1:] for r in via_sql.collect()}
+    b = {r.doc_id: tuple(r)[1:] for r in via_df.collect()}
+    assert a == b
+
+    # expression-backed: the plan carries no BatchEvalPython/ArrowEval
+    plan = via_sql._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
