@@ -164,3 +164,46 @@ def keep_latest(df: DataFrame, keys: list[str], order_cols: list) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    attrs: list[str],
+    order_tiebreak: list | None = None,
+    collapse_unchanged: bool = True,
+) -> DataFrame:
+    """CDC change stream → slowly-changing-dimension (SCD type 2)
+    history: one row per (key, version) with ``valid_from`` /
+    ``valid_to`` / ``is_current``, the companion to :func:`keep_latest`
+    (which keeps only the final version) and ``merge_upsert`` (which
+    applies it).
+
+    ``attrs`` are the tracked attribute columns; with
+    ``collapse_unchanged`` (default) consecutive rows whose attrs are
+    unchanged merge into one validity interval — a heartbeat feed
+    collapses to true change points (null-safe comparison, so
+    null→null is "unchanged" and null→value is a change).
+
+    Plan: ONE hash shuffle on ``keys``; both windows (the change-point
+    lag and the interval lead) share its partitioning, so collapsing
+    costs no extra exchange. Include ``order_tiebreak`` (e.g. an event
+    id) when ``ts_col`` can tie, or version order is nondeterministic.
+    Open intervals carry ``valid_to = NULL`` + ``is_current = true``.
+    """
+    order = [F.col(ts_col).asc()] + list(order_tiebreak or [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    if collapse_unchanged:
+        changed = F.row_number().over(w) == 1  # first version always starts an interval
+        for a in attrs:
+            changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w))
+        df = df.withColumn("__chg", changed).filter(F.col("__chg")).drop("__chg")
+    valid_to = F.lead(ts_col).over(w)
+    return df.select(
+        *keys,
+        *attrs,
+        F.col(ts_col).alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )

@@ -960,6 +960,35 @@ FROM ctx
 """
 
 
+def evt08_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC lifecycle — SCD type-2 history (cleaning.scd2_history): each
+    user's event_type change stream collapsed to change points with
+    valid_from/valid_to intervals and an open current row. One shuffle
+    on user_id; the collapse lag and the interval lead share it."""
+    ev = load(spark, sf_dir, "events")
+    return cleaning.scd2_history(
+        ev, ["user_id"], "ts", ["event_type"],
+        order_tiebreak=[F.col("event_id").asc()],
+    )
+
+
+EVT08_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), chg AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM ordered WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+)
+SELECT user_id, event_type, ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+FROM chg
+"""
+
+
 def b05h_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B5 — mergeable-sketch distinct count (rows-only: DataSketches HLL
     has no DuckDB twin; its oracle-checked sibling is b05's exact
@@ -4028,6 +4057,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "evt05_cohort_retention": evt05_cohort_retention,
     "evt06_gapfill": evt06_gapfill,
     "evt07_interpolate": evt07_interpolate,
+    "evt08_scd2": evt08_scd2,
     "t06_tfidf_topterms": t06_tfidf_topterms,
     # corpus curation (round 4): split / contamination / PII / quota
     "t07_hash_split": t07_hash_split,
@@ -4128,6 +4158,7 @@ ORACLE_SQL: dict[str, str] = {
     "evt05_cohort_retention": EVT05_SQL,
     "evt06_gapfill": EVT06_SQL,
     "evt07_interpolate": EVT07_SQL,
+    "evt08_scd2": EVT08_SQL,
     "t06_tfidf_topterms": T06_SQL,
     "t07_hash_split": T07_SQL,
     "t08_contamination": T08_SQL,

@@ -501,6 +501,33 @@ def test_merge_upsert_rejects_bad_args(spark):
         fmerge.merge_upsert(target, source, ["k"], update_cols=["nope"])
 
 
+def test_scd2_history_semantics(spark):
+    """CDC stream → SCD2 intervals: heartbeats collapse to change
+    points, intervals chain, the open interval is current, and
+    null↔value transitions count as changes (null-safe compare)."""
+    from etlbigdata_spark.operators import cleaning
+
+    rows = [
+        (1, 10, "a"), (1, 20, "a"),      # heartbeat: collapses
+        (1, 30, "b"), (1, 40, None),     # b -> null is a change
+        (1, 50, None),                   # null heartbeat: collapses
+        (2, 15, "x"),
+    ]
+    df = spark.createDataFrame(rows, "k int, ts int, v string")
+    out = cleaning.scd2_history(df, ["k"], "ts", ["v"])
+    got = {(r.k, r.valid_from): (r.v, r.valid_to, r.is_current) for r in out.collect()}
+    assert got == {
+        (1, 10): ("a", 30, False),
+        (1, 30): ("b", 40, False),
+        (1, 40): (None, None, True),
+        (2, 15): ("x", None, True),
+    }
+    # collapse off: every version becomes its own interval
+    full = cleaning.scd2_history(df, ["k"], "ts", ["v"], collapse_unchanged=False)
+    assert full.count() == 6
+    assert full.filter(F.col("is_current")).count() == 2
+
+
 def test_keep_latest_deterministic_winner(spark):
     from etlbigdata_spark.operators import cleaning
 
