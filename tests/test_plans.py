@@ -72,6 +72,11 @@ def test_d02_joins_on_hashes_not_strings(plans):
     for part in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "shingle_str" not in part
     assert "xxhash64" in plan, "d02 no longer hashes shingles"
+    # round 5: the self-join is shuffled-HASH by hint (sort-merge sorted
+    # both multi-million-row sides for an order-insensitive pair count —
+    # measured 2.1x slower at sf1); a refactor or Spark upgrade dropping
+    # the hint must fail here, not in a bench regression
+    assert "ShuffledHashJoin" in plan, "d02 self-join lost its shuffle_hash hint"
 
 
 def test_s01_corpus_never_shuffled(plans):
