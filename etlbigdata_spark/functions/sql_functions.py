@@ -32,8 +32,8 @@ _DEFINITIONS: dict[str, str] = {
     ),
     "etl_normalize_text": (
         "(s STRING) RETURNS STRING RETURN "
-        r"trim(regexp_replace(regexp_replace(regexp_replace(lower(s),"
-        r" '[^a-z0-9\\s]', ' '), '\\s+', ' '), '\\s+', ' '))"
+        r"trim(regexp_replace(regexp_replace(lower(s),"
+        r" '[^a-z0-9\\s]', ' '), '\\s+', ' '))"
     ),
     "etl_fingerprint": "(s STRING) RETURNS BIGINT RETURN xxhash64(s)",
     "etl_rolling_fingerprint": (

@@ -207,10 +207,12 @@ def gap_fill(
     ``max_grid_rows_per_key`` guards the explode: one key whose span is
     years at a fine ``step`` (bad data, wrong unit) would otherwise
     materialize an enormous sequence inside a single task. The guard is
-    a cheap predicate over the group-count-sized spans table that raises
-    with the offending key and span — same spirit as the transpose row
-    cap. Pass ``None`` to disable (e.g. when spans are contractually
-    bounded).
+    an ``assert_true`` over the span arithmetic INSIDE the plan — it
+    evaluates on the group-count-sized spans rows just before the
+    sequence generates, costs no extra scan or driver action, keeps the
+    builder fully lazy, and raises at execution naming the offending
+    key and span. Pass ``None`` to disable (e.g. when spans are
+    contractually bounded).
     """
     keys = list(key_cols)
     spans = df.groupBy(*keys).agg(
@@ -218,36 +220,36 @@ def gap_fill(
     )
     if max_grid_rows_per_key is not None:
         # bucket count from the span arithmetic, NOT by generating the
-        # sequence (Spark would only fail after burning the task, with an
-        # opaque error); one extra action over the small spans table.
+        # sequence (Spark would only fail after burning the task, with
+        # an opaque error). Base-relative step length: unix_micros(base
+        # + step) alone would embed the session timezone's 1970-01-01
+        # offset into step_sec for non-UTC sessions.
         lo, hi = F.col("__lo").cast("timestamp"), F.col("__hi").cast("timestamp")
-        # base-relative step length: unix_micros(base + step) alone would
-        # embed the session timezone's 1970-01-01 offset into step_sec
-        # for non-UTC sessions
         base = F.to_timestamp(F.lit("1970-01-01"))
         step_sec = (F.unix_micros(base + F.expr(step)) - F.unix_micros(base)) / 1e6
         n_steps = (
             (F.unix_micros(hi) - F.unix_micros(lo)) / 1e6 / step_sec + 1
         ).cast("long")
-        bad = (
-            spans.withColumn("__n", n_steps)
-            .filter(F.col("__n") > max_grid_rows_per_key)
-            .select(*keys, "__lo", "__hi", "__n")
-            .limit(1)
-            .collect()
+        err = F.format_string(
+            f"gap_fill: key (%s) spans %s -> %s ~= %s grid rows at step '{step}' "
+            f"(> max_grid_rows_per_key={max_grid_rows_per_key}); check the step "
+            "unit or raise/disable the guard",
+            F.concat_ws(",", *[F.col(k).cast("string") for k in keys]),
+            F.col("__lo").cast("string"),
+            F.col("__hi").cast("string"),
+            n_steps.cast("string"),
         )
-        if bad:
-            r = bad[0].asDict()
-            raise ValueError(
-                f"gap_fill: key {dict((k, r[k]) for k in keys)} spans "
-                f"{r['__lo']} -> {r['__hi']} ~= {r['__n']} grid rows at step "
-                f"'{step}' (> max_grid_rows_per_key={max_grid_rows_per_key}); "
-                "check the step unit or raise/disable the guard"
-            )
-    grid = spans.select(
-        *keys,
-        F.explode(F.expr(f"sequence(__lo, __hi, {step})")).alias(time_col),
-    )
+        # the assert wraps the sequence expression itself (a bare guard
+        # column would be pruned as dead by Catalyst): passing rows see
+        # assert_true = NULL -> isNull -> sequence; failing rows raise
+        # before generating anything
+        seq = F.when(
+            F.assert_true(n_steps <= max_grid_rows_per_key, err).isNull(),
+            F.expr(f"sequence(__lo, __hi, {step})"),
+        )
+    else:
+        seq = F.expr(f"sequence(__lo, __hi, {step})")
+    grid = spans.select(*keys, F.explode(seq).alias(time_col))
     out = grid.join(df, keys + [time_col], "left")
     for c in zero_fill or []:
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))

@@ -138,8 +138,12 @@ def flag_outliers(
     )
     from functools import reduce
 
+    # F.lit(True) seed keeps by=[] working (global bounds: the 1-row
+    # aggregate cross-joins every row, same as the old equi-join-on-[])
     cond = reduce(
-        lambda a, b: a & b, [F.col(c).eqNullSafe(F.col(f"__g_{c}")) for c in by]
+        lambda a, b: a & b,
+        [F.col(c).eqNullSafe(F.col(f"__g_{c}")) for c in by],
+        F.lit(True),
     )
     lo = F.col("__q1") - k * (F.col("__q3") - F.col("__q1"))
     hi = F.col("__q3") + k * (F.col("__q3") - F.col("__q1"))

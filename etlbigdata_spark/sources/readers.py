@@ -154,7 +154,16 @@ def _read_xlsx_stdlib(src, sheet_name=0) -> list[list]:
         shared: list[str] = []
         if "xl/sharedStrings.xml" in zf.namelist():
             ss = ET.fromstring(zf.read("xl/sharedStrings.xml"))
-            shared = ["".join(t.text or "" for t in si.findall(".//{*}t")) for si in ss.findall(".//{*}si")]
+            # direct <t> + rich-text <r><t> runs ONLY — a blanket .//t
+            # would also pick up phonetic <rPh> runs (furigana) and
+            # duplicate the cell text
+            shared = [
+                "".join(
+                    t.text or ""
+                    for t in si.findall("{*}t") + si.findall("{*}r/{*}t")
+                )
+                for si in ss.findall(".//{*}si")
+            ]
         sheet = ET.fromstring(zf.read(target))
 
     raw_rows: list[dict[int, object]] = []
@@ -165,7 +174,10 @@ def _read_xlsx_stdlib(src, sheet_name=0) -> list[list]:
             col = _xlsx_col_index(ref) if ref else pos
             ctype = c.get("t", "n")
             if ctype == "inlineStr":
-                cells[col] = "".join(t.text or "" for t in c.findall(".//{*}t"))
+                cells[col] = "".join(
+                    t.text or ""
+                    for t in c.findall("{*}is/{*}t") + c.findall("{*}is/{*}r/{*}t")
+                )
                 continue
             v = c.find("{*}v")
             if v is None or v.text is None:
@@ -196,21 +208,31 @@ def read_excel(spark: SparkSession, path, sheet_name=0, header: bool = True, **o
     matters at scale should be converted to parquet upstream.
     """
     import io
-
-    import pandas as pd
+    import zipfile
 
     buf = io.BytesIO(bytes(path)) if isinstance(path, (bytes, bytearray)) else path
     try:
+        import pandas as pd
+
         if not header:
             opts = {"header": None, **opts}
         pdf = pd.read_excel(buf, sheet_name=sheet_name, **opts)
         return spark.createDataFrame(pdf)
-    except ImportError:
-        opts.pop("header", None)  # no Excel engine — stdlib fallback below
+    except ImportError as e:
+        # fall back ONLY for the xlsx-zip case: a legacy .xls (OLE2, not
+        # a zip) failing on missing xlrd must surface pandas' actionable
+        # message, not a nonsense BadZipFile from the stdlib parser —
+        # and a missing pandas itself also routes to the stdlib path
+        if hasattr(buf, "seek"):
+            buf.seek(0)
+        if not zipfile.is_zipfile(buf):
+            raise
+        opts.pop("header", None)
+        missing_engine = e
     if opts:
         raise ValueError(
             f"stdlib xlsx fallback cannot honor pandas option(s) {sorted(opts)}; "
-            "install openpyxl for the full pd.read_excel surface"
+            f"install the missing dependency for the full surface ({missing_engine})"
         )
     if hasattr(buf, "seek"):
         buf.seek(0)
@@ -223,8 +245,8 @@ def read_excel(spark: SparkSession, path, sheet_name=0, header: bool = True, **o
     else:
         names = [f"_c{i}" for i in range(len(rows[0]))]
         data = rows
-    pdf = pd.DataFrame(data, columns=names)
-    return spark.createDataFrame(pdf)
+    # plain createDataFrame — the fallback must not require pandas
+    return spark.createDataFrame([tuple(r) for r in data], names)
 
 
 def read_xml(

@@ -193,18 +193,50 @@ def compact_parquet(
     repartition when growing; optional ``sort_within`` restores a
     clustering order destroyed by interleaved micro-batches.
 
-    Rewrite is staged through ``<path>.__compacting`` then swapped in,
-    so a concurrent reader sees the old files or the new ones, never a
-    half-written mix (same-filesystem rename; object stores need a
-    table format for atomicity — documented boundary). Returns
-    ``{files_before, files_after, bytes}``. No-op below ``min_files``.
+    Rewrite is staged through ``<path>.__compacting`` then swapped in by
+    directory rename, so a reader sees the old files, the new files, or
+    (for the instant between the two renames) a transient not-found it
+    can retry — never a half-written mix. True atomicity needs a table
+    format / metastore — documented boundary; a crash between renames
+    leaves the data intact under ``<path>.__precompact``, and the next
+    call refuses to run until that leftover is restored or removed.
+
+    Guarded boundaries: Hive-partitioned layouts (nested key=value
+    dirs) and streaming-sink logs (``_spark_metadata``) are refused —
+    compact each partition directory individually, and never compact
+    under a running streaming sink whose log records the old files.
+    Returns ``{files_before, files_after, bytes}``. No-op below
+    ``min_files``.
     """
     import glob as _glob
     import math
     import os
     import shutil
 
+    root = path.rstrip("/")
+    backup = root + ".__precompact"
+    if os.path.exists(backup):
+        raise RuntimeError(
+            f"leftover {backup} from an interrupted compaction — restore or "
+            "remove it before compacting again (the data may live only there)"
+        )
+    if os.path.isdir(os.path.join(root, "_spark_metadata")):
+        raise ValueError(
+            f"{path} carries a streaming-sink transaction log (_spark_metadata); "
+            "compacting would break the sink's file manifest — stop the query "
+            "and migrate off the metadata log first"
+        )
     files = [f for f in _glob.glob(os.path.join(path, "*.parquet")) if os.path.isfile(f)]
+    nested = [
+        d for d in _glob.glob(os.path.join(root, "*"))
+        if os.path.isdir(d) and "=" in os.path.basename(d)
+    ]
+    if nested:
+        raise ValueError(
+            f"{path} is Hive-partitioned ({os.path.basename(nested[0])}, ...); "
+            "compact each partition directory individually so partition "
+            "pruning metadata survives"
+        )
     if len(files) < min_files:
         return {"files_before": len(files), "files_after": len(files), "bytes": sum(map(os.path.getsize, files))}
     total = sum(os.path.getsize(f) for f in files)
@@ -213,11 +245,14 @@ def compact_parquet(
     out = df.coalesce(n_out) if n_out < len(files) else df.repartition(n_out)
     if sort_within:
         out = out.sortWithinPartitions(*sort_within)
-    staging = path.rstrip("/") + ".__compacting"
+    staging = root + ".__compacting"
     out.write.mode("overwrite").parquet(staging)
-    backup = path.rstrip("/") + ".__precompact"
-    os.rename(path.rstrip("/"), backup)
-    os.rename(staging, path.rstrip("/"))
+    os.rename(root, backup)
+    try:
+        os.rename(staging, root)
+    except OSError:
+        os.rename(backup, root)  # restore — old data wins over no data
+        raise
     shutil.rmtree(backup)
     after = [f for f in _glob.glob(os.path.join(path, "*.parquet")) if os.path.isfile(f)]
     return {"files_before": len(files), "files_after": len(after), "bytes": total}

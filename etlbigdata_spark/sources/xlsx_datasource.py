@@ -37,6 +37,10 @@ def _expand(path: str) -> list[str]:
 def _infer_field(values: list) -> T.DataType:
     """Narrowest Spark type covering the observed cell values."""
     kinds = {type(v) for v in values if v is not None}
+    if not kinds:
+        # all-null in the inference file: widest fallback — Boolean here
+        # would coerce later files' strings to True/False silently
+        return T.StringType()
     if kinds <= {bool}:
         return T.BooleanType()
     if kinds <= {int}:
@@ -71,6 +75,11 @@ class XlsxFilePartition(InputPartition):
 class XlsxReader(DataSourceReader):
     def __init__(self, options: dict, schema: T.StructType):
         self.paths = _expand(options.get("path", ""))
+        if not self.paths:
+            # with an explicit schema, DataSource.schema() never runs, so
+            # this is the only place a typo'd path can fail loudly instead
+            # of yielding a silent empty scan
+            raise ValueError(f"no .xlsx files match {options.get('path')!r}")
         self.sheet = options.get("sheetName", 0)
         self.header = str(options.get("header", "true")).lower() != "false"
         self.schema = schema

@@ -601,3 +601,92 @@ def test_xlsx_datasource_distributed(engine, tmp_path):
            .option("header", "false")
            .load(str(d / "b0.xlsx")))
     assert df2.count() == 3 and df2.first().a == "store"
+
+
+def test_compact_parquet_guards(engine, tmp_path):
+    """Review fixes: partitioned layouts and streaming-sink logs are
+    refused; a leftover crash backup blocks recompaction loudly."""
+    import os
+
+    spark = engine.spark
+    part = str(tmp_path / "hive")
+    spark.range(50).selectExpr("id", "id % 2 AS p").write.partitionBy("p").parquet(part)
+    with pytest.raises(ValueError, match="Hive-partitioned"):
+        writers.compact_parquet(spark, part)
+
+    sink = str(tmp_path / "sink2")
+    spark.range(10).coalesce(1).write.parquet(sink)
+    os.makedirs(os.path.join(sink, "_spark_metadata"))
+    with pytest.raises(ValueError, match="_spark_metadata"):
+        writers.compact_parquet(spark, sink)
+
+    plain = str(tmp_path / "plain")
+    for i in range(3):
+        spark.range(i, i + 5).coalesce(1).write.mode("append").parquet(plain)
+    os.makedirs(plain + ".__precompact")
+    with pytest.raises(RuntimeError, match="interrupted compaction"):
+        writers.compact_parquet(spark, plain)
+    os.rmdir(plain + ".__precompact")
+    assert writers.compact_parquet(spark, plain)["files_after"] >= 1
+
+
+def test_xlsx_shared_and_inline_strings_skip_phonetic_runs(engine):
+    """Shared-string/rich-text cells must join only <t> and <r><t> runs,
+    not phonetic <rPh> hints (furigana) that duplicate the text."""
+    import io
+    import zipfile
+
+    # hand-build a workbook USING the shared-string table (the fixture
+    # writer emits inline strings, so craft this one directly)
+    main = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rel = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    pkg_rel = "http://schemas.openxmlformats.org/package/2006/relationships"
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/workbook.xml",
+                    f'<workbook xmlns="{main}" xmlns:r="{rel}"><sheets>'
+                    f'<sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>')
+        zf.writestr("xl/_rels/workbook.xml.rels",
+                    f'<Relationships xmlns="{pkg_rel}">'
+                    f'<Relationship Id="rId1" Type="{rel}/worksheet" Target="worksheets/sheet1.xml"/>'
+                    "</Relationships>")
+        zf.writestr("xl/sharedStrings.xml",
+                    f'<sst xmlns="{main}">'
+                    "<si><t>Tokyo</t><rPh><t>toukyou</t></rPh></si>"
+                    "<si><r><t>ri</t></r><r><t>ch</t></r><rPh><t>nope</t></rPh></si>"
+                    "</sst>")
+        zf.writestr("xl/worksheets/sheet1.xml",
+                    f'<worksheet xmlns="{main}"><sheetData>'
+                    '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c>'
+                    '<c r="C1" t="inlineStr"><is><t>x</t></is></c></row>'
+                    "</sheetData></worksheet>")
+    rows = readers._read_xlsx_stdlib(buf.getvalue())
+    assert rows == [["Tokyo", "rich", "x"]]
+
+
+def test_read_excel_non_zip_reraises_engine_error(engine, tmp_path):
+    """A non-zip file (e.g. legacy .xls without xlrd) must surface the
+    original engine error, not a BadZipFile from the stdlib parser."""
+    p = tmp_path / "legacy.xls"
+    p.write_bytes(b"\xd0\xcf\x11\xe0" + b"\x00" * 64)  # OLE2 magic, not a zip
+    with pytest.raises(Exception) as ei:
+        readers.read_excel(engine.spark, str(p))
+    assert "zip" not in str(ei.value).lower() or "Excel" in str(ei.value)
+
+
+def test_xlsx_datasource_all_null_column_and_bad_path(engine, tmp_path):
+    from etlbigdata_spark.sources import xlsx_datasource
+
+    d = tmp_path / "nulls"
+    d.mkdir()
+    with open(d / "a.xlsx", "wb") as f:
+        f.write(_make_xlsx([["k", "notes"], [1, None], [2, None]]))
+    with open(d / "b.xlsx", "wb") as f:
+        f.write(_make_xlsx([["k", "notes"], [3, "text survives"]]))
+    xlsx_datasource.register(engine.spark)
+    df = engine.spark.read.format("xlsx").load(str(d))
+    # all-null inference column widens to string, later text survives
+    assert dict(df.dtypes)["notes"] == "string"
+    assert {r.notes for r in df.collect()} == {None, "text survives"}
+    with pytest.raises(Exception, match="no .xlsx files"):
+        engine.spark.read.format("xlsx").schema("a string").load(str(tmp_path / "nope")).count()

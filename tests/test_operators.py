@@ -764,12 +764,16 @@ def test_gap_fill_span_guard(spark):
         ],
         "g string, t timestamp, v double",
     )
-    with pytest.raises(ValueError, match="'bad'.*grid rows|grid rows"):
-        aggregates.gap_fill(
-            df, ["g"], "t", step="interval 1 second",
-            max_grid_rows_per_key=1_000_000,
-        ).count()
-    # guard off → plan builds lazily without the driver-side check
+    # the guard lives INSIDE the plan (assert_true wrapping the sequence
+    # expression — no extra scan, builder stays lazy), so it raises at
+    # execution time, naming the key
+    guarded = aggregates.gap_fill(
+        df, ["g"], "t", step="interval 1 second",
+        max_grid_rows_per_key=1_000_000,
+    )
+    with pytest.raises(Exception, match="grid rows"):
+        guarded.count()
+    # guard off → no assert in the plan
     aggregates.gap_fill(
         df.filter(F.col("g") == "ok"), ["g"], "t",
         step="interval 1 second", max_grid_rows_per_key=None,
