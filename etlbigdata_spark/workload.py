@@ -37,7 +37,27 @@ TABLES = [
 ]
 
 
+# Memoized base tables: a DataFrame here is only the LAZY scan node
+# (schema + file listing), the same thing a catalog view registration
+# holds — no data is cached. Re-resolving the parquet footer and
+# re-analyzing the scan per query construction measured ~0.1 s/query at
+# sf0.1 (~4 s across the 42-query headline); DuckDB's registered views
+# amortize exactly the same work. Keyed by applicationId so a session
+# restart (new JVM context) naturally invalidates.
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    df = _load_uncached(spark, sf_dir, name)
+    _TABLE_CACHE[key] = df
+    return df
+
+
+def _load_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark
         # refuses to scan (PARQUET_TYPE_ILLEGAL). nanosAsLong is a
