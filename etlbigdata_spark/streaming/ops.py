@@ -274,6 +274,23 @@ def streaming_dedup(df: DataFrame, keys: list[str], ts_col: str | None = None, w
     return df.dropDuplicates(keys)
 
 
+def streaming_dedup_within_watermark(
+    df: DataFrame, keys: list[str], ts_col: str, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming dedup on the BUSINESS key alone, state bounded by the
+    watermark (Spark 3.5+ ``dropDuplicatesWithinWatermark``).
+
+    Different contract from :func:`streaming_dedup`: that one must
+    include the event time in the key (so the same business key at two
+    timestamps is NOT a dup); this one treats any re-arrival of the key
+    within the watermark window as a duplicate — the at-least-once-
+    source shape (Kafka redelivery, retried producers) where the
+    duplicate carries a slightly different timestamp. State per key is
+    evicted once the watermark passes its first-seen event time, so
+    memory is bounded by key arrival rate × watermark horizon."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def stateful_running_agg(
     df: DataFrame, key_col: str, value_col: str, ts_col: str, watermark: str = "10 minutes"
 ):

@@ -154,6 +154,30 @@ def test_streaming_dedup(spark, stream_dir, tmp_path):
     assert ids == [1, 2, 3, 4, 5]  # duplicate event 5 collapsed
 
 
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """B22 — dropDuplicatesWithinWatermark: the at-least-once-source
+    shape where a redelivered event carries a DIFFERENT timestamp (so
+    keyed-on-ts dedup would keep both); dedup on the business key alone
+    with watermark-bounded state collapses it."""
+    d = tmp_path / "redeliver"
+    d.mkdir()
+    _write_batch(
+        d / "b0.parquet",
+        [
+            (1, _ts(10, 0), 1, 1.0),
+            (1, _ts(10, 1), 1, 1.0),   # redelivery, ts drifted 1 min
+            (2, _ts(10, 2), 2, 2.0),
+        ],
+    )
+    stream = ops.read_file_stream(spark, str(d), EVENT_SCHEMA)
+    deduped = ops.streaming_dedup_within_watermark(
+        stream, ["event_id"], "ts", watermark="1 hour"
+    )
+    _replay(ops.write_stream_memory(deduped, "wmdedup_golden", "append"), tmp_path, "wmdedup")
+    ids = sorted(r["event_id"] for r in spark.table("wmdedup_golden").collect())
+    assert ids == [1, 2]  # drifted-ts redelivery of event 1 collapsed
+
+
 def test_stateful_running_agg(spark, stream_dir, tmp_path):
     """B22 — applyInPandasWithState running sum/count across micro-batches."""
     stream = ops.read_file_stream(spark, stream_dir, EVENT_SCHEMA)
