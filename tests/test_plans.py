@@ -206,3 +206,15 @@ def test_round4_plan_shapes_pinned(spark, sf_dir):
     b33 = workload.QUERIES["b33_fuzzy_pairs"](spark, sf_dir)
     p = _final_plan(b33)
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_q21_single_lineitem_scan(spark, sf_dir):
+    """Round-5 rewrite pin: q21 reads lineitem exactly ONCE (the
+    per-order aggregate collects the failing set; no join-back scan)."""
+    df = workload.QUERIES["q21_sole_failing_supplier"](spark, sf_dir)
+    plan = _final_plan(df)
+    # AQE toString prints final + initial trees; count scan NODES in the
+    # final tree only (each prints as "Scan parquet " with its path)
+    final_tree = plan.split("+- == Initial Plan ==")[0]
+    n = len(re.findall(r"Scan parquet[^\n]*lineitem", final_tree))
+    assert n == 1, f"q21 has {n} lineitem scans (single-scan rewrite regressed)"
