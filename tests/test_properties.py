@@ -327,3 +327,49 @@ def test_xlsx_stdlib_parser_roundtrip(rows):
                 assert g == int(want)  # parser normalizes integral floats
             else:
                 assert g == want, (want, g)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),      # key
+            st.integers(min_value=0, max_value=50),     # ts
+            st.sampled_from(["a", "b", "c", None]),     # attr
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda e: (e[0], e[1]),  # one event per (key, ts)
+    )
+)
+@settings(**_SETTINGS)
+def test_scd2_intervals_partition_timeline(spark, events):
+    """SCD2 invariants over random change streams: per key the intervals
+    chain exactly (valid_to == next valid_from), exactly one open
+    current interval exists, and replaying any original event timestamp
+    against the history returns the attr of the latest change <= ts."""
+    from etlbigdata_spark.operators import cleaning
+
+    df = spark.createDataFrame(events, "k int, ts int, v string")
+    hist = cleaning.scd2_history(df, ["k"], "ts", ["v"]).collect()
+    by_key = {}
+    for r in hist:
+        by_key.setdefault(r.k, []).append(r)
+    keys = {e[0] for e in events}
+    assert set(by_key) == keys
+    for k, rows in by_key.items():
+        rows.sort(key=lambda r: r.valid_from)
+        # chaining + exactly one current (the last)
+        for cur, nxt in zip(rows, rows[1:]):
+            assert cur.valid_to == nxt.valid_from
+            assert not cur.is_current
+        assert rows[-1].is_current and rows[-1].valid_to is None
+        # first interval starts at the key's first event
+        k_events = sorted(e for e in events if e[0] == k)
+        assert rows[0].valid_from == k_events[0][1]
+        # point-in-time replay: value at each event ts = latest change <= ts
+        for _, ts, _ in k_events:
+            covering = [r for r in rows if r.valid_from <= ts and (r.valid_to is None or ts < r.valid_to)]
+            assert len(covering) == 1, (k, ts, rows)
+            # expected = attr of the LATEST event at/before ts
+            expected = sorted(((tt, v) for (kk, tt, v) in k_events if tt <= ts))[-1][1]
+            assert covering[0].v == expected, (k, ts)
