@@ -333,6 +333,84 @@ def stateful_running_agg(
     )
 
 
+def stateful_scd2(
+    df: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    watermark: str = "10 minutes",
+):
+    """Streaming SCD type-2 (B22 × the CDC lifecycle): per-key state
+    machine over ``applyInPandasWithState`` that mirrors the batch
+    :func:`~etlbigdata_spark.operators.cleaning.scd2_history` — each
+    attribute change closes the previous validity interval and opens a
+    new one; heartbeats (unchanged attr) collapse into the open
+    interval.
+
+    Emission contract (update mode): every batch re-emits each affected
+    interval keyed by (key, valid_from) — closed intervals with their
+    ``valid_to``, the open interval with ``valid_to = NULL`` /
+    ``is_current = true`` — so an update-mode sink (memory, foreachBatch
+    upsert on (key, valid_from)) converges to EXACTLY the batch
+    operator's output; the equivalence is replay-tested. State per key
+    is one (attr, valid_from) pair — constant size, no history retained.
+
+    In-batch events are processed in event-time order; ACROSS batches
+    the state machine assumes in-order arrival per key (late events
+    would need interval splitting — use the batch operator on corrected
+    data for that; same caveat as any streaming CDC consumer).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_type = df.schema[key_col].dataType
+    attr_type = df.schema[attr_col].dataType
+    ts_type = df.schema[ts_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("key", key_type),
+            T.StructField("attr", attr_type),
+            T.StructField("valid_from", ts_type),
+            T.StructField("valid_to", ts_type),
+            T.StructField("is_current", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("attr", attr_type), T.StructField("since", ts_type)]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        cur_attr, since = state.get if state.exists else (None, None)
+        have_state = state.exists
+        out = {"key": [], "attr": [], "valid_from": [], "valid_to": [], "is_current": []}
+        for pdf in pdfs:
+            for _, row in pdf.sort_values(ts_col).iterrows():
+                a, ts = row[attr_col], row[ts_col]
+                a = None if pd.isna(a) else a
+                if not have_state:
+                    cur_attr, since, have_state = a, ts, True
+                    continue
+                if (a is None) != (cur_attr is None) or (a is not None and a != cur_attr):
+                    # close the open interval, open a new one
+                    out["key"].append(key[0]); out["attr"].append(cur_attr)
+                    out["valid_from"].append(since); out["valid_to"].append(ts)
+                    out["is_current"].append(False)
+                    cur_attr, since = a, ts
+        state.update((cur_attr, since))
+        # (re-)emit the open interval so the sink's latest row is current
+        out["key"].append(key[0]); out["attr"].append(cur_attr)
+        out["valid_from"].append(since); out["valid_to"].append(None)
+        out["is_current"].append(True)
+        yield pd.DataFrame(out)
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col))
+        .applyInPandasWithState(update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout)
+    )
+
+
 def stateful_running_agg_tws(
     df: DataFrame, key_col: str, value_col: str, ts_col: str, watermark: str = "10 minutes"
 ):

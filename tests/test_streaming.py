@@ -475,3 +475,49 @@ def test_kafka_sink_wrapper_validates_and_builds(spark, sf_dir):
         stops.write_stream_kafka(no_value, "broker:9092", topic="t1")
     with _pytest.raises(ValueError, match="topic"):
         stops.write_stream_kafka(df, "broker:9092")
+
+
+def test_stateful_scd2_matches_batch_operator(spark, tmp_path):
+    """B22 x CDC — streaming SCD2 through the REAL engine must converge
+    to the batch operator's exact output: update-mode emissions upserted
+    by (key, valid_from) equal cleaning.scd2_history over the union of
+    all batches, including a cross-batch interval close."""
+    from etlbigdata_spark.operators import cleaning
+
+    d = tmp_path / "scd2_src"
+    d.mkdir()
+    b0 = [
+        (1, _ts(10, 0), 1, 1.0),
+        (2, _ts(10, 5), 1, 1.0),   # heartbeat: same value
+        (3, _ts(10, 9), 2, 7.0),
+    ]
+    b1 = [
+        (4, _ts(10, 10), 1, 2.0),  # change arriving in a LATER batch
+        (5, _ts(10, 20), 2, 7.0),  # cross-batch heartbeat
+        (6, _ts(10, 30), 2, 9.0),
+    ]
+    _write_batch(d / "b0.parquet", b0)
+    _write_batch(d / "b1.parquet", b1)
+    import os
+    import time
+
+    now = time.time()
+    os.utime(d / "b0.parquet", (now - 100,) * 2)
+    os.utime(d / "b1.parquet", (now - 50,) * 2)
+
+    stream = ops.read_file_stream(spark, str(d), EVENT_SCHEMA)
+    hist = ops.stateful_scd2(stream, "user_id", "value", "ts")
+    _replay(ops.write_stream_memory(hist, "scd2_golden", "update"), tmp_path, "scd2")
+    # update-mode memory sink appends; upsert by (key, valid_from)
+    streamed = {}
+    for r in spark.table("scd2_golden").collect():
+        streamed[(r.key, r.valid_from)] = (r.attr, r.valid_to, r.is_current)
+
+    batch_df = spark.createDataFrame(b0 + b1, EVENT_SCHEMA)
+    expected = {
+        (r.user_id, r.valid_from): (r.value, r.valid_to, r.is_current)
+        for r in cleaning.scd2_history(batch_df, ["user_id"], "ts", ["value"]).collect()
+    }
+    assert streamed == expected
+    # shape sanity: user 1 has two intervals, user 2 has two
+    assert len(expected) == 4
