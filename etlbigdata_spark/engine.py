@@ -180,6 +180,14 @@ class Engine:
 
         return quality.flag_outliers(df, column, by, **kw)
 
+    def scd2_history(self, df: DataFrame, keys: list[str], ts_col: str, attrs: list[str], **kw) -> DataFrame:
+        """CDC change stream → SCD type-2 validity intervals (see
+        operators.cleaning.scd2_history; streaming twin:
+        streaming/ops.stateful_scd2)."""
+        from .operators import cleaning
+
+        return cleaning.scd2_history(df, keys, ts_col, attrs, **kw)
+
     def pack_shards(self, df: DataFrame, **kw) -> DataFrame:
         """Token-budget training shards (md5 groups + bounded cumsum)."""
         return fcorpus.pack_shards(df, **kw)
