@@ -124,3 +124,61 @@ def test_catalog_drop(engine):
     assert "tmp_t" in engine.catalog
     engine.catalog.drop("tmp_t")
     assert "tmp_t" not in engine.catalog
+
+
+def test_reference_user_full_journey_round5(engine, tmp_path):
+    """End-to-end through the ROUND-5 surface, as a reference user would
+    migrate: xlsx upload (no openpyxl needed) → clean → cast → join →
+    enrich → SQL-UDF query → XML + parquet sinks → many-small-files
+    compaction → reload, values intact throughout."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_io import _make_xlsx
+
+    from etlbigdata_spark.sources import readers, writers
+
+    # 1. Extract: the reference's upload flow, but .xlsx via the stdlib path
+    raw = _make_xlsx([
+        ["trx", "prod", "qty", "region"],
+        ["T1", "P-001", 2, "Jakarta"],
+        ["T1", "P-001", 2, "Jakarta"],     # dup row
+        ["T2", "P-002", None, "Jkt"],      # missing qty, inconsistent region
+    ])
+    sales = readers.read_excel(engine.spark, raw)
+    prods = engine.spark.createDataFrame(
+        [("P-001", "Widget"), ("P-002", "Gadget")], "prod string, product_name string"
+    )
+
+    # 2. Transform: the reference's ops through the Engine surface
+    from pyspark.sql import functions as F
+
+    from etlbigdata_spark.operators import cleaning
+    cleaned = cleaning.deduplicate(sales)
+    cleaned = cleaning.fill_nulls(cleaned, numeric_fill=0)
+    cleaned = cleaning.replace_value(cleaned, "region", "Jkt", "Jakarta")
+    joined = cleaned.join(F.broadcast(prods), "prod")
+
+    # 3. SQL-UDF layer over the result
+    engine.register_sql_functions()
+    joined.createOrReplaceTempView("journey")
+    out = engine.sql(
+        "SELECT trx, product_name, qty, etl_fingerprint(region) AS region_fp FROM journey"
+    )
+    got = {(r.trx, r.product_name, r.qty) for r in out.collect()}
+    assert got == {("T1", "Widget", 2), ("T2", "Gadget", 0)}
+    assert out.select("region_fp").distinct().count() == 1  # both Jakarta
+
+    # 4. Load: XML roundtrip + fragmented parquet sink → compaction → reload
+    xml_path = str(tmp_path / "journey_xml")
+    writers.write_xml(out, xml_path, row_tag="sale")
+    back_xml = readers.read_xml(engine.spark, xml_path, row_tag="sale", schema=out.schema)
+    assert back_xml.count() == 2
+
+    pq_path = str(tmp_path / "journey_pq")
+    for _ in range(4):
+        out.coalesce(1).write.mode("append").parquet(pq_path)
+    stats = writers.compact_parquet(engine.spark, pq_path, target_file_bytes=1 << 20)
+    assert stats["files_before"] >= 4 and stats["files_after"] < stats["files_before"]
+    final = engine.spark.read.parquet(pq_path)
+    assert final.count() == 8  # 4 appends x 2 rows, all preserved
