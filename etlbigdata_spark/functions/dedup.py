@@ -655,6 +655,12 @@ def simhash_near_dups(
     counter_bits: "int | str" = "auto",
 ) -> DataFrame:
     """B23 — near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+    EAGER with ``counter_bits="auto"`` (the default): plan construction
+    runs a one-row probe job (narrow scan + max-agg ``collect()``) to
+    pick the counter packing, on EVERY call — pass ``counter_bits=16``
+    or ``32`` explicitly when composing lazy plans, calling behind
+    conditionals, or re-processing a corpus whose word-count bound is
+    known by contract.
 
     ``portable_hash=True`` swaps xxhash64 for the md5-derived
     :func:`_md5_hash64`, making the signature reproducible in any engine

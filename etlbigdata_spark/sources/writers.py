@@ -184,6 +184,12 @@ def compact_parquet(
     """Small-files compaction (the lifecycle op every streaming parquet
     sink eventually needs): rewrite a directory of many small parquet
     files into ``ceil(bytes / target_file_bytes)`` right-sized ones.
+    LOCAL-FILESYSTEM ONLY: the staging/swap protocol below needs
+    POSIX-atomic directory rename, which object stores don't have —
+    paths with a URI scheme (s3://, hdfs://, ...) raise
+    NotImplementedError rather than silently no-op (on those stores use
+    a table format's OPTIMIZE/rewrite, which is the same operation under
+    a real transaction log); a missing directory raises FileNotFoundError.
 
     Micro-batch sinks shed one file per partition per trigger; at
     100 TB that is millions of KB-sized files whose open/footer cost
@@ -213,7 +219,15 @@ def compact_parquet(
     import os
     import shutil
 
+    if "://" in path:
+        raise NotImplementedError(
+            f"compact_parquet is local-filesystem only (needs atomic directory "
+            f"rename); got a URI-scheme path {path!r} — use a table format's "
+            "rewrite/OPTIMIZE on object stores"
+        )
     root = path.rstrip("/")
+    if not os.path.isdir(root):
+        raise FileNotFoundError(f"compact_parquet: {path!r} is not a directory")
     backup = root + ".__precompact"
     if os.path.exists(backup):
         raise RuntimeError(

@@ -15,6 +15,14 @@ explicit schemas, and the usual DataFrame pushdown machinery above it.
 Per-file cost is driver-RAM-free but still whole-file (xlsx is a zip —
 not splittable); files beyond a few hundred MB belong in parquet, same
 guidance as the driver-side path.
+
+DEPLOYMENT GATE (documented, not hidden): the reader partitions import
+``etlbigdata_spark.sources.readers`` ON THE EXECUTORS, so on a real
+cluster the package must be shipped to workers (``--py-files
+etlbigdata_spark.zip`` / ``spark.submit.pyFiles`` / a cluster-wide pip
+install) — local mode shares the driver's sys.path and hides this.
+Same requirement as any Python data source or UDF that imports the
+package; mirrors the read_avro-style documented gates elsewhere.
 """
 
 from __future__ import annotations

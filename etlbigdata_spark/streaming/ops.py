@@ -107,8 +107,15 @@ def kafka_source_options(
         options["subscribePattern"] = subscribe_pattern
     if max_offsets_per_trigger is not None:
         options["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
-    options.update({k: str(v) for k, v in opts.items()})
+    options.update({k: _opt_str(v) for k, v in opts.items()})
     return options
+
+
+def _opt_str(v) -> str:
+    """Stringify a passthrough option the way pyspark's ``to_str`` does:
+    Python bools become lowercase 'true'/'false' (Scala's option readers
+    that string-compare — not toBoolean — would reject 'True')."""
+    return str(v).lower() if isinstance(v, bool) else str(v)
 
 
 def write_stream_kafka(
@@ -142,7 +149,7 @@ def kafka_sink_options(
     options: dict[str, str] = {"kafka.bootstrap.servers": bootstrap_servers}
     if topic is not None:
         options["topic"] = topic
-    options.update({k: str(v) for k, v in opts.items()})
+    options.update({k: _opt_str(v) for k, v in opts.items()})
     return options
 
 

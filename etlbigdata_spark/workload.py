@@ -47,8 +47,26 @@ TABLES = [
 _TABLE_CACHE: dict[tuple, DataFrame] = {}
 
 
+def invalidate_table_cache() -> None:
+    """Drop all memoized scans. The cache key already folds in the table
+    directory's mtime (a rewrite — compact_parquet, regenerating a scale
+    dir — changes it, so stale scans self-invalidate); this is the
+    explicit hammer for rewrites that preserve mtime or for bounding the
+    cache in a long-lived session."""
+    _TABLE_CACHE.clear()
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    import os
+
+    # mtime in the key: a directory rewrite (compaction, regeneration)
+    # bumps it, so later loads re-resolve the file listing instead of
+    # returning a scan over deleted files (ADVICE r5)
+    try:
+        mtime = os.path.getmtime(f"{sf_dir}/{name}.parquet")
+    except OSError:
+        mtime = None
+    key = (spark.sparkContext.applicationId, sf_dir, name, mtime)
     hit = _TABLE_CACHE.get(key)
     if hit is not None:
         return hit

@@ -629,6 +629,16 @@ def test_compact_parquet_guards(engine, tmp_path):
     os.rmdir(plain + ".__precompact")
     assert writers.compact_parquet(spark, plain)["files_after"] >= 1
 
+    # ADVICE r5: URI-scheme paths must fail loudly (the local glob/rename
+    # machinery would otherwise silently no-op on s3://...), and a missing
+    # directory is an error, not a success-shaped zero
+    with pytest.raises(NotImplementedError, match="local-filesystem only"):
+        writers.compact_parquet(spark, "s3://bucket/table")
+    with pytest.raises(NotImplementedError, match="local-filesystem only"):
+        writers.compact_parquet(spark, "hdfs://nn/warehouse/t")
+    with pytest.raises(FileNotFoundError):
+        writers.compact_parquet(spark, str(tmp_path / "does_not_exist"))
+
 
 def test_xlsx_shared_and_inline_strings_skip_phonetic_runs(engine):
     """Shared-string/rich-text cells must join only <t> and <r><t> runs,
@@ -690,3 +700,28 @@ def test_xlsx_datasource_all_null_column_and_bad_path(engine, tmp_path):
     assert {r.notes for r in df.collect()} == {None, "text survives"}
     with pytest.raises(Exception, match="no .xlsx files"):
         engine.spark.read.format("xlsx").schema("a string").load(str(tmp_path / "nope")).count()
+
+
+def test_table_cache_survives_directory_rewrite(engine, tmp_path):
+    """ADVICE r5: the workload table cache must not serve a scan over a
+    rewritten directory's deleted files — the mtime-in-key scheme makes a
+    compaction (or any rewrite that bumps mtime) self-invalidate."""
+    import os
+    import time
+
+    from etlbigdata_spark import workload
+
+    spark = engine.spark
+    sf = str(tmp_path)
+    dest = os.path.join(sf, "region.parquet")
+    for i in range(3):
+        spark.range(i * 2, i * 2 + 2).coalesce(1).write.mode("append").parquet(dest)
+    before = workload.load(spark, sf, "region")
+    assert before.count() == 6
+    time.sleep(1.1)  # coarse-mtime filesystems
+    writers.compact_parquet(spark, dest, target_file_bytes=1 << 30)
+    after = workload.load(spark, sf, "region")
+    assert after is not before  # fresh scan resolved, not the stale listing
+    assert after.count() == 6 and after.inputFiles() != before.inputFiles()
+    workload.invalidate_table_cache()
+    assert workload._TABLE_CACHE == {}

@@ -345,6 +345,14 @@ def test_kafka_option_map_golden(spark):
     assert ops.kafka_sink_options(["value", "topic"], "h:9092") == {
         "kafka.bootstrap.servers": "h:9092",
     }
+    # passthrough Python bools stringify lowercase like pyspark's to_str
+    # (ADVICE r5: str(True) -> 'True' would break string-compared options)
+    assert ops.kafka_source_options(
+        "h:9092", topics="a", includeHeaders=True
+    )["includeHeaders"] == "true"
+    assert ops.kafka_sink_options(
+        ["value"], "h:9092", topic="out", **{"kafka.enable.idempotence": False}
+    )["kafka.enable.idempotence"] == "false"
     with pytest.raises(ValueError, match="'value' column"):
         ops.kafka_sink_options(["key"], "h:9092", topic="out")
     with pytest.raises(ValueError, match="'topic' column"):
