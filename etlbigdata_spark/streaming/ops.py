@@ -343,16 +343,20 @@ def stateful_running_agg(
 def stateful_scd2(
     df: DataFrame,
     key_col: str,
-    attr_col: str,
+    attrs: "str | list[str]",
     ts_col: str,
     watermark: str = "10 minutes",
 ):
     """Streaming SCD type-2 (B22 × the CDC lifecycle): per-key state
     machine over ``applyInPandasWithState`` that mirrors the batch
-    :func:`~etlbigdata_spark.operators.cleaning.scd2_history` — each
-    attribute change closes the previous validity interval and opens a
-    new one; heartbeats (unchanged attr) collapse into the open
-    interval.
+    :func:`~etlbigdata_spark.operators.cleaning.scd2_history` — any
+    change in the tracked ``attrs`` (a column name or list of names,
+    same contract as the batch operator) closes the previous validity
+    interval and opens a new one; heartbeats (all attrs unchanged)
+    collapse into the open interval.  Output columns carry the ORIGINAL
+    key/attr names plus ``valid_from``/``valid_to``/``is_current`` —
+    byte-identical schema to the batch operator, so the two are
+    drop-in interchangeable behind a sink.
 
     Emission contract (update mode): every batch re-emits each affected
     interval keyed by (key, valid_from) — closed intervals with their
@@ -360,56 +364,77 @@ def stateful_scd2(
     ``is_current = true`` — so an update-mode sink (memory, foreachBatch
     upsert on (key, valid_from)) converges to EXACTLY the batch
     operator's output; the equivalence is replay-tested. State per key
-    is one (attr, valid_from) pair — constant size, no history retained.
+    is one (attrs..., valid_from) tuple — constant size, no history.
 
-    In-batch events are processed in event-time order; ACROSS batches
-    the state machine assumes in-order arrival per key (late events
-    would need interval splitting — use the batch operator on corrected
-    data for that; same caveat as any streaming CDC consumer).
+    Change-point detection is vectorized per Arrow batch (null-safe
+    ``ne``+``shift`` per attr, the pandas twin of the batch operator's
+    ``eqNullSafe(lag)``) — no per-row Python loop.  In-batch events are
+    processed in event-time order; ACROSS batches the state machine
+    assumes in-order arrival per key (late events would need interval
+    splitting — use the batch operator on corrected data for that; same
+    caveat as any streaming CDC consumer).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    attr_list = [attrs] if isinstance(attrs, str) else list(attrs)
     key_type = df.schema[key_col].dataType
-    attr_type = df.schema[attr_col].dataType
     ts_type = df.schema[ts_col].dataType
+    attr_types = [df.schema[a].dataType for a in attr_list]
     out_schema = T.StructType(
-        [
-            T.StructField("key", key_type),
-            T.StructField("attr", attr_type),
+        [T.StructField(key_col, key_type)]
+        + [T.StructField(a, t) for a, t in zip(attr_list, attr_types)]
+        + [
             T.StructField("valid_from", ts_type),
             T.StructField("valid_to", ts_type),
             T.StructField("is_current", T.BooleanType()),
         ]
     )
     state_schema = T.StructType(
-        [T.StructField("attr", attr_type), T.StructField("since", ts_type)]
+        [T.StructField(f"a{i}", t) for i, t in enumerate(attr_types)]
+        + [T.StructField("since", ts_type)]
     )
 
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
-        cur_attr, since = state.get if state.exists else (None, None)
-        have_state = state.exists
-        out = {"key": [], "attr": [], "valid_from": [], "valid_to": [], "is_current": []}
-        for pdf in pdfs:
-            for _, row in pdf.sort_values(ts_col).iterrows():
-                a, ts = row[attr_col], row[ts_col]
-                a = None if pd.isna(a) else a
-                if not have_state:
-                    cur_attr, since, have_state = a, ts, True
-                    continue
-                if (a is None) != (cur_attr is None) or (a is not None and a != cur_attr):
-                    # close the open interval, open a new one
-                    out["key"].append(key[0]); out["attr"].append(cur_attr)
-                    out["valid_from"].append(since); out["valid_to"].append(ts)
-                    out["is_current"].append(False)
-                    cur_attr, since = a, ts
-        state.update((cur_attr, since))
-        # (re-)emit the open interval so the sink's latest row is current
-        out["key"].append(key[0]); out["attr"].append(cur_attr)
-        out["valid_from"].append(since); out["valid_to"].append(None)
-        out["is_current"].append(True)
-        yield pd.DataFrame(out)
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:  # defensive: no data for this key in the batch
+            return
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        pdf = pdf.sort_values(ts_col, kind="mergesort", ignore_index=True)[
+            [ts_col, *attr_list]
+        ]
+        if state.exists:
+            # the carried open interval becomes row 0: its attrs anchor
+            # the first change-point comparison and its `since` is the
+            # open interval's valid_from
+            st = state.get
+            carried = pd.DataFrame(
+                {ts_col: [st[-1]], **{a: [st[i]] for i, a in enumerate(attr_list)}}
+            )
+            pdf = pd.concat([carried, pdf], ignore_index=True)
+        # vectorized change points: row i starts a new interval iff any
+        # attr differs null-safely from row i-1 (NaN→NaN is "unchanged",
+        # matching the batch operator's eqNullSafe)
+        changed = pd.Series(False, index=pdf.index)
+        for a in attr_list:
+            s, prev = pdf[a], pdf[a].shift()
+            changed |= s.ne(prev) & ~(s.isna() & prev.isna())
+        changed.iloc[0] = True  # carried state / first event opens an interval
+        segs = pdf[changed].reset_index(drop=True)
+        n = len(segs)
+        out = pd.DataFrame({key_col: pd.Series([key[0]] * n)})
+        for a in attr_list:
+            out[a] = segs[a]
+        out["valid_from"] = segs[ts_col]
+        out["valid_to"] = segs[ts_col].shift(-1)  # last (open) interval → NaT/None
+        out["is_current"] = [False] * (n - 1) + [True]
+        last = segs.iloc[-1]
+        state.update(
+            tuple(None if pd.isna(last[a]) else last[a] for a in attr_list)
+            + (last[ts_col],)
+        )
+        yield out
 
     return (
         df.withWatermark(ts_col, watermark)

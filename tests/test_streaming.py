@@ -515,11 +515,13 @@ def test_stateful_scd2_matches_batch_operator(spark, tmp_path):
 
     stream = ops.read_file_stream(spark, str(d), EVENT_SCHEMA)
     hist = ops.stateful_scd2(stream, "user_id", "value", "ts")
+    # output schema now mirrors the batch operator byte-for-byte
+    assert hist.columns == ["user_id", "value", "valid_from", "valid_to", "is_current"]
     _replay(ops.write_stream_memory(hist, "scd2_golden", "update"), tmp_path, "scd2")
     # update-mode memory sink appends; upsert by (key, valid_from)
     streamed = {}
     for r in spark.table("scd2_golden").collect():
-        streamed[(r.key, r.valid_from)] = (r.attr, r.valid_to, r.is_current)
+        streamed[(r.user_id, r.valid_from)] = (r.value, r.valid_to, r.is_current)
 
     batch_df = spark.createDataFrame(b0 + b1, EVENT_SCHEMA)
     expected = {
@@ -529,3 +531,69 @@ def test_stateful_scd2_matches_batch_operator(spark, tmp_path):
     assert streamed == expected
     # shape sanity: user 1 has two intervals, user 2 has two
     assert len(expected) == 4
+
+
+def test_stateful_scd2_multi_attr_matches_batch(spark, tmp_path):
+    """Round-6 brief item 2 — multi-attribute SCD2 parity: a change in
+    ANY tracked attr (including null transitions and a string+double
+    pair changing independently) must open a new interval, across
+    batches, exactly like the batch operator over the unioned data."""
+    from etlbigdata_spark.operators import cleaning
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("tier", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    arrow = pa.schema(
+        [("ts", pa.timestamp("us")), ("user_id", pa.int64()),
+         ("tier", pa.string()), ("score", pa.float64())]
+    )
+
+    def write(path, rows):
+        pdf = pd.DataFrame(rows, columns=["ts", "user_id", "tier", "score"])
+        pq.write_table(pa.Table.from_pandas(pdf, schema=arrow), path)
+
+    d = tmp_path / "scd2m_src"
+    d.mkdir()
+    b0 = [
+        (_ts(9, 0), 1, "gold", 1.0),
+        (_ts(9, 10), 1, "gold", 1.0),    # heartbeat: both unchanged
+        (_ts(9, 20), 1, "gold", 2.0),    # score-only change
+        (_ts(9, 0), 2, None, 5.0),       # null attr opens an interval
+    ]
+    b1 = [
+        (_ts(9, 30), 1, "silver", 2.0),  # tier-only change, later batch
+        (_ts(9, 40), 1, "silver", 2.0),  # cross-batch heartbeat
+        (_ts(9, 30), 2, None, 5.0),      # null→null heartbeat (unchanged)
+        (_ts(9, 50), 2, "bronze", None), # null→value AND value→null at once
+    ]
+    write(d / "b0.parquet", b0)
+    write(d / "b1.parquet", b1)
+    import os
+    import time
+
+    now = time.time()
+    os.utime(d / "b0.parquet", (now - 100,) * 2)
+    os.utime(d / "b1.parquet", (now - 50,) * 2)
+
+    stream = ops.read_file_stream(spark, str(d), schema)
+    hist = ops.stateful_scd2(stream, "user_id", ["tier", "score"], "ts")
+    _replay(ops.write_stream_memory(hist, "scd2m_golden", "update"), tmp_path, "scd2m")
+    streamed = {}
+    for r in spark.table("scd2m_golden").collect():
+        streamed[(r.user_id, r.valid_from)] = (r.tier, r.score, r.valid_to, r.is_current)
+
+    batch_df = spark.createDataFrame(b0 + b1, schema)
+    expected = {
+        (r.user_id, r.valid_from): (r.tier, r.score, r.valid_to, r.is_current)
+        for r in cleaning.scd2_history(
+            batch_df, ["user_id"], "ts", ["tier", "score"]
+        ).collect()
+    }
+    assert streamed == expected
+    # user 1: gold/1.0 → gold/2.0 → silver/2.0; user 2: null/5.0 → bronze/null
+    assert len(expected) == 5
