@@ -442,6 +442,164 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     assert second == {(1, 2, 5.0), (2, 1, 2.0)}
 
 
+def test_file_sink_crash_replay_exactly_once(spark, tmp_path):
+    """Round-6 brief item 1 — exactly-once across a CRASH, not just a
+    graceful restart: complete a multi-batch file-sink run, then delete
+    the checkpoint's newest ``commits/<k>`` marker (simulating a death
+    BETWEEN the sink committing batch k and the checkpoint recording
+    it — the classic torn-failure window), restart from the same
+    checkpoint, and require the manifest-visible output to equal the
+    uninterrupted golden run bit-for-bit: the sink's _spark_metadata log
+    makes the re-run of batch k idempotent.  Also proves readers honor
+    the manifest: an orphan parquet file dropped into the sink dir stays
+    invisible."""
+    import os
+    import shutil
+
+    d = tmp_path / "crash_src"
+    d.mkdir()
+    rows = [
+        [(1, _ts(10, 0), 1, 1.0), (2, _ts(10, 1), 2, 2.0)],
+        [(3, _ts(10, 2), 1, 3.0)],
+        [(4, _ts(10, 3), 3, 4.0), (5, _ts(10, 4), 1, 5.0)],
+        [(6, _ts(10, 5), 2, 6.0)],
+    ]
+    import time
+
+    now = time.time()
+    for i, batch in enumerate(rows):
+        _write_batch(d / f"f{i}.parquet", batch)
+        os.utime(d / f"f{i}.parquet", (now - 100 + i,) * 2)
+
+    def run(sink, ckpt):
+        stream = ops.read_file_stream(spark, str(d), EVENT_SCHEMA, max_files_per_trigger=1)
+        out = stream.select("event_id", "user_id", "value")
+        ops.run_available_now(ops.write_stream_files(out, sink), ckpt)
+
+    # golden: one uninterrupted run
+    golden_sink = str(tmp_path / "golden_sink")
+    run(golden_sink, str(tmp_path / "golden_ckpt"))
+    golden = sorted(tuple(r) for r in spark.read.parquet(golden_sink).collect())
+    assert len(golden) == 6
+
+    # crash run: complete, then tear out the newest commit marker
+    sink = str(tmp_path / "crash_sink")
+    ckpt = str(tmp_path / "crash_ckpt")
+    run(sink, ckpt)
+    commits = sorted(os.listdir(os.path.join(ckpt, "commits")))
+    newest = [c for c in commits if not c.startswith(".")][-1]
+    assert newest == "3"  # 4 files × maxFilesPerTrigger=1 → batches 0..3
+    os.remove(os.path.join(ckpt, "commits", newest))
+    crc = os.path.join(ckpt, "commits", f".{newest}.crc")
+    if os.path.exists(crc):  # local ChecksumFs leaves a sidecar
+        os.remove(crc)
+    # restart: Spark re-executes batch 3 from offsets/3; the sink must
+    # recognize batch 3 in its _spark_metadata and skip the double-write
+    run(sink, ckpt)
+    got = sorted(tuple(r) for r in spark.read.parquet(sink).collect())
+    assert got == golden
+
+    # manifest-based listing: an orphan file (e.g. from a task that died
+    # mid-write on a real cluster) is invisible to readers
+    orphan_src = spark.read.parquet(sink).inputFiles()[0].replace("file:", "")
+    shutil.copy(orphan_src, os.path.join(sink, "part-99999-orphan.parquet"))
+    assert sorted(tuple(r) for r in spark.read.parquet(sink).collect()) == golden
+
+
+def test_stateful_scd2_state_recovery_across_restart(spark, tmp_path):
+    """Round-6 brief item 1b — stateful_scd2's per-key state must
+    survive a stop/restart through the checkpoint: run batches b0,b1 to
+    completion, restart from the same checkpoint on a NEW file b2, and
+    require the merged update-mode upserts (run 1 then run 2, by
+    (key, valid_from)) to equal the batch operator over ALL data.  The
+    cross-restart interval close is the proof: run 2 emits a closed
+    interval whose valid_from only the recovered state could know."""
+    from etlbigdata_spark.operators import cleaning
+
+    d = tmp_path / "scd2r_src"
+    d.mkdir()
+    b0 = [(1, _ts(9, 0), 1, 1.0), (2, _ts(9, 0), 2, 5.0)]
+    b1 = [(3, _ts(9, 30), 1, 1.0)]          # heartbeat extends the open interval
+    b2 = [(4, _ts(10, 0), 1, 2.0),          # closes the interval opened in run 1
+          (5, _ts(10, 0), 2, 5.0)]          # heartbeat across the restart
+    import os
+    import time
+
+    now = time.time()
+    for i, batch in enumerate([b0, b1]):
+        _write_batch(d / f"b{i}.parquet", batch)
+        os.utime(d / f"b{i}.parquet", (now - 100 + i,) * 2)
+
+    ckpt = str(tmp_path / "scd2r_ckpt")
+
+    def drain():
+        # memory sink refuses checkpoint recovery in update mode;
+        # foreachBatch is the production upsert shape anyway
+        rows = []
+        stream = ops.read_file_stream(spark, str(d), EVENT_SCHEMA)
+        hist = ops.stateful_scd2(stream, "user_id", "value", "ts")
+        w = ops.write_stream_foreach_batch(
+            hist, lambda bdf, _epoch: rows.extend(bdf.collect()), "update"
+        )
+        ops.run_available_now(w, ckpt)
+        return rows
+
+    upserts = {}
+    for r in drain():
+        upserts[(r.user_id, r.valid_from)] = (r.value, r.valid_to, r.is_current)
+    run1_keys = set(upserts)
+
+    _write_batch(d / "b2.parquet", b2)
+    os.utime(d / "b2.parquet", (now,) * 2)
+    for r in drain():  # restart: state store recovered from ckpt
+        upserts[(r.user_id, r.valid_from)] = (r.value, r.valid_to, r.is_current)
+
+    batch_df = spark.createDataFrame(b0 + b1 + b2, EVENT_SCHEMA)
+    expected = {
+        (r.user_id, r.valid_from): (r.value, r.valid_to, r.is_current)
+        for r in cleaning.scd2_history(batch_df, ["user_id"], "ts", ["value"]).collect()
+    }
+    assert upserts == expected
+    # the closed (1, 9:00) interval was UPDATED by run 2 — valid_from
+    # 9:00 is knowable there only via the recovered state
+    assert (1, _ts(9, 0)) in run1_keys
+    assert upserts[(1, _ts(9, 0))] == (1.0, _ts(10, 0), False)
+
+
+def test_max_files_per_trigger_batching_invariance(spark, tmp_path):
+    """Round-6 brief item 7 — backpressure: maxFilesPerTrigger bounds
+    each micro-batch (k files → ceil(n/k) batches, counted from the
+    checkpoint's commit log) without changing the final file-sink
+    output.  Trigger sizing guidance lives in read_file_stream's
+    docstring; this pins the semantics."""
+    import os
+    import time
+
+    d = tmp_path / "bp_src"
+    d.mkdir()
+    now = time.time()
+    for i in range(4):
+        _write_batch(d / f"f{i}.parquet", [(i, _ts(10, i), i % 2, float(i))])
+        os.utime(d / f"f{i}.parquet", (now - 100 + i,) * 2)
+
+    def run(k, tag):
+        stream = ops.read_file_stream(spark, str(d), EVENT_SCHEMA, max_files_per_trigger=k)
+        sink = str(tmp_path / f"bp_sink_{tag}")
+        ckpt = str(tmp_path / f"bp_ckpt_{tag}")
+        ops.run_available_now(ops.write_stream_files(stream, sink), ckpt)
+        n_batches = len(
+            [c for c in os.listdir(os.path.join(ckpt, "commits")) if not c.startswith(".")]
+        )
+        out = sorted(tuple(r) for r in spark.read.parquet(sink).collect())
+        return n_batches, out
+
+    n1, out1 = run(1, "k1")
+    n2, out2 = run(2, "k2")
+    n4, out4 = run(4, "k4")
+    assert (n1, n2, n4) == (4, 2, 1)
+    assert out1 == out2 == out4 and len(out1) == 4
+
+
 def test_file_sink_roundtrip_real_engine(spark, sf_dir, tmp_path):
     """B19 sink surface through the REAL engine: readStream → filter →
     parquet file sink (availableNow) → read back equals the batch
