@@ -375,6 +375,24 @@ def test_kafka_option_map_golden(spark):
         ("partition", "int"), ("offset", "bigint"), ("timestamp", "timestamp"),
     ]
 
+    # round-6 brief item 5: pin the deserializers' ANALYZED PLAN text
+    # (expression ids vary; the operator/expression shapes must not) —
+    # a Spark upgrade changing from_json/cast resolution fails here, not
+    # silently at a broker.  Normalize #N ids so the golden is stable.
+    import re
+
+    def plan(df):
+        return re.sub(r"#\d+L?", "#", df._jdf.queryExecution().analyzed().toString()).strip()
+
+    jp = plan(j)
+    assert "from_json(StructField(user_id,LongType,true), StructField(value,DoubleType,true), cast(value# as string)" in jp
+    assert jp.startswith("Project [j#.user_id AS user_id#, j#.value AS value#, topic#, partition#, offset#, timestamp#]")
+    sp = plan(s)
+    assert sp.startswith(
+        "Project [cast(key# as string) AS key#, cast(value# as string) AS value#, "
+        "topic#, partition#, offset#, timestamp#]"
+    )
+
 
 def test_transform_with_state_gated(spark, tmp_path):
     """B22 — transformWithStateInPandas equivalence vs the batch GROUP BY
