@@ -3948,12 +3948,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Part A
     "a01_csv_scan": a01_csv_scan,
     "a06_union_all": a06_union_all,
-    "a07_fill_nulls": a07_fill_nulls,
     "a08_dedup": a08_dedup,
-    "a10_replace": a10_replace,
-    "a11_filter_contains": a11_filter_contains,
-    "a15_cast": a15_cast,
     "a16_join": a16_join,
+    # round-6 window rotation (VERDICT r5 item 4): a07_fill_nulls,
+    # a10_replace, a11_filter_contains, a15_cast rotate out after 5
+    # driver-green rounds (still oracle-checked by tests/test_oracle.py
+    # past the window); their slots promote four never-windowed rows —
+    # evt08 (batch SCD2), st09 (stream-incremental dedup through the
+    # REAL engine, the 100 TB production dedup shape), t13 (Gopher
+    # repetition filters), b31 (MERGE upsert).
+    "evt08_scd2": evt08_scd2,
+    "st09_stream_incremental_dedup": st09_stream_incremental_dedup,
+    "t13_repetition": t13_repetition,
+    "b31_merge_upsert": b31_merge_upsert,
     # round-5 window rotation (VERDICT r4 item 6): a09_count (A9),
     # a12_transpose (A12), a13_split_merge (A13/A14) were driver-green
     # for three straight rounds and stay oracle-checked by
@@ -4032,8 +4039,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st04_sliding": st04_sliding,
     "st07_stream_join": st07_stream_join,
     "st08_stream_dedup": st08_stream_dedup,
-    "st09_stream_incremental_dedup": st09_stream_incremental_dedup,
     "st10_stream_dq_monitor": st10_stream_dq_monitor,
+    # round-6: a07/a10/a11/a15 rotated out after five driver-green
+    # rounds; still oracle-checked here
+    "a07_fill_nulls": a07_fill_nulls,
+    "a10_replace": a10_replace,
+    "a11_filter_contains": a11_filter_contains,
+    "a15_cast": a15_cast,
     "b16_unpivot": b16_unpivot,
     "b17_sample": b17_sample,
     "b18t_chunk_udtf": b18t_chunk_udtf,

@@ -99,11 +99,19 @@ def test_driver_window_covers_expected_components():
         "q05_region_revenue",
         "q21_sole_failing_supplier",
         "d07_incremental_dedup",
+        # round-6 rotation: never-windowed components now spend slots
+        "evt08_scd2",
+        "st09_stream_incremental_dedup",
+        "t13_repetition",
+        "b31_merge_upsert",
     ):
         assert required in DRIVER_WINDOW
-    # round-5: a09/a12/a13 rotated out after three driver-green rounds;
-    # they stay oracle-checked past the window
-    for rotated_out in ("a09_count", "a12_transpose", "a13_split_merge"):
+    # rotations: rows demoted after multiple driver-green rounds stay
+    # oracle-checked past the window (r5: a09/a12/a13; r6: a07/a10/a11/a15)
+    for rotated_out in (
+        "a09_count", "a12_transpose", "a13_split_merge",
+        "a07_fill_nulls", "a10_replace", "a11_filter_contains", "a15_cast",
+    ):
         assert rotated_out not in DRIVER_WINDOW
         assert rotated_out in workload.QUERIES and rotated_out in workload.ORACLE_SQL
     # round-4: every window row is oracle-bearing (b17's RNG query was
