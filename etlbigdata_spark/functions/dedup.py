@@ -653,6 +653,7 @@ def simhash_near_dups(
     n_blocks: int = 6,
     band_bits: int = 16,
     counter_bits: "int | str" = "auto",
+    candidate_join: str = "sort_merge",
 ) -> DataFrame:
     """B23 — near-dup pairs by SimHash Hamming distance ≤ max_hamming.
     EAGER with ``counter_bits="auto"`` (the default): plan construction
@@ -688,6 +689,17 @@ def simhash_near_dups(
     width band_bits; recall guaranteed for max_hamming < 64/band_bits) —
     the right trade below ~10⁴ docs where its 4× smaller fan-out beats
     junk-pair cost.
+
+    ``candidate_join="shuffle_hash"`` hints the banded self-join like
+    d02's shingle join.  Measured at sf1 (round 6, alternating A/B in
+    BOTH orders): the difference is inside warm-up drift (±0.7 s) —
+    unlike d02 there are no multi-million-row sorts to eliminate (the
+    banded table is 20n rows, not hundreds of shingles per doc), so
+    sort-merge stays the default and keeps the spill-safe path.  A
+    reduced-table variant (n_blocks=5 → 10 tables) was also measured:
+    ~6%% local win that INVERTS at corpus scale because key width drops
+    32→25.6 bits and junk collisions scale n²·tables/2^width — the
+    block-count default optimizes the 100 TB point, not sf1.
 
     Features are word ``shingle_n``-gram shingles, not unigram tokens: on
     a shared-vocabulary corpus unigram signatures cluster (every doc uses
@@ -749,7 +761,8 @@ def simhash_near_dups(
     banded = sig.select("id", "sig", F.explode(F.array(*tables)).alias("bv")).select(
         "id", "sig", F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    a = banded.alias("a")
+    b = (banded.hint("shuffle_hash") if candidate_join == "shuffle_hash" else banded).alias("b")
     return (
         a.join(
             b,
