@@ -299,11 +299,18 @@ def streaming_dedup_within_watermark(
 
 
 def stateful_running_agg(
-    df: DataFrame, key_col: str, value_col: str, ts_col: str, watermark: str = "10 minutes"
+    df: DataFrame, key_col: str, value_col: str, ts_col: str,
+    watermark: str = "10 minutes", idle_timeout: str | None = None,
 ):
     """Custom per-key state via applyInPandasWithState: running sum + count
     per key across micro-batches (the B22 extension hook; replace the body
-    for arbitrary state machines)."""
+    for arbitrary state machines).
+
+    ``idle_timeout`` (e.g. ``"1 hour"``) evicts state for keys idle past
+    the watermark + timeout — bounds the state store by ACTIVE key count
+    instead of lifetime key count; an evicted key that reappears restarts
+    its totals from zero (the documented trade; leave ``None`` for exact
+    unbounded-state semantics)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = T.StructType(
@@ -316,13 +323,18 @@ def stateful_running_agg(
     state_schema = T.StructType(
         [T.StructField("s", T.DoubleType()), T.StructField("c", T.LongType())]
     )
+    timeout_ms = _timeout_ms(idle_timeout) if idle_timeout else None
 
     def update(key, pdfs, state: GroupState):
         import math
 
         import pandas as pd
 
+        if timeout_ms is not None and state.hasTimedOut:
+            state.remove()  # idle key: evict; totals already emitted
+            return
         s, c = state.get if state.exists else (0.0, 0)
+        last_ms = -1
         for pdf in pdfs:
             # fsum: exactly-rounded double sum — order-independent within
             # a chunk, so the per-key result is reproducible across
@@ -330,22 +342,42 @@ def stateful_running_agg(
             # partition order and can diverge from a SQL oracle)
             s = math.fsum([s, *pdf[value_col].astype(float).tolist()])
             c += int(len(pdf))
+            if timeout_ms is not None and len(pdf):
+                last_ms = max(last_ms, int(pd.Timestamp(pdf[ts_col].max()).value // 10**6))
         state.update((s, c))
+        if timeout_ms is not None and last_ms >= 0:
+            # anchor to the key's last EVENT time ("idle" is an event-time
+            # notion); clamp above the watermark, which Spark requires
+            state.setTimeoutTimestamp(
+                max(last_ms + timeout_ms, state.getCurrentWatermarkMs() + 1)
+            )
         yield pd.DataFrame({"key": [key[0]], "running_sum": [s], "running_count": [c]})
 
+    timeout_mode = (
+        GroupStateTimeout.EventTimeTimeout if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         df.withWatermark(ts_col, watermark)
         .groupBy(F.col(key_col))
-        .applyInPandasWithState(update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout)
+        .applyInPandasWithState(update, out_schema, state_schema, "update", timeout_mode)
     )
+
+
+def _timeout_ms(duration: str) -> int:
+    """'30 minutes' → milliseconds (pandas duration grammar)."""
+    import pandas as pd
+
+    return int(pd.Timedelta(duration).total_seconds() * 1000)
 
 
 def stateful_scd2(
     df: DataFrame,
-    key_col: str,
+    key_col: "str | list[str]",
     attrs: "str | list[str]",
     ts_col: str,
     watermark: str = "10 minutes",
+    idle_timeout: str | None = None,
 ):
     """Streaming SCD type-2 (B22 × the CDC lifecycle): per-key state
     machine over ``applyInPandasWithState`` that mirrors the batch
@@ -373,15 +405,25 @@ def stateful_scd2(
     assumes in-order arrival per key (late events would need interval
     splitting — use the batch operator on corrected data for that; same
     caveat as any streaming CDC consumer).
+
+    ``idle_timeout`` bounds state for RETIRED keys — the property that
+    keeps a years-running CDC stream's state store finite when entities
+    are deleted upstream: a key with no event for (watermark advance >
+    last event + idle_timeout) has its state evicted via event-time
+    timeout.  Its last-emitted interval stays current in the sink
+    (nothing to retract); if the key DOES reappear after eviction, a
+    fresh interval opens without closing the old one — set the timeout
+    above the longest legitimate quiet period, or leave ``None``
+    (default) for exact unbounded-state semantics.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    key_list = [key_col] if isinstance(key_col, str) else list(key_col)
     attr_list = [attrs] if isinstance(attrs, str) else list(attrs)
-    key_type = df.schema[key_col].dataType
     ts_type = df.schema[ts_col].dataType
     attr_types = [df.schema[a].dataType for a in attr_list]
     out_schema = T.StructType(
-        [T.StructField(key_col, key_type)]
+        [T.StructField(k, df.schema[k].dataType) for k in key_list]
         + [T.StructField(a, t) for a, t in zip(attr_list, attr_types)]
         + [
             T.StructField("valid_from", ts_type),
@@ -393,10 +435,14 @@ def stateful_scd2(
         [T.StructField(f"a{i}", t) for i, t in enumerate(attr_types)]
         + [T.StructField("since", ts_type)]
     )
+    timeout_ms = _timeout_ms(idle_timeout) if idle_timeout else None
 
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
+        if timeout_ms is not None and state.hasTimedOut:
+            state.remove()  # retired key: evict, nothing to retract
+            return
         chunks = [p for p in pdfs if len(p)]
         if not chunks:  # defensive: no data for this key in the batch
             return
@@ -423,7 +469,7 @@ def stateful_scd2(
         changed.iloc[0] = True  # carried state / first event opens an interval
         segs = pdf[changed].reset_index(drop=True)
         n = len(segs)
-        out = pd.DataFrame({key_col: pd.Series([key[0]] * n)})
+        out = pd.DataFrame({k: pd.Series([key[i]] * n) for i, k in enumerate(key_list)})
         for a in attr_list:
             out[a] = segs[a]
         out["valid_from"] = segs[ts_col]
@@ -434,12 +480,23 @@ def stateful_scd2(
             tuple(None if pd.isna(last[a]) else last[a] for a in attr_list)
             + (last[ts_col],)
         )
+        if timeout_ms is not None:
+            # anchor to the key's last EVENT time ("idle" is an event-time
+            # notion); clamp above the watermark, which Spark requires
+            last_ms = int(pd.Timestamp(pdf[ts_col].max()).value // 10**6)
+            state.setTimeoutTimestamp(
+                max(last_ms + timeout_ms, state.getCurrentWatermarkMs() + 1)
+            )
         yield out
 
+    timeout_mode = (
+        GroupStateTimeout.EventTimeTimeout if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         df.withWatermark(ts_col, watermark)
-        .groupBy(F.col(key_col))
-        .applyInPandasWithState(update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout)
+        .groupBy(*[F.col(k) for k in key_list])
+        .applyInPandasWithState(update, out_schema, state_schema, "update", timeout_mode)
     )
 
 

@@ -584,6 +584,108 @@ def test_stateful_scd2_state_recovery_across_restart(spark, tmp_path):
     assert upserts[(1, _ts(9, 0))] == (1.0, _ts(10, 0), False)
 
 
+def test_stateful_scd2_composite_key(spark, tmp_path):
+    """Multi-KEY parity with the batch operator: keys=[acct, region]
+    must track intervals per composite key, matching
+    cleaning.scd2_history(keys=[...]) over the same data."""
+    from etlbigdata_spark.operators import cleaning
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("acct", T.LongType()),
+            T.StructField("region", T.StringType()),
+            T.StructField("plan", T.StringType()),
+        ]
+    )
+    arrow = pa.schema(
+        [("ts", pa.timestamp("us")), ("acct", pa.int64()),
+         ("region", pa.string()), ("plan", pa.string())]
+    )
+    rows = [
+        (_ts(9, 0), 1, "eu", "free"),
+        (_ts(9, 10), 1, "eu", "pro"),    # change for (1, eu)
+        (_ts(9, 0), 1, "us", "free"),    # same acct, different region = own key
+        (_ts(9, 20), 1, "us", "free"),   # heartbeat for (1, us)
+        (_ts(9, 0), 2, "eu", "pro"),
+    ]
+    d = tmp_path / "scd2k_src"
+    d.mkdir()
+    pdf = pd.DataFrame(rows, columns=["ts", "acct", "region", "plan"])
+    pq.write_table(pa.Table.from_pandas(pdf, schema=arrow), d / "b0.parquet")
+
+    stream = ops.read_file_stream(spark, str(d), schema)
+    hist = ops.stateful_scd2(stream, ["acct", "region"], "plan", "ts")
+    assert hist.columns == ["acct", "region", "plan", "valid_from", "valid_to", "is_current"]
+    _replay(ops.write_stream_memory(hist, "scd2k_golden", "update"), tmp_path, "scd2k")
+    streamed = {
+        (r.acct, r.region, r.valid_from): (r.plan, r.valid_to, r.is_current)
+        for r in spark.table("scd2k_golden").collect()
+    }
+    batch_df = spark.createDataFrame(rows, schema)
+    expected = {
+        (r.acct, r.region, r.valid_from): (r.plan, r.valid_to, r.is_current)
+        for r in cleaning.scd2_history(
+            batch_df, ["acct", "region"], "ts", ["plan"]
+        ).collect()
+    }
+    assert streamed == expected and len(expected) == 4
+
+
+def test_stateful_idle_timeout_evicts_retired_keys(spark, tmp_path):
+    """State-bound property for long-running streams: a key idle past
+    (last event + idle_timeout) in event time is evicted once the
+    watermark passes; a later re-arrival opens a FRESH interval (scd2)
+    or restarts totals (running agg) — proving the state actually left
+    the store, which is what keeps a years-running stream's state
+    proportional to ACTIVE keys."""
+    d = tmp_path / "idle_src"
+    d.mkdir()
+    batches = [
+        [(1, _ts(9, 0), 1, 1.0)],                         # key 1 opens
+        [(2, _ts(11, 0), 2, 2.0)],                        # watermark → 10:50
+        [(3, _ts(11, 30), 2, 2.0)],                       # timeout fires for key 1
+        [(4, _ts(12, 0), 1, 1.0)],                        # key 1 reappears, SAME value
+    ]
+    import os
+    import time
+
+    now = time.time()
+    for i, b in enumerate(batches):
+        _write_batch(d / f"f{i}.parquet", b)
+        os.utime(d / f"f{i}.parquet", (now - 100 + i,) * 2)
+
+    # scd2: without eviction the 12:00 re-arrival is a heartbeat of the
+    # 9:00 interval; with eviction it must open a NEW current interval
+    stream = ops.read_file_stream(spark, str(d), EVENT_SCHEMA)
+    hist = ops.stateful_scd2(stream, "user_id", "value", "ts", idle_timeout="30 minutes")
+    rows = []
+    ops.run_available_now(
+        ops.write_stream_foreach_batch(
+            hist, lambda bdf, _e: rows.extend(bdf.collect()), "update"
+        ),
+        str(tmp_path / "idle_ckpt"),
+    )
+    upserts = {}
+    for r in rows:
+        upserts[(r.user_id, r.valid_from)] = (r.value, r.valid_to, r.is_current)
+    assert upserts[(1, _ts(9, 0))] == (1.0, None, True)    # old interval untouched
+    assert upserts[(1, _ts(12, 0))] == (1.0, None, True)   # fresh open interval
+
+    # running agg: totals restart from zero after eviction
+    stream2 = ops.read_file_stream(spark, str(d), EVENT_SCHEMA)
+    agg = ops.stateful_running_agg(stream2, "user_id", "value", "ts", idle_timeout="30 minutes")
+    rows2 = []
+    ops.run_available_now(
+        ops.write_stream_foreach_batch(
+            agg, lambda bdf, _e: rows2.extend(bdf.collect()), "update"
+        ),
+        str(tmp_path / "idle_ckpt2"),
+    )
+    key1_counts = [r.running_count for r in rows2 if r.key == 1]
+    assert key1_counts == [1, 1]  # second 1 = restarted, not accumulated to 2
+
+
 def test_max_files_per_trigger_batching_invariance(spark, tmp_path):
     """Round-6 brief item 7 — backpressure: maxFilesPerTrigger bounds
     each micro-batch (k files → ceil(n/k) batches, counted from the
