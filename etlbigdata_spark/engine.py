@@ -108,6 +108,7 @@ class Engine:
 
     _NEAR_DUP = {
         "jaccard": fdedup.ngram_jaccard_pairs,        # exact n-gram Jaccard
+        "containment": fdedup.ngram_containment_pairs,  # verbatim inclusion
         "minhash": fdedup.minhash_candidates,         # r×b LSH candidates
         "minhash_verified": fdedup.minhash_verified_pairs,
         "simhash": fdedup.simhash_near_dups,

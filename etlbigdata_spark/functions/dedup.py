@@ -141,6 +141,23 @@ def ngram_jaccard_pairs(
     non-boilerplate shingle sets (document + mirror the same predicate in
     any oracle).
     """
+    shared = _shared_counts_and_sizes(df, id_col, text_col, n, max_doc_freq)
+    return (
+        shared.withColumn(
+            "jaccard",
+            F.col("n_shared") / (F.col("size_a") + F.col("size_b") - F.col("n_shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_shared", "size_a", "size_b", "jaccard")
+    )
+
+
+def _shared_counts_and_sizes(
+    df: DataFrame, id_col: str, text_col: str, n: int, max_doc_freq: int | None
+) -> DataFrame:
+    """(id_a, id_b, n_shared, size_a, size_b) over distinct n-gram
+    shingle sets — the inverted-index core shared by the Jaccard and
+    containment pair finders (identical plan, different final score)."""
     sh = exploded_shingles(df, id_col, text_col, n)
     # shuffle 8-byte shingle HASHES, not ~30-byte strings: the join,
     # frequency guard and size agg only need equality, and a 64-bit
@@ -172,17 +189,45 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"))
-    out = (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_shared") / (F.col("size_a") + F.col("size_b") - F.col("n_shared")),
+    return shared.join(sa, "id_a").join(sb, "id_b")
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """B23 — CONTAINMENT near-dup pairs: |A∩B| / min(|A|,|B|) over
+    distinct n-gram shingle sets ≥ threshold.
+
+    The dedup mode Jaccard structurally misses: when one document
+    contains another (a post quoting an article verbatim, a shard
+    concatenating two docs, a page embedding boilerplate-wrapped copy),
+    |A∩B|/|A∪B| is dragged down by the size imbalance — a 100-shingle
+    doc fully contained in a 10,000-shingle doc has Jaccard ≈ 0.01 but
+    containment 1.0.  Training-data pipelines dedup BOTH ways: Jaccard
+    for near-identical pairs, containment for verbatim-inclusion (the
+    pair class behind Lee et al. 2022's substring-level findings,
+    "Deduplicating Training Data Makes Language Models Better" —
+    re-expressed here at document-pair granularity so the inverted-index
+    plan and its skew guard carry over unchanged).
+
+    Default ``n=5``: longer windows than Jaccard's 3 so "shared"
+    means verbatim runs of ≥5 tokens, not vocabulary overlap.  Same
+    plan/scale properties as :func:`ngram_jaccard_pairs` (shared core:
+    :func:`_shared_counts_and_sizes`), including ``max_doc_freq``.
+    """
+    shared = _shared_counts_and_sizes(df, id_col, text_col, n, max_doc_freq)
+    return (
+        shared.withColumn(
+            "containment", F.col("n_shared") / F.least("size_a", "size_b")
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "n_shared", "size_a", "size_b", "jaccard")
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "n_shared", "size_a", "size_b", "containment")
     )
-    return out
 
 
 def df_freq_cutoff(shingled: DataFrame, max_doc_freq: int) -> DataFrame:

@@ -1696,11 +1696,14 @@ HAVING COUNT(*) > 1
 """
 
 
-def _jaccard_oracle_sql(threshold: float, max_doc_freq: int | None = None) -> str:
-    """Exact n-gram Jaccard pairs in the oracle dialect — shared by the
-    exact query (d02) and the verified-MinHash query (d03v). Mirrors
-    ``dedup.ngram_jaccard_pairs`` including the hot-shingle cutoff
-    (applied before set sizes, like the Spark side)."""
+def _pairs_oracle_sql(
+    score_name: str, score_sql: str, threshold: float,
+    n: int = 3, max_doc_freq: int | None = None,
+) -> str:
+    """Shared-shingle pair scores in the oracle dialect — the inverted-
+    index core of d02 (Jaccard), d03v (verified MinHash) and d08
+    (containment). Mirrors ``dedup._shared_counts_and_sizes`` including
+    the hot-shingle cutoff (applied before set sizes, like Spark)."""
     cutoff = (
         f"""sh AS (
   SELECT sh0.doc_id, sh0.shingle FROM sh0
@@ -1713,8 +1716,8 @@ def _jaccard_oracle_sql(threshold: float, max_doc_freq: int | None = None) -> st
     return f"""
 WITH docs AS (
   SELECT doc_id,
-         list_distinct([array_to_string(toks[i:i+2], ' ')
-                        FOR i IN generate_series(1, greatest(len(toks) - 2, 0))]) AS shingles
+         list_distinct([array_to_string(toks[i:i+{n - 1}], ' ')
+                        FOR i IN generate_series(1, greatest(len(toks) - {n - 1}, 0))]) AS shingles
   FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
 ),
 sh0   AS (SELECT doc_id, unnest(shingles) AS shingle FROM docs),
@@ -1728,12 +1731,20 @@ shared AS (
 SELECT id_a, id_b, n_shared,
        CAST(sa.set_size AS BIGINT) AS size_a,
        CAST(sb.set_size AS BIGINT) AS size_b,
-       CAST(n_shared AS DOUBLE) / (sa.set_size + sb.set_size - n_shared) AS jaccard
+       {score_sql} AS {score_name}
 FROM shared
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
-WHERE CAST(n_shared AS DOUBLE) / (sa.set_size + sb.set_size - n_shared) >= {threshold}
+WHERE {score_sql} >= {threshold}
 """
+
+
+def _jaccard_oracle_sql(threshold: float, max_doc_freq: int | None = None) -> str:
+    return _pairs_oracle_sql(
+        "jaccard",
+        "CAST(n_shared AS DOUBLE) / (sa.set_size + sb.set_size - n_shared)",
+        threshold, n=3, max_doc_freq=max_doc_freq,
+    )
 
 
 def d02_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1751,6 +1762,26 @@ def d02_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 D02_SQL = _jaccard_oracle_sql(threshold=0.2, max_doc_freq=50)
+
+
+def d08_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B23 — containment near-dup pairs (|A∩B| / min set size over
+    5-gram shingles): the verbatim-inclusion dedup mode Jaccard misses
+    when sizes are imbalanced (doc-quotes-doc, concatenated shards).
+    Same inverted-index plan + hot-shingle guard as d02; round-6
+    addition, oracle runs the identical algorithm."""
+    fdedup.release_cached()
+    docs = load(spark, sf_dir, "documents")
+    return fdedup.ngram_containment_pairs(
+        docs, "doc_id", "text", n=5, threshold=0.8, max_doc_freq=50
+    )
+
+
+D08_SQL = _pairs_oracle_sql(
+    "containment",
+    "CAST(n_shared AS DOUBLE) / least(sa.set_size, sb.set_size)",
+    threshold=0.8, n=5, max_doc_freq=50,
+)
 
 
 def d03_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4074,6 +4105,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d03_minhash": d03_minhash,
     "d04_simhash": d04_simhash,
     "d05_embedding_neardup": d05_embedding_neardup,
+    "d08_containment_pairs": d08_containment_pairs,
     # a09/a12/a13 rotated out of the window in round 5 (three rounds
     # driver-green); still oracle-checked here
     "a09_count": a09_count,
@@ -4222,6 +4254,7 @@ ORACLE_SQL: dict[str, str] = {
     "d02_jaccard_pairs": D02_SQL,
     "d03v_minhash_verified": D03V_SQL,
     "d07_incremental_dedup": D07_SQL,
+    "d08_containment_pairs": D08_SQL,
     "d04v_simhash_verified": D04V_SQL,
     "d06_dup_clusters": D06_SQL,
     "s01_cosine_topk": S01_SQL,

@@ -377,3 +377,41 @@ def test_simhash_counter_packing_widths_agree(spark):
     }
     assert a == b
     fdedup.release_cached()
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """d08 semantics: a short doc fully quoted inside a much longer one
+    has containment 1.0 but Jaccard far below any useful threshold —
+    the verbatim-inclusion dedup mode (round 6)."""
+    from etlbigdata_spark.functions import dedup as fdedup
+
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(120))
+    long_doc = filler + " " + short + " " + " ".join(f"z{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_doc), (3, "totally unrelated words only here")],
+        "doc_id long, text string",
+    )
+    cont = fdedup.ngram_containment_pairs(df, n=5, threshold=0.8)
+    rows = cont.collect()
+    assert [(r.id_a, r.id_b) for r in rows] == [(1, 2)]
+    assert rows[0].containment == 1.0  # every 5-gram of doc 1 appears in doc 2
+    # the same pair is invisible to Jaccard at any workable threshold
+    jac = fdedup.ngram_jaccard_pairs(df, n=5, threshold=0.2)
+    assert jac.filter("id_a = 1 AND id_b = 2").count() == 0
+
+
+def test_containment_respects_doc_freq_guard(spark):
+    """The hot-shingle guard drops boilerplate windows before scoring,
+    exactly like d02: a window shared by ALL docs cannot create pairs."""
+    from etlbigdata_spark.functions import dedup as fdedup
+
+    boiler = "common header shared by every document here now"
+    df = spark.createDataFrame(
+        [(i, boiler + f" unique tail {i} a b c d e") for i in range(5)],
+        "doc_id long, text string",
+    )
+    guarded = fdedup.ngram_containment_pairs(df, n=5, threshold=0.5, max_doc_freq=3)
+    assert guarded.count() == 0  # boilerplate windows (df=5 > 3) dropped
+    unguarded = fdedup.ngram_containment_pairs(df, n=5, threshold=0.5)
+    assert unguarded.count() > 0  # without the guard the boilerplate pairs everything
