@@ -95,6 +95,7 @@ HEADLINE = [
     "t02_token_count",
     "d01_dup_groups",
     "d02_jaccard_pairs",
+    "d08_containment_pairs",
     "d03_minhash",
     "d04_simhash",
     "s01_cosine_topk",

@@ -30,6 +30,7 @@ def plans(spark, sf_dir):
             "q01_pricing_summary",
             "q05_region_revenue",
             "d02_jaccard_pairs",
+            "d08_containment_pairs",
             "s01_cosine_topk",
             "b09_asof",
         )
@@ -77,6 +78,17 @@ def test_d02_joins_on_hashes_not_strings(plans):
     # measured 2.1x slower at sf1); a refactor or Spark upgrade dropping
     # the hint must fail here, not in a bench regression
     assert "ShuffledHashJoin" in plan, "d02 self-join lost its shuffle_hash hint"
+
+
+def test_d08_inherits_d02_plan_shape(plans):
+    """Containment pairs run through the same inverted-index core as
+    d02 (shared _shared_counts_and_sizes): hashed shingles, shuffled-
+    hash self-join — a refactor that forks the plans must fail here."""
+    plan = plans["d08_containment_pairs"]
+    for part in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "shingle_str" not in part
+    assert "xxhash64" in plan, "d08 no longer hashes shingles"
+    assert "ShuffledHashJoin" in plan, "d08 self-join lost the shuffle_hash hint"
 
 
 def test_s01_corpus_never_shuffled(plans):

@@ -142,6 +142,9 @@ def test_release_cached_drops_all_blocks(docs, spark):
     """The dedup family's persisted intermediates must be releasable:
     after release_cached() the storage layer holds no cached RDDs (the
     round-1 leak accumulated blocks across a long session)."""
+    fdedup.release_cached()  # flush leftovers from earlier tests so the
+    # baseline below contains no dedup-module blocks (otherwise release
+    # at the end drops MORE than this test added and cached < baseline)
     jsc = spark.sparkContext._jsc.sc()
     baseline = jsc.getPersistentRDDs().size()  # tolerate persists owned
     # by other modules (pyspark.ml internals, other test files) on the
