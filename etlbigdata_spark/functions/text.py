@@ -278,3 +278,70 @@ def normalize_text_col(text: Column | str) -> Column:
     t = F.regexp_replace(t, r"[^a-z0-9\s]", " ")
     t = F.regexp_replace(t, r"\s+", " ")
     return F.trim(t)
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """B25 — corpus-relative unigram surprisal quality score (round 6):
+    per document, the mean ``-log2 p(token)`` where ``p`` is the
+    Jelinek-smoothed unigram distribution of THE CORPUS ITSELF —
+    the CCNet-style language-model quality proxy without an external
+    model: gibberish and rare-token-soup documents score high (their
+    tokens are improbable under the corpus), templated boilerplate
+    scores low.  Filter tails on ``mean_surprisal`` as a curation gate
+    next to :func:`quality` and :func:`repetition_stats`.
+
+    Cross-engine determinism (the same discipline as
+    :func:`tfidf_top_terms`): each distinct token's surprisal is
+    computed once from integer counts, rounded to 6 dp, and carried as
+    MICRO-UNIT LONGS, so the per-doc aggregation is an exact integer
+    sum — associative, partial-aggregation-safe, bit-identical to a
+    sequential SQL engine; the final mean rounds to 6 dp.
+
+    Plan: two passes over the token stream (explode → vocab counts;
+    explode → join token surprisals → per-doc mean), like the TF-IDF
+    above; corpus totals ride in as a broadcast 1-row cross join (no
+    driver action, plan stays lazy).  The vocab-keyed join shuffles on
+    token — at production vocab sizes (~10⁷ distinct) the scored vocab
+    table is a few hundred MB total, far below any per-partition bound.
+    Documents with zero tokens produce no output row (no distribution
+    to score them under); left-join downstream if they must be kept.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens_col(F.col(text_col))).alias("tok"),
+    )
+    freqs = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__cnt"))
+    stats = freqs.agg(
+        F.sum("__cnt").alias("__total"), F.count(F.lit(1)).alias("__vocab")
+    )
+    scored = (
+        freqs.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__surp_u",
+            F.round(
+                -F.log(
+                    2.0,
+                    (F.col("__cnt") + F.lit(smoothing))
+                    / (F.col("__total") + F.lit(smoothing) * F.col("__vocab")),
+                )
+                * 1e6
+            ).cast("long"),
+        )
+        .select("tok", "__surp_u")
+    )
+    return (
+        toks.join(scored, "tok")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum("__surp_u") / (F.lit(1e6) * F.count(F.lit(1))), 6
+            ).alias("mean_surprisal"),
+        )
+        .select(F.col("__id").alias(id_col), "n_tokens", "mean_surprisal")
+    )

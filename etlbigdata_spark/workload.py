@@ -2082,6 +2082,37 @@ FROM base b LEFT JOIN top USING (doc_id)
 """
 
 
+def t14_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B25 — corpus-relative unigram surprisal quality score (round 6,
+    text.unigram_surprisal): mean -log2 p(token) under the corpus's own
+    smoothed unigram distribution, the external-model-free CCNet-style
+    LM quality proxy. Per-token surprisals are 6-dp-rounded micro-unit
+    LONGS, so per-doc sums are exact integer aggregation — associative
+    and bit-identical across engines."""
+    docs = load(spark, sf_dir, "documents")
+    return ftext.unigram_surprisal(docs, "doc_id", "text")
+
+
+T14_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(t) AS tok
+  FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+),
+freqs AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+stats AS (SELECT SUM(cnt) AS total, COUNT(*) AS vocab FROM freqs),
+scored AS (
+  SELECT tok,
+         CAST(round(-log2((cnt + 0.5) / (total + 0.5 * vocab)) * 1e6) AS BIGINT) AS surp_u
+  FROM freqs, stats
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       round(SUM(surp_u) / (1e6 * COUNT(*)), 6) AS mean_surprisal
+FROM toks JOIN scored USING (tok)
+GROUP BY doc_id
+"""
+
+
 def t05_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B25 — polynomial rolling-hash document fingerprint (the
     cross-engine oracle twin).  Oracle-checked since round 3: the
@@ -4116,6 +4147,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t05_fingerprint": t05_fingerprint,
     "t11_normalize": t11_normalize,
     "t12_pack_shards": t12_pack_shards,
+    "t14_surprisal": t14_surprisal,
     "t13_repetition": t13_repetition,
     "b28_percentile": b28_percentile,
     "b28a_approx_percentile": b28a_approx_percentile,
@@ -4274,6 +4306,7 @@ ORACLE_SQL: dict[str, str] = {
     "t11_normalize": T11_SQL,
     "t12_pack_shards": T12_SQL,
     "t13_repetition": T13_SQL,
+    "t14_surprisal": T14_SQL,
     # rows-only (approximate / engine-specific RNG or hash): b17_sample,
     # d03_minhash, d04_simhash, s02_lsh_topk, d05_embedding_neardup —
     # each now has an oracle-checked sibling (d03v/d04v/s02v) or is
