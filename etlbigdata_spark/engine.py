@@ -157,6 +157,17 @@ class Engine:
             raise ValueError(f"method must be one of {sorted(self._TOPK)}")
         return self._TOPK[method](corpus, queries, k=k, **kw)
 
+    def build_ann_index(self, corpus: DataFrame, path: str, **kw) -> dict:
+        """Persist a centroid-partitioned IVF index (probe = partition
+        pruning on disk); see functions/similarity.ivf_write_index."""
+        return fsim.ivf_write_index(corpus, path, **kw)
+
+    def probe_ann_index(self, path: str, queries: DataFrame, k: int = 10, **kw) -> DataFrame:
+        """Top-k neighbors from a persisted IVF index — result-identical
+        to similar_topk(method='ivf') for the same corpus/params, but
+        the scan touches only the probed partitions."""
+        return fsim.ivf_probe_index(self.spark, path, queries, k=k, **kw)
+
     def gap_fill(self, df: DataFrame, key_cols: list[str], time_col: str, **kw) -> DataFrame:
         """Complete each key's time grid; zero-fill / forward-fill."""
         from .operators import aggregates

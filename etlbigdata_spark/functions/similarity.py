@@ -325,9 +325,18 @@ def ivf_topk(
     the same shape in-memory.
     """
     assigned, cents = ivf_assign(corpus, n_centroids, id_col, vec_col)
+    q = _query_probes(queries, cents, n_probe, id_col, vec_col)
+    return _probe_score_topk(assigned, q, k, id_col, vec_col, round_to)
+
+
+def _query_probes(
+    queries: DataFrame, cents: list, n_probe: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(query_id, __qvec, centroid) — each query exploded to its
+    ``n_probe`` nearest centroids, ranked driver-free: score each
+    centroid, sort (score desc, idx asc) via array_sort comparator,
+    slice the probe list."""
     cent_arr = F.array(*[F.array(*[F.lit(x) for x in vec]) for _, vec in cents])
-    # rank centroids per query driver-free: score each, sort (score desc,
-    # idx asc) via array_sort comparator, slice the probe list
     qv = F.col(vec_col).cast("array<double>")
     scored_cents = F.transform(
         cent_arr, lambda cv: _dot(qv, cv) / (_norm(cv) + F.lit(1e-12))
@@ -343,11 +352,17 @@ def ivf_topk(
         .otherwise(l["idx"].cast("int") - r["idx"].cast("int")),
     )
     probes = F.transform(F.slice(ranked, 1, n_probe), lambda p: p["idx"].cast("int"))
-    q = queries.select(
+    return queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
         F.explode(probes).alias("centroid"),
     )
+
+
+def _probe_score_topk(
+    assigned: DataFrame, q: DataFrame, k: int, id_col: str, vec_col: str,
+    round_to: int | None,
+) -> DataFrame:
     c = assigned.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"), "centroid"
     )
@@ -360,3 +375,60 @@ def ivf_topk(
     scored = joined.select("query_id", "neighbor_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_write_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """B24 — build and PERSIST the IVF index (round 6): the similarity
+    twin of the dedup family's ``minhash_signatures`` parquet index.
+    Writes ``<path>/vectors`` partitioned by centroid (so a probe is
+    partition PRUNING on disk, not an in-memory filter) and a
+    ``<path>/centroids`` sidecar (n_centroids rows).  Build once, probe
+    every batch with :func:`ivf_probe_index` — at 100 TB the corpus is
+    scanned once at build time and each query batch touches only
+    n_probe/n_centroids of the files afterwards."""
+    assigned, cents = ivf_assign(corpus, n_centroids, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("centroid").parquet(f"{path}/vectors")
+    spark = corpus.sparkSession
+    cdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in cents],
+        "centroid int, vec array<double>",
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    return {"n_centroids": len(cents), "path": path}
+
+
+def ivf_probe_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """B24 — probe a persisted :func:`ivf_write_index` index.  Same
+    semantics as :func:`ivf_topk` with the same centroid sample (so the
+    two are result-identical for the same corpus/params), but the
+    corpus side is the on-disk partitioned index: the probed centroid
+    set (≤ n_centroids distinct values BY CONSTRUCTION — the one
+    driver collect here is bounded by that contract, not by data size)
+    becomes a static partition filter, so the scan reads only the
+    probed directories — verified by a PartitionFilters plan assertion
+    in tests."""
+    cents_rows = spark.read.parquet(f"{path}/centroids").orderBy("centroid").collect()
+    cents = [(r["centroid"], list(r["vec"])) for r in cents_rows]
+    q = _query_probes(queries, cents, n_probe, id_col, vec_col)
+    probed = sorted(
+        r["centroid"] for r in q.select("centroid").distinct().collect()
+    )  # ≤ n_centroids values
+    assigned = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("centroid").isin(probed)
+    )
+    return _probe_score_topk(assigned, q, k, id_col, vec_col, round_to)

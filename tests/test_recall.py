@@ -422,3 +422,36 @@ def test_containment_respects_doc_freq_guard(spark):
     assert guarded.count() == 0  # boilerplate windows (df=5 > 3) dropped
     unguarded = fdedup.ngram_containment_pairs(df, n=5, threshold=0.5)
     assert unguarded.count() > 0  # without the guard the boilerplate pairs everything
+
+
+def test_ivf_persisted_index_probe_equals_inmemory_and_prunes(emb, spark, tmp_path):
+    """Round 6: ivf_write_index + ivf_probe_index must (a) reproduce the
+    in-memory ivf_topk exactly (same centroid sample by construction),
+    and (b) push the probed-centroid set down as PARTITION pruning on
+    the on-disk index — the property that makes a probe touch
+    n_probe/n_centroids of a 100 TB index's files."""
+    from etlbigdata_spark.functions import similarity as fsim
+
+    queries = emb.orderBy("vec_id").limit(5)
+    path = str(tmp_path / "ivf_index")
+    stats = fsim.ivf_write_index(emb, path, n_centroids=8)
+    assert stats["n_centroids"] == 8
+
+    probed = fsim.ivf_probe_index(spark, path, queries, k=5, n_probe=3, round_to=6)
+    inmem = fsim.ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=3, round_to=6)
+    got = {(r.query_id, r.rank): r.neighbor_id for r in probed.collect()}
+    want = {(r.query_id, r.rank): r.neighbor_id for r in inmem.collect()}
+    assert got == want and len(got) > 0
+
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*centroid[^\]]*)\]", plan)
+    assert m, "probe scan lost its centroid partition filter (full index scan)"
+
+    # full probe == exact: same lossless bound as the in-memory path
+    full = fsim.ivf_probe_index(spark, path, queries, k=5, n_probe=8, round_to=6)
+    exact = fsim.cosine_topk(emb, queries, k=5, round_to=6)
+    g2 = {(r.query_id, r.rank): r.neighbor_id for r in full.collect()}
+    e2 = {(r.query_id, r.rank): r.neighbor_id for r in exact.collect()}
+    assert g2 == e2
