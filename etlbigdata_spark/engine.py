@@ -289,6 +289,11 @@ class Engine:
         functions.text.repetition_stats."""
         return ftext.repetition_stats(df, **kw)
 
+    def surprisal(self, df: DataFrame, **kw) -> DataFrame:
+        """Corpus-relative unigram surprisal quality score (B25, round
+        6) — see functions.text.unigram_surprisal."""
+        return ftext.unigram_surprisal(df, **kw)
+
     def enrich_text(self, df: DataFrame, text_col: str = "text") -> DataFrame:
         """Stats + quality score + language-ID + fingerprint in one
         single-pass projection chain (all codegen expressions)."""
