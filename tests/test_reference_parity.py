@@ -182,3 +182,44 @@ def test_reference_user_full_journey_round5(engine, tmp_path):
     assert stats["files_before"] >= 4 and stats["files_after"] < stats["files_before"]
     final = engine.spark.read.parquet(pq_path)
     assert final.count() == 8  # 4 appends x 2 rows, all preserved
+
+
+def test_llm_curation_journey_round6(engine, tmp_path):
+    """Round-6 surface end-to-end through the Engine facade, as a
+    corpus-curation user: containment dedup drops a doc that verbatim-
+    contains another, unigram surprisal flags the gibberish doc, and a
+    persisted IVF index reproduces the in-memory ANN probe."""
+    from pyspark.sql import functions as F
+
+    base = " ".join(f"tok{i} word{i} item{i}" for i in range(30))
+    corpus = [
+        (1, base),                                     # original
+        (2, "intro text " + base + " closing remarks"),  # contains doc 1
+        (3, " ".join(f"normal common tok{i % 7}" for i in range(40))),
+        (4, "qzx vbn wrt plk jhg mnb zxc qwe asd fgh"), # gibberish
+    ]
+    docs = engine.spark.createDataFrame(corpus, "doc_id long, text string")
+
+    pairs = engine.near_dup_pairs(docs, method="containment", n=5, threshold=0.8)
+    assert {(r.id_a, r.id_b) for r in pairs.collect()} == {(1, 2)}
+    kept = engine.dedup_near(docs, method="containment", n=5, threshold=0.8)
+    assert {r.doc_id for r in kept.collect()} == {1, 3, 4}  # min-id winner
+
+    surp = engine.surprisal(docs)
+    rows = {r.doc_id: r.mean_surprisal for r in surp.collect()}
+    assert max(rows, key=rows.get) == 4  # gibberish = most surprising
+    assert rows[3] == min(rows.values())  # repetitive doc = least
+
+    emb = engine.spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 10) for j in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    idx_path = str(tmp_path / "journey_ivf")
+    engine.build_ann_index(emb, idx_path, n_centroids=4)
+    probed = engine.probe_ann_index(idx_path, emb.limit(3), k=3, n_probe=2, round_to=6)
+    inmem = engine.similar_topk(
+        emb, emb.limit(3), k=3, method="ivf", n_centroids=4, n_probe=2, round_to=6
+    )
+    got = {(r.query_id, r.rank): r.neighbor_id for r in probed.collect()}
+    want = {(r.query_id, r.rank): r.neighbor_id for r in inmem.collect()}
+    assert got == want and len(got) == 9
