@@ -107,6 +107,54 @@ def asof_join(
     return out
 
 
+def scd2_join(
+    facts: DataFrame,
+    history: DataFrame,
+    on: str | list[str],
+    fact_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    dim_prefix: str = "dim_",
+) -> DataFrame:
+    """B9 × CDC (round 6) — point-in-time (effective-dated) dimension
+    join: each fact row picks up the history row whose validity interval
+    ``[valid_from, valid_to)`` contains ``fact_ts`` — the consumption
+    side of :func:`~etlbigdata_spark.operators.cleaning.scd2_history`
+    ("what did this dimension look like WHEN the fact happened").
+    Left-join semantics: facts before the key's first interval or in a
+    coverage gap keep NULL dim columns.
+
+    Plan: the as-of union+window trick (ONE shuffle on the key) rather
+    than the naive fact×history interval theta join, which Spark can
+    only run as a broadcast nested loop / cartesian at scale.  Because
+    SCD2 intervals tile half-open per key, the containing interval IS
+    the latest interval starting at or before the fact — an as-of
+    backward match plus a ``valid_to`` bound check for gap histories.
+    Zero-length intervals (``valid_from == valid_to``, produced by
+    tied-timestamp change bursts) are dropped first: they can never
+    contain a point, and removing them makes the equal-timestamp
+    window order deterministic.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    hist = history.filter(
+        F.col(valid_to).isNull() | (F.col(valid_to) > F.col(valid_from))
+    )
+    matched = asof_join(
+        facts, hist, keys, left_ts=fact_ts, right_ts=valid_from,
+        direction="backward", right_prefix=dim_prefix,
+    )
+    vt = F.col(f"{dim_prefix}{valid_to}")
+    in_interval = vt.isNull() | (vt > F.col(fact_ts))
+    payload = [c for c in hist.columns if c not in keys]
+    return matched.select(
+        *[F.col(c) for c in facts.columns],
+        *[
+            F.when(in_interval, F.col(f"{dim_prefix}{c}")).alias(f"{dim_prefix}{c}")
+            for c in payload
+        ],
+    )
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

@@ -1027,6 +1027,52 @@ FROM chg
 """
 
 
+def evt09_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC lifecycle, consumption side (round 6) — point-in-time join
+    (joins.scd2_join): every event picks up the event_type regime
+    active at its timestamp from the evt08 SCD2 history. As-of
+    union+window plan, one shuffle on user_id — not a fact×interval
+    theta join. The oracle runs the interval-containment predicate
+    directly; zero-length intervals (tied-ts change bursts) are
+    dropped by both engines."""
+    ev = load(spark, sf_dir, "events")
+    hist = cleaning.scd2_history(
+        ev, ["user_id"], "ts", ["event_type"],
+        order_tiebreak=[F.col("event_id").asc()],
+    ).select("user_id", "event_type", "valid_from", "valid_to")
+    facts = ev.select("event_id", "user_id", "ts")
+    return joins.scd2_join(facts, hist, ["user_id"], "ts").select(
+        "event_id", "user_id", "ts",
+        F.col("dim_event_type").alias("regime_type"),
+        F.col("dim_valid_from").alias("regime_since"),
+    )
+
+
+EVT09_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), chg AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM ordered WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+), hist AS (
+  SELECT user_id, event_type, ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM chg
+), hist_nz AS (
+  SELECT * FROM hist WHERE valid_to IS NULL OR valid_to > valid_from
+)
+SELECT e.event_id, e.user_id, e.ts,
+       h.event_type AS regime_type, h.valid_from AS regime_since
+FROM events e LEFT JOIN hist_nz h
+  ON e.user_id = h.user_id
+ AND e.ts >= h.valid_from
+ AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+"""
+
+
 def b05h_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B5 — mergeable-sketch distinct count (rows-only: DataSketches HLL
     has no DuckDB twin; its oracle-checked sibling is b05's exact
@@ -4171,6 +4217,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "evt05_cohort_retention": evt05_cohort_retention,
     "evt06_gapfill": evt06_gapfill,
     "evt07_interpolate": evt07_interpolate,
+    "evt09_scd2_join": evt09_scd2_join,
     "evt08_scd2": evt08_scd2,
     "t06_tfidf_topterms": t06_tfidf_topterms,
     # corpus curation (round 4): split / contamination / PII / quota
@@ -4273,6 +4320,7 @@ ORACLE_SQL: dict[str, str] = {
     "evt06_gapfill": EVT06_SQL,
     "evt07_interpolate": EVT07_SQL,
     "evt08_scd2": EVT08_SQL,
+    "evt09_scd2_join": EVT09_SQL,
     "t06_tfidf_topterms": T06_SQL,
     "t07_hash_split": T07_SQL,
     "t08_contamination": T08_SQL,

@@ -783,3 +783,65 @@ def test_gap_fill_span_guard(spark):
         df.filter(F.col("g") == "ok"), ["g"], "t", step="interval 1 second"
     ).count()
     assert n == 31
+
+
+def test_scd2_join_point_in_time(spark):
+    """Round 6 — effective-dated join edges: containment at interval
+    boundaries (half-open), facts before the first interval (NULL
+    dims), coverage gaps (NULL dims), zero-length intervals from tied
+    timestamps (dropped, never matched), and the open current
+    interval."""
+    from etlbigdata_spark.operators import joins
+
+    hist = spark.createDataFrame(
+        [
+            # key 1: [10,20) "a", [20,20) zero-length "burst", [20,40) "b", [40,None) "c"
+            (1, "a", 10, 20),
+            (1, "burst", 20, 20),
+            (1, "b", 20, 40),
+            (1, "c", 40, None),
+            # key 2: gap history [10,20) then [30,None)
+            (2, "x", 10, 20),
+            (2, "y", 30, None),
+        ],
+        "k long, attr string, valid_from long, valid_to long",
+    )
+    facts = spark.createDataFrame(
+        [(100, 1, 5), (101, 1, 10), (102, 1, 19), (103, 1, 20), (104, 1, 40),
+         (105, 1, 99), (106, 2, 25), (107, 2, 30)],
+        "fact_id long, k long, ts long",
+    )
+    out = {r.fact_id: r.dim_attr for r in joins.scd2_join(facts, hist, "k", "ts").collect()}
+    assert out == {
+        100: None,   # before first interval
+        101: "a",    # valid_from inclusive
+        102: "a",
+        103: "b",    # valid_to exclusive; zero-length "burst" never matches
+        104: "c",    # boundary into the open interval
+        105: "c",    # open current interval
+        106: None,   # coverage gap
+        107: "y",
+    }
+    # all facts kept (left-join semantics)
+    assert joins.scd2_join(facts, hist, "k", "ts").count() == facts.count()
+
+
+def test_scd2_history_roundtrips_through_scd2_join(spark):
+    """Build a history with scd2_history, join the SOURCE events back
+    point-in-time: every event must recover exactly its own attribute
+    (the regime active at its timestamp is what it carried)."""
+    from etlbigdata_spark.operators import cleaning, joins
+
+    rows = [
+        (1, 1, 10, "p"), (2, 1, 20, "p"), (3, 1, 30, "q"),
+        (4, 2, 10, "z"), (5, 2, 40, "w"), (6, 2, 50, "w"),
+    ]
+    ev = spark.createDataFrame(rows, "eid long, k long, ts long, attr string")
+    hist = cleaning.scd2_history(ev, ["k"], "ts", ["attr"]).select(
+        "k", "attr", "valid_from", "valid_to"
+    )
+    joined = joins.scd2_join(
+        ev.select("eid", "k", "ts", "attr"), hist, "k", "ts"
+    )
+    bad = joined.filter("attr IS DISTINCT FROM dim_attr").count()
+    assert bad == 0 and joined.count() == len(rows)
