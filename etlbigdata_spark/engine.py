@@ -200,6 +200,14 @@ class Engine:
 
         return cleaning.scd2_history(df, keys, ts_col, attrs, **kw)
 
+    def scd2_join(self, facts: DataFrame, history: DataFrame, on, fact_ts: str, **kw) -> DataFrame:
+        """Point-in-time dimension join against an SCD2 history (see
+        operators.joins.scd2_join) — the consumption side of
+        :meth:`scd2_history`."""
+        from .operators import joins
+
+        return joins.scd2_join(facts, history, on, fact_ts, **kw)
+
     def pack_shards(self, df: DataFrame, **kw) -> DataFrame:
         """Token-budget training shards (md5 groups + bounded cumsum)."""
         return fcorpus.pack_shards(df, **kw)
