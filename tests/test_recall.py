@@ -455,3 +455,29 @@ def test_ivf_persisted_index_probe_equals_inmemory_and_prunes(emb, spark, tmp_pa
     g2 = {(r.query_id, r.rank): r.neighbor_id for r in full.collect()}
     e2 = {(r.query_id, r.rank): r.neighbor_id for r in exact.collect()}
     assert g2 == e2
+
+
+def test_containment_dominates_jaccard(docs):
+    """Mathematical invariant: |A∩B|/min ≥ |A∩B|/|A∪B| for every pair,
+    and both finders agree on n_shared/sizes (they share the inverted-
+    index core) — checked over the real corpus at n=5."""
+    jac = {
+        (r.id_a, r.id_b): (r.n_shared, r.size_a, r.size_b, r.jaccard)
+        for r in fdedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=5, threshold=0.2, max_doc_freq=50
+        ).collect()
+    }
+    fdedup.release_cached()
+    cont = {
+        (r.id_a, r.id_b): (r.n_shared, r.size_a, r.size_b, r.containment)
+        for r in fdedup.ngram_containment_pairs(
+            docs, "doc_id", "text", n=5, threshold=0.2, max_doc_freq=50
+        ).collect()
+    }
+    fdedup.release_cached()
+    assert jac, "expected jaccard pairs at this threshold"
+    for key, (ns, sa, sb, j) in jac.items():
+        assert key in cont, f"jaccard pair {key} missing from containment at same threshold"
+        cns, csa, csb, c = cont[key]
+        assert (cns, csa, csb) == (ns, sa, sb)  # shared core agrees
+        assert c >= j - 1e-9, f"containment {c} < jaccard {j} for {key}"
