@@ -373,3 +373,52 @@ def test_scd2_intervals_partition_timeline(spark, events):
             # expected = attr of the LATEST event at/before ts
             expected = sorted(((tt, v) for (kk, tt, v) in k_events if tt <= ts))[-1][1]
             assert covering[0].v == expected, (k, ts)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),      # key
+            st.integers(min_value=0, max_value=50),     # ts
+            st.sampled_from(["a", "b", "c", None]),     # attr
+        ),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda e: (e[0], e[1]),
+    ),
+    probes=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),      # key (4 = no history)
+            st.integers(min_value=-5, max_value=60),    # ts (may precede history)
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+)
+@settings(**_SETTINGS)
+def test_scd2_join_matches_interval_containment(spark, events, probes):
+    """Round 6 — scd2_join over random histories and probe points must
+    equal the brute-force interval-containment predicate: the attr of
+    the unique interval containing the probe ts, or NULL when no
+    interval does (pre-history, unknown key)."""
+    from etlbigdata_spark.operators import cleaning, joins
+
+    ev = spark.createDataFrame(events, "k int, ts int, v string")
+    hist = cleaning.scd2_history(ev, ["k"], "ts", ["v"]).select(
+        "k", "v", "valid_from", "valid_to"
+    )
+    hist_rows = hist.collect()
+    facts = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(probes)], "fid int, k int, ts int"
+    )
+    got = {
+        r.fid: r.dim_v for r in joins.scd2_join(facts, hist, "k", "ts").collect()
+    }
+    assert set(got) == set(range(len(probes)))  # left-join keeps all facts
+    for i, (k, ts) in enumerate(probes):
+        covering = [
+            r.v for r in hist_rows
+            if r.k == k and r.valid_from <= ts and (r.valid_to is None or ts < r.valid_to)
+        ]
+        expected = covering[0] if covering else None
+        assert got[i] == expected, (i, k, ts, covering)
