@@ -875,3 +875,60 @@ def test_stateful_scd2_multi_attr_matches_batch(spark, tmp_path):
     assert streamed == expected
     # user 1: gold/1.0 → gold/2.0 → silver/2.0; user 2: null/5.0 → bronze/null
     assert len(expected) == 5
+
+
+def test_idle_timeout_survives_checkpoint_restart(spark, tmp_path):
+    """The eviction timer is part of checkpointed state: register a
+    timeout in run 1, stop, restart from the same checkpoint — the
+    timeout must fire in run 2 (watermark passes it there) and the
+    key's re-arrival must open a FRESH interval, exactly as in the
+    uninterrupted test above."""
+    d = tmp_path / "idle_r_src"
+    d.mkdir()
+    run1 = [
+        [(1, _ts(9, 0), 1, 1.0)],     # key 1 opens; timeout at 9:30 registered
+        [(2, _ts(11, 0), 2, 2.0)],    # watermark → 10:50 after this batch
+    ]
+    run2 = [
+        [(3, _ts(11, 30), 2, 2.0)],   # timeout fires HERE, post-restart
+        [(4, _ts(12, 0), 1, 1.0)],    # key 1 reappears, SAME value
+    ]
+    import os
+    import time
+
+    now = time.time()
+    files = []
+
+    def add(batch):
+        i = len(files)
+        _write_batch(d / f"f{i}.parquet", batch)
+        os.utime(d / f"f{i}.parquet", (now - 100 + i,) * 2)
+        files.append(i)
+
+    ckpt = str(tmp_path / "idle_r_ckpt")
+    rows = []
+
+    def drain():
+        stream = ops.read_file_stream(spark, str(d), EVENT_SCHEMA)
+        hist = ops.stateful_scd2(stream, "user_id", "value", "ts", idle_timeout="30 minutes")
+        ops.run_available_now(
+            ops.write_stream_foreach_batch(
+                hist, lambda bdf, _e: rows.extend(bdf.collect()), "update"
+            ),
+            ckpt,
+        )
+
+    for b in run1:
+        add(b)
+    drain()  # run 1: timer registered, not yet fired
+    for b in run2:
+        add(b)
+    drain()  # run 2: restart; recovered timer fires, then key 1 returns
+
+    upserts = {}
+    for r in rows:
+        upserts[(r.user_id, r.valid_from)] = (r.value, r.valid_to, r.is_current)
+    assert upserts[(1, _ts(9, 0))] == (1.0, None, True)   # old interval, untouched
+    assert upserts[(1, _ts(12, 0))] == (1.0, None, True)  # fresh open interval:
+    # a heartbeat would NOT have re-emitted with a new valid_from, so this
+    # proves the recovered timer evicted the state after the restart
