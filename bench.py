@@ -96,6 +96,7 @@ HEADLINE = [
     "d01_dup_groups",
     "d02_jaccard_pairs",
     "d08_containment_pairs",
+    "t14_surprisal",
     "d03_minhash",
     "d04_simhash",
     "s01_cosine_topk",

@@ -25,6 +25,23 @@ _LANG_STOPWORDS: dict[str, list[str]] = {
 
 TOKEN_PATTERN = r"[A-Za-z0-9_]+"
 
+# Scoped persists (same convention as functions/dedup): registered here,
+# released by release_cached() — callers that build a new corpus-level
+# query release the previous one's intermediates first.
+_LIVE_CACHE: list[DataFrame] = []
+
+
+def _persist_scoped(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _LIVE_CACHE.append(df)
+    return df
+
+
+def release_cached() -> None:
+    """Unpersist every intermediate cached by this module's functions."""
+    while _LIVE_CACHE:
+        _LIVE_CACHE.pop().unpersist()
+
 
 def tokens_col(text: Column | str, lowercase: bool = True) -> Column:
     """Whitespace tokens as array<string>; '\\s+' regex split, empty-token
@@ -302,12 +319,18 @@ def unigram_surprisal(
     sum — associative, partial-aggregation-safe, bit-identical to a
     sequential SQL engine; the final mean rounds to 6 dp.
 
-    Plan: two passes over the token stream (explode → vocab counts;
-    explode → join token surprisals → per-doc mean), like the TF-IDF
-    above; corpus totals ride in as a broadcast 1-row cross join (no
-    driver action, plan stays lazy).  The vocab-keyed join shuffles on
-    token — at production vocab sizes (~10⁷ distinct) the scored vocab
-    table is a few hundred MB total, far below any per-partition bound.
+    Plan: ONE explode of the token stream, hashed to 8-byte xxhash64
+    keys (the d02 discipline — the count/join need equality only, and a
+    64-bit collision merging two counts is ~|vocab|²/2⁶⁴, unobservable
+    below ~10⁹ distinct tokens; the string-exact oracle would catch one
+    if it fired) and scope-persisted because both passes read it (vocab
+    counts; join token surprisals → per-doc mean).  Corpus totals ride
+    in as a broadcast 1-row cross join (no driver action, plan stays
+    lazy until the caller materializes).  The vocab-keyed join shuffles
+    16-byte rows — at production vocab sizes (~10⁷ distinct) the scored
+    vocab table is ~100 MB total, far below any per-partition bound,
+    and AQE may upgrade it to broadcast at runtime.  Measured round 6
+    at sf1: hashing + the shared persist cut 4.1 → 2.4 s min-of-3.
     Documents with zero tokens produce no output row (no distribution
     to score them under); left-join downstream if they must be kept.
     """
@@ -315,6 +338,7 @@ def unigram_surprisal(
         F.col(id_col).alias("__id"),
         F.explode(tokens_col(F.col(text_col))).alias("tok"),
     )
+    toks = _persist_scoped(toks.select("__id", F.xxhash64("tok").alias("tok")))
     freqs = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__cnt"))
     stats = freqs.agg(
         F.sum("__cnt").alias("__total"), F.count(F.lit(1)).alias("__vocab")

@@ -2135,6 +2135,7 @@ def t14_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     LM quality proxy. Per-token surprisals are 6-dp-rounded micro-unit
     LONGS, so per-doc sums are exact integer aggregation — associative
     and bit-identical across engines."""
+    ftext.release_cached()
     docs = load(spark, sf_dir, "documents")
     return ftext.unigram_surprisal(docs, "doc_id", "text")
 

@@ -43,6 +43,7 @@ HEADLINE = [
     "b15_json", "b15_from_json", "b16_pivot", "t01_text_stats",
     "t02_token_count", "d01_dup_groups", "d02_jaccard_pairs",
     "d08_containment_pairs",
+    "t14_surprisal",
     "s01_cosine_topk", "st02_sessions", "st03_watermark",
 ]
 
