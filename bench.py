@@ -104,6 +104,16 @@ HEADLINE = [
     "st03_watermark",
 ]
 
+# Optional subset filter for targeted scale points (e.g. the sf10 growth
+# run benches only the heavy/real-work queries): comma-separated names.
+_SUBSET = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+if _SUBSET:
+    _want = {s.strip() for s in _SUBSET.split(",") if s.strip()}
+    _unknown = _want - set(HEADLINE)
+    if _unknown:
+        raise SystemExit(f"bench: unknown queries in SPARK_GRAFT_BENCH_QUERIES: {sorted(_unknown)}")
+    HEADLINE = [n for n in HEADLINE if n in _want]
+
 
 def _sf_from_dir(d: str) -> float:
     base = os.path.basename(d.rstrip("/"))

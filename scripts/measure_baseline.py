@@ -47,6 +47,12 @@ HEADLINE = [
     "s01_cosine_topk", "st02_sessions", "st03_watermark",
 ]
 
+# Same subset filter as bench.py (targeted scale points, e.g. sf10).
+_SUBSET = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+if _SUBSET:
+    _want = {s.strip() for s in _SUBSET.split(",") if s.strip()}
+    HEADLINE = [n for n in HEADLINE if n in _want]
+
 
 def _median(fn) -> float:
     fn()  # warm-up
