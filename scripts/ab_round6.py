@@ -79,7 +79,8 @@ def d07sf1(spark):
     docs = workload.load(spark, SF_DIR, "documents")
     corpus = docs.filter(F.col("doc_id") % 3 != 0)
     batch = docs.filter(F.col("doc_id") % 3 == 0)
-    index_path = "/tmp/sfscale/minhash_index_sf1.parquet"
+    base = os.path.basename(SF_DIR.rstrip("/"))
+    index_path = f"/tmp/sfscale/minhash_index_{base}.parquet"
 
     # index build: one-time cost the production pipeline amortizes
     def build():
