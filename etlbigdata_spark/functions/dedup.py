@@ -20,7 +20,7 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import tokens_col
+from .text import rebalance_for_expansion, tokens_col
 
 # -- cache scoping ----------------------------------------------------
 # The pair-finding functions persist a fan-out intermediate (the shingle
@@ -113,7 +113,11 @@ def exploded_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, out_col: str = "shingle"
 ) -> DataFrame:
     """(id, shingle) rows: tokenize into an array attribute in one
-    projection, shingle+explode from it in the next."""
+    projection, shingle+explode from it in the next.  The input is
+    rebalanced to cluster parallelism first (no-op at scale) — this
+    explode is the highest-expansion stage of every pair finder built
+    on it (d02/d03/d04/d08 and the incremental index build)."""
+    df = rebalance_for_expansion(df)
     toked = df.select(F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("__toks"))
     return toked.select("id", F.explode(shingles_from_tokens("__toks", n)).alias(out_col))
 

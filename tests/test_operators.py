@@ -845,3 +845,17 @@ def test_scd2_history_roundtrips_through_scd2_join(spark):
     )
     bad = joined.filter("attr IS DISTINCT FROM dim_attr").count()
     assert bad == 0 and joined.count() == len(rows)
+
+
+def test_rebalance_for_expansion_noop_and_upscale(spark):
+    """Pre-explode rebalance: a frame already at >= defaultParallelism
+    partitions passes through UNCHANGED (same plan object — no exchange
+    inserted at real scale), while a partition-starved frame comes back
+    at cluster parallelism with identical rows."""
+    df = spark.range(1000).selectExpr("id", "repeat('w ', 20) as text")
+    wide = df.repartition(spark.sparkContext.defaultParallelism + 4)
+    assert ftext.rebalance_for_expansion(wide) is wide
+    narrow = df.coalesce(1)
+    out = ftext.rebalance_for_expansion(narrow)
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert out.count() == 1000

@@ -113,9 +113,11 @@ def test_incremental_index_join_is_broadcast_and_corpus_shuffle_free(docs, spark
         plan = pairs._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         # broadcast build side = the batch; every non-broadcast Exchange
-        # is batch- or candidate-sized (batch sig groupBy + pair dedup)
+        # is batch- or candidate-sized (batch pre-explode rebalance +
+        # batch sig groupBy + pair dedup); the corpus/index side stays
+        # exchange-free (asserted above on the banding plan)
         n_shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
-        assert n_shuffles <= 2, f"corpus side shuffled:\n{plan}"
+        assert n_shuffles <= 3, f"corpus side shuffled:\n{plan}"
         pairs.count()  # the plan must also execute against the round-tripped index
 
 
