@@ -208,6 +208,14 @@ class Engine:
 
         return joins.scd2_join(facts, history, on, fact_ts, **kw)
 
+    def asof_self_join(self, df: DataFrame, on, ts: str, left_pred, right_pred,
+                       payload_cols, **kw) -> DataFrame:
+        """As-of join of two filtered views of the same frame in ONE scan
+        (clickstream attribution; see operators.joins.asof_self_join)."""
+        from .operators import joins
+
+        return joins.asof_self_join(df, on, ts, left_pred, right_pred, payload_cols, **kw)
+
     def pack_shards(self, df: DataFrame, **kw) -> DataFrame:
         """Token-budget training shards (md5 groups + bounded cumsum)."""
         return fcorpus.pack_shards(df, **kw)

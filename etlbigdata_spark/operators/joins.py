@@ -107,6 +107,67 @@ def asof_join(
     return out
 
 
+def asof_self_join(
+    df: DataFrame,
+    on: str | list[str],
+    ts: str,
+    left_pred,
+    right_pred,
+    payload_cols: str | list[str],
+    direction: str = "backward",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """B9 CUSTOM — as-of join of two filtered views of the SAME frame in
+    ONE scan (clickstream attribution: "match each purchase to the latest
+    click at or before it, per user").
+
+    ``asof_join(df.filter(a), df.filter(b), ...)`` reads the source
+    twice, pre-aggregates the right side, and unions the scans back
+    together — Spark does not deduplicate common scan subtrees.  Here the
+    left/right split is a tag computed IN the one scan's projection, so
+    the whole join is scan → shuffle on ``on`` → one window pass: the
+    cheapest plan an as-of over a single event table admits, at any
+    scale.  Rows matching neither predicate are dropped; predicates
+    should be disjoint (a row matching both is treated as left).
+
+    Ties among right rows at equal (key, ts) resolve to the GREATEST
+    payload struct (fields compared in ``payload_cols`` order) —
+    equivalent to pre-aggregating ``max(payload)`` per (key, ts), but
+    without the extra aggregation exchange.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    keys = [on] if isinstance(on, str) else list(on)
+    pcols = [payload_cols] if isinstance(payload_cols, str) else list(payload_cols)
+
+    tagged = df.withColumn(
+        "__is_left",
+        F.when(left_pred, F.lit(1)).when(right_pred, F.lit(0)),
+    ).filter(F.col("__is_left").isNotNull())
+    payload = F.when(
+        F.col("__is_left") == 0, F.struct(*[F.col(c) for c in pcols])
+    ).alias("__payload")
+    slim = tagged.select(*keys, F.col(ts).alias("__ts"), "__is_left", payload,
+                         *[c for c in df.columns if c not in keys and c != ts])
+
+    if direction == "backward":
+        # right (tag 0) sorts before left at equal ts → inclusive match;
+        # among equal-ts rights, payload asc so last() takes the max
+        order = [F.col("__ts").asc(), F.col("__is_left").asc(), F.col("__payload").asc()]
+    else:
+        order = [F.col("__ts").desc(), F.col("__is_left").asc(), F.col("__payload").asc()]
+    w = Window.partitionBy(*keys).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    matched = slim.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+
+    out_cols = (
+        [F.col(k) for k in keys]
+        + [F.col("__ts").alias(ts)]
+        + [F.col(c) for c in df.columns if c not in keys and c != ts]
+        + [F.col(f"__match.{c}").alias(f"{right_prefix}{c}") for c in pcols]
+    )
+    return matched.filter(F.col("__is_left") == 1).select(*out_cols)
+
+
 def scd2_join(
     facts: DataFrame,
     history: DataFrame,

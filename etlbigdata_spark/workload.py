@@ -1196,16 +1196,27 @@ GROUP BY c_nationkey
 
 def b09_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B9 CUSTOM — as-of join: each purchase matched to the latest click at
-    or before it, per user (union+window plan; oracle uses native ASOF)."""
-    ev = load(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("click_id"))
+    or before it, per user (oracle uses native ASOF).  Single-scan
+    ``asof_self_join`` plan: both sides are views of the same events
+    table, so the left/right split is a tag in one scan's projection and
+    the whole query is scan → shuffle(user_id) → window — no second
+    scan, no union, no click pre-aggregation exchange (the operator's
+    equal-ts max-payload tie-break IS the oracle's ``MAX(event_id)``
+    GROUP BY).  Measured vs the two-scan ``asof_join`` formulation at
+    sf1: 0.27 → 0.23 s min-of-4 alternating, result-identical — modest
+    here (events is 21 MB), but the scan+agg it removes grows linearly
+    with the table while the window pass was already paid for."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    out = joins.asof_self_join(
+        ev,
+        on="user_id",
+        ts="ts",
+        left_pred=F.col("event_type") == "purchase",
+        right_pred=F.col("event_type") == "click",
+        payload_cols="event_id",
+        direction="backward",
     )
-    out = joins.asof_join(purchases, clicks, on="user_id", left_ts="ts", direction="backward")
-    return out.select("event_id", "user_id", "r_click_id")
+    return out.select("event_id", "user_id", F.col("r_event_id").alias("r_click_id"))
 
 
 B09_ASOF_SQL = """

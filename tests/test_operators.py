@@ -859,3 +859,38 @@ def test_rebalance_for_expansion_noop_and_upscale(spark):
     out = ftext.rebalance_for_expansion(narrow)
     assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
     assert out.count() == 1000
+
+
+def test_asof_self_join_matches_two_frame_asof(spark):
+    """asof_self_join over one tagged scan must equal asof_join of the
+    two filtered views with the right side pre-aggregated max(payload)
+    per (key, ts) — including equal-ts inclusive matches, ties, forward
+    direction, and no-match lefts (NULL payload)."""
+    from etlbigdata_spark.operators import joins
+
+    rows = [
+        # (eid, key, ts, kind) — eids 10/11 tie at (k1, ts 5)
+        (10, 1, 5, "r"), (11, 1, 5, "r"), (12, 1, 9, "r"),
+        (20, 1, 5, "l"),   # equal-ts inclusive: matches max(10,11)=11
+        (21, 1, 8, "l"),   # matches 11 (latest r at ts<=8 is ts5, max eid 11)
+        (22, 1, 20, "l"),  # matches 12
+        (30, 2, 3, "l"),   # key 2 has no r: NULL
+        (40, 3, 1, "r"), (41, 3, 2, "l"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, k long, ts long, kind string")
+    for direction in ("backward", "forward"):
+        got = joins.asof_self_join(
+            df, on="k", ts="ts",
+            left_pred=F.col("kind") == "l", right_pred=F.col("kind") == "r",
+            payload_cols="event_id", direction=direction,
+        ).select("event_id", "k", "r_event_id")
+        lefts = df.filter("kind = 'l'").select("event_id", "k", "ts")
+        rights = (df.filter("kind = 'r'").groupBy("k", "ts")
+                  .agg(F.max("event_id").alias("rid")))
+        want = joins.asof_join(
+            lefts, rights, on="k", left_ts="ts", direction=direction
+        ).select("event_id", "k", F.col("r_rid").alias("r_event_id"))
+        assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+        if direction == "backward":
+            by_id = {r["event_id"]: r["r_event_id"] for r in got.collect()}
+            assert by_id == {20: 11, 21: 11, 22: 12, 30: None, 41: 40}
