@@ -129,6 +129,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    restrict_ids: DataFrame | None = None,
 ) -> DataFrame:
     """B23 — candidate near-dup pairs with exact n-gram Jaccard ≥ threshold.
 
@@ -143,9 +144,11 @@ def ngram_jaccard_pairs(
     unguarded corpus with license headers goes quadratic. The cutoff is
     applied before set sizes too, so Jaccard is computed over the
     non-boilerplate shingle sets (document + mirror the same predicate in
-    any oracle).
+    any oracle).  ``restrict_ids`` limits pair finding to a doc subset
+    with the frequency cutoff still counted corpus-wide (see
+    :func:`_shared_counts_and_sizes`).
     """
-    shared = _shared_counts_and_sizes(df, id_col, text_col, n, max_doc_freq)
+    shared = _shared_counts_and_sizes(df, id_col, text_col, n, max_doc_freq, restrict_ids)
     return (
         shared.withColumn(
             "jaccard",
@@ -157,11 +160,22 @@ def ngram_jaccard_pairs(
 
 
 def _shared_counts_and_sizes(
-    df: DataFrame, id_col: str, text_col: str, n: int, max_doc_freq: int | None
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_doc_freq: int | None,
+    restrict_ids: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, n_shared, size_a, size_b) over distinct n-gram
     shingle sets — the inverted-index core shared by the Jaccard and
-    containment pair finders (identical plan, different final score)."""
+    containment pair finders (identical plan, different final score).
+
+    ``restrict_ids`` (single-column DataFrame of doc ids) limits pair
+    finding to that subset AFTER the corpus-level frequency cutoff —
+    order matters: doc frequency must be counted over the full corpus
+    or the guard's semantics (and any oracle mirroring it) drift with
+    the subset."""
     sh = exploded_shingles(df, id_col, text_col, n)
     # shuffle 8-byte shingle HASHES, not ~30-byte strings: the join,
     # frequency guard and size agg only need equality, and a 64-bit
@@ -171,6 +185,8 @@ def _shared_counts_and_sizes(
     sh = sh.select("id", F.xxhash64("shingle").alias("shingle"))
     if max_doc_freq is not None:
         sh = df_freq_cutoff(sh, max_doc_freq)
+    if restrict_ids is not None:
+        sh = sh.join(restrict_ids.toDF("id"), "id", "left_semi")
     # the shingle table feeds three consumers (sizes + both join sides);
     # persist it so the tokenizer runs once, not four times
     sh = _persist_scoped(sh)
@@ -560,6 +576,7 @@ def minhash_verified_pairs(
     n: int = 3,
     threshold: float = 0.5,
     num_hashes: int = 32,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """B23 — MinHash-LSH candidates verified by EXACT n-gram Jaccard.
 
@@ -582,6 +599,21 @@ def minhash_verified_pairs(
     high-recall banding trades a bigger candidate set for a provable
     output — use ``minhash_candidates`` defaults (r=2) when a small
     recall loss is acceptable and candidate volume matters more.
+
+    ``max_doc_freq`` is the hot-shingle guard applied CONSISTENTLY to
+    both stages (banding over the guarded shingle sets, exact Jaccard
+    over the same sets, doc frequency always counted over the FULL
+    corpus), so the recall bound and the equality-to-exact guarantee
+    hold verbatim over the guarded sets — mirror the predicate in any
+    oracle, exactly like d02's.  What the guard does and does not buy
+    (measured at sf1): it caps the BOILERPLATE-quadratic class in both
+    stages (a df-9,961 hot phrase alone contributes ~50 M band
+    collisions unguarded — the skew-corpus evidence), but it does NOT
+    shrink r=1 banding's inherent candidate mass — Σ over pairs of
+    32·J — which on the uniform corpus stays ~2.9 M pairs with or
+    without the guard.  That mass is the designed price of the
+    provable-recall mode; it is why this face stays out of the scale
+    bench and ``minhash_candidates`` (r≥2) is the production path.
     """
     cand = minhash_candidates(
         df,
@@ -591,13 +623,18 @@ def minhash_verified_pairs(
         num_hashes=num_hashes,
         bands=num_hashes,  # r=1: recall mode
         jaccard_distance_threshold=1.0,  # keep all candidates; exact verify below
+        max_shingle_doc_freq=max_doc_freq,
     ).select("id_a", "id_b")
-    # exact verification restricted to docs that appear in any candidate
-    # pair (the small set); shingle sizes are per-doc so the restriction
-    # does not change Jaccard values
     ids = cand.select(F.explode(F.array("id_a", "id_b")).alias("__cid")).distinct()
-    docs_c = df.join(ids, F.col(id_col) == F.col("__cid"), "left_semi")
-    exact = ngram_jaccard_pairs(docs_c, id_col, text_col, n=n, threshold=threshold)
+    # exact verification restricted to docs that appear in any candidate
+    # pair (shingle sizes are per-doc, so the restriction does not change
+    # Jaccard values), with the doc-frequency guard still counted over
+    # the FULL corpus so both stages (and the oracle) see the same
+    # guarded shingle sets
+    exact = ngram_jaccard_pairs(
+        df, id_col, text_col, n=n, threshold=threshold,
+        max_doc_freq=max_doc_freq, restrict_ids=ids,
+    )
     return exact.join(cand, ["id_a", "id_b"], "left_semi")
 
 

@@ -1855,13 +1855,22 @@ def d03v_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode banding (r=1, b=32, miss P ≤ (1-J)^32 ≈ 2e-10) plus exact
     verification makes the output deterministic and equal to the exact
     all-pairs result — the driver's oracle can check the approximate
-    pipeline end-to-end."""
+    pipeline end-to-end.  The hot-shingle guard (df > 50 dropped) runs
+    in BOTH stages over full-corpus frequencies and the oracle applies
+    the identical predicate — same discipline as d02, and it bounds the
+    boilerplate-quadratic class a skewed corpus would otherwise hit in
+    the band join AND the verify index.  r=1 banding's inherent
+    candidate mass remains (the designed price of provable recall) —
+    which is why this face is driver-window-only and d03/d02 are the
+    scale paths (bench.py header, BASELINE.md round 6)."""
     fdedup.release_cached()
     docs = load(spark, sf_dir, "documents")
-    return fdedup.minhash_verified_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return fdedup.minhash_verified_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=50
+    )
 
 
-D03V_SQL = _jaccard_oracle_sql(threshold=0.5)
+D03V_SQL = _jaccard_oracle_sql(threshold=0.5, max_doc_freq=50)
 
 
 def d07_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
