@@ -200,6 +200,68 @@ def redact_pii(
     return out.withColumn(out_col, red)
 
 
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic source-weighted corpus mixing: keep each row with
+    its source's sampling rate, decided by a content hash rather than an
+    RNG — the operation that turns "raw crawl + books + code" into a
+    training mixture with chosen proportions.
+
+    A row survives iff the first 8 hex digits of
+    ``md5(id || ':' || salt)`` fall below ``rate`` of the 32-bit hash
+    space (string compare on fixed-width lowercase hex ≡ numeric
+    compare). Properties the training-mix use case needs:
+
+    - **Reproducible & reshard-stable**: a doc's fate follows its id,
+      not file position, RNG seed, or partition count — reruns and
+      engine swaps keep the identical subset (hence the exact DuckDB
+      oracle twin, t15).
+    - **Map-side only**: the filter is one codegen projection; at 100 TB
+      no shuffle, no per-source pass, no count-first planning step.
+    - **Monotone in rate**: raising a source's rate strictly grows its
+      kept set (the kept set at 0.3 ⊂ kept set at 0.5), so mixtures can
+      be re-weighted incrementally without churning previously selected
+      docs — the property incremental training-data refreshes rely on.
+    - **Independent of hash_split**: the hash is salted, because
+      :func:`hash_split` consumes the UNSALTED md5's first digit —
+      sampling on the same bytes would silently empty val/test at rates
+      below 13/16. The salt makes the two decisions orthogonal.
+
+    ``rates`` maps group value → keep-rate in [0, 1]; unlisted groups
+    use ``default_rate``. Adds nothing, drops rows — schema unchanged.
+    """
+    for g, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {g!r} must be in [0,1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0,1], got {default_rate}")
+
+    def _thresh_hex(rate: float) -> str:
+        # keep iff h8 < hex(rate·16⁸). rate=1 → "g", lexicographically
+        # above every hex string (+∞); rate=0 → "00000000", below none.
+        return "g" if rate >= 1.0 else format(int(rate * 16**8), "08x")
+
+    h8 = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))), 1, 8
+    )
+    expr = None
+    for g, r in rates.items():
+        cond = F.col(group_col) == F.lit(g)
+        expr = F.when(cond, F.lit(_thresh_hex(r))) if expr is None else expr.when(
+            cond, F.lit(_thresh_hex(r))
+        )
+    thresh = F.lit(_thresh_hex(default_rate)) if expr is None else expr.otherwise(
+        F.lit(_thresh_hex(default_rate))
+    )
+    return df.filter(h8 < thresh)
+
+
 def pack_shards(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -2180,6 +2180,46 @@ GROUP BY doc_id
 """
 
 
+def t15_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation — deterministic source-weighted mixing (round 6,
+    corpus.mixture_sample): each source keeps a chosen fraction of its
+    docs, decided by a salted content hash (first 8 hex digits of
+    md5(id||':mix') < rate·16⁸) instead of an RNG — reproducible,
+    reshard-stable, map-side-only, and monotone in the rate so mixtures
+    can be re-weighted without churning previously kept docs. The salt
+    keeps the decision orthogonal to hash_split's unsalted first digit.
+    src0 is downweighted to 50%, src1 to 25%, src2 dropped entirely,
+    everything else kept at 75%; the report aggregates per source so
+    the oracle verifies the exact kept subset (sum of ids and chars)."""
+    docs = load(spark, sf_dir, "documents")
+    mixed = fcorpus.mixture_sample(
+        docs,
+        rates={"src0": 0.5, "src1": 0.25, "src2": 0.0},
+        group_col="source",
+        id_col="doc_id",
+        default_rate=0.75,
+    )
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
+T15_SQL = """
+SELECT source, COUNT(*) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8) <
+      CASE source WHEN 'src0' THEN '80000000'
+                  WHEN 'src1' THEN '40000000'
+                  WHEN 'src2' THEN '00000000'
+                  ELSE 'c0000000' END
+GROUP BY source
+"""
+
+
 def t05_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B25 — polynomial rolling-hash document fingerprint (the
     cross-engine oracle twin).  Oracle-checked since round 3: the
@@ -4215,6 +4255,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t11_normalize": t11_normalize,
     "t12_pack_shards": t12_pack_shards,
     "t14_surprisal": t14_surprisal,
+    "t15_mixture": t15_mixture,
     "t13_repetition": t13_repetition,
     "b28_percentile": b28_percentile,
     "b28a_approx_percentile": b28a_approx_percentile,
@@ -4376,6 +4417,7 @@ ORACLE_SQL: dict[str, str] = {
     "t12_pack_shards": T12_SQL,
     "t13_repetition": T13_SQL,
     "t14_surprisal": T14_SQL,
+    "t15_mixture": T15_SQL,
     # rows-only (approximate / engine-specific RNG or hash): b17_sample,
     # d03_minhash, d04_simhash, s02_lsh_topk, d05_embedding_neardup —
     # each now has an oracle-checked sibling (d03v/d04v/s02v) or is

@@ -377,6 +377,42 @@ def test_hash_split_rejects_bad_spec(spark):
         fcorpus.hash_split(df, "doc_id", buckets={"train": 10, "val": 2})
 
 
+def test_mixture_sample_monotone_and_stable(spark, sf_dir):
+    """Raising a source's rate strictly grows its kept set (the property
+    incremental mix re-weights rely on); rate 0 keeps nothing, rate 1
+    keeps everything; assignment is content-addressed (repartition-
+    stable); and the salted hash is independent of hash_split — at
+    rate 0.5 every split must still be represented (the unsalted hash
+    would empty val/test, whose buckets are the top 3/16 of digit 1)."""
+    from etlbigdata_spark import workload
+    from etlbigdata_spark.functions import corpus as fcorpus
+
+    docs = workload.load(spark, sf_dir, "documents")
+    ids = lambda df: {r["doc_id"] for r in df.select("doc_id").collect()}  # noqa: E731
+    lo = ids(fcorpus.mixture_sample(docs, {"src0": 0.3}, default_rate=0.3))
+    hi = ids(fcorpus.mixture_sample(docs, {"src0": 0.6}, default_rate=0.6))
+    assert lo < hi  # strict: monotone in rate and genuinely growing
+    assert ids(fcorpus.mixture_sample(docs, {}, default_rate=0.0)) == set()
+    assert ids(fcorpus.mixture_sample(docs, {}, default_rate=1.0)) == ids(docs)
+    again = ids(fcorpus.mixture_sample(docs.repartition(7), {"src0": 0.3}, default_rate=0.3))
+    assert again == lo
+    kept_half = fcorpus.mixture_sample(docs, {}, default_rate=0.5)
+    splits = {
+        r["split"] for r in fcorpus.hash_split(kept_half, "doc_id").select("split").collect()
+    }
+    assert splits == {"train", "val", "test"}
+
+
+def test_mixture_sample_rejects_bad_rate(spark):
+    from etlbigdata_spark.functions import corpus as fcorpus
+
+    df = spark.createDataFrame([(1, "a")], "doc_id int, source string")
+    with pytest.raises(ValueError):
+        fcorpus.mixture_sample(df, {"a": 1.5})
+    with pytest.raises(ValueError):
+        fcorpus.mixture_sample(df, {}, default_rate=-0.1)
+
+
 def test_quota_sample_prefilter_lossless_when_active(spark, sf_dir):
     """k=3, safety=2 over ~100-doc language groups: keep_frac ≈ 6 % so
     the hash prefilter is genuinely cutting rows; the result must still
