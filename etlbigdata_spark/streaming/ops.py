@@ -578,6 +578,81 @@ def stateful_running_agg_tws(
     )
 
 
+# -- state-store backend (B22 at scale) -------------------------------
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def rocksdb_state_conf(
+    changelog_checkpointing: bool = True,
+    bounded_memory_mb: int | None = None,
+) -> dict[str, str]:
+    """Session conf selecting the RocksDB state store — the backend a
+    long-running stateful pipeline needs at scale, where the default
+    HDFS-backed provider does not survive: that one keeps every key's
+    state AS JVM HEAP OBJECTS (state size is bounded by executor heap,
+    and full-state HDFS snapshots per checkpoint), while RocksDB keeps
+    state off-heap + on local SSD, so per-executor state can exceed
+    memory by orders of magnitude with bounded GC.
+
+    ``changelog_checkpointing=True`` checkpoints only each batch's
+    CHANGES (plus periodic compacted snapshots) instead of re-uploading
+    the full store — the difference between O(state) and O(delta)
+    checkpoint commits once state reaches the tens of GB a years-long
+    SCD2/dedup stream accumulates.  ``bounded_memory_mb`` caps the
+    total RocksDB block-cache + memtable budget per executor (soft
+    limit, shared across all loaded state stores) for mixed workloads
+    that must protect the JVM from native allocation growth.
+
+    The provider is read PER QUERY at start and then pinned by the
+    checkpoint: apply these confs before ``start()`` (tests use
+    :func:`session_confs`), and never switch providers on an existing
+    checkpoint — Spark refuses the mismatch.  Every stateful operator
+    in this module (windowed aggs, dropDuplicates*, applyInPandasWithState,
+    stream-stream joins) runs unchanged on either backend; the
+    equivalence and the restart-recovery property are pinned by the
+    RocksDB tests in ``tests/test_streaming.py``.
+    """
+    conf = {"spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER}
+    conf["spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"] = (
+        "true" if changelog_checkpointing else "false"
+    )
+    if bounded_memory_mb is not None:
+        conf["spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage"] = "true"
+        conf["spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB"] = str(
+            bounded_memory_mb
+        )
+    return conf
+
+
+def session_confs(spark: SparkSession, confs: dict[str, str]):
+    """Context manager: set session confs, restore prior values on exit
+    (unset keys are restored to unset).  For per-query settings like the
+    state store provider that are read from the session at ``start()``."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        prior: dict[str, str | None] = {}
+        for k, v in confs.items():
+            try:
+                prior[k] = spark.conf.get(k)
+            except Exception:
+                prior[k] = None
+            spark.conf.set(k, v)
+        try:
+            yield spark
+        finally:
+            for k, old in prior.items():
+                if old is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, old)
+
+    return _cm()
+
+
 # -- sinks (B19) ------------------------------------------------------
 def write_stream_memory(df: DataFrame, name: str, output_mode: str = "complete"):
     """Memory sink for tests/goldens."""

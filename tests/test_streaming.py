@@ -932,3 +932,101 @@ def test_idle_timeout_survives_checkpoint_restart(spark, tmp_path):
     assert upserts[(1, _ts(12, 0))] == (1.0, None, True)  # fresh open interval:
     # a heartbeat would NOT have re-emitted with a new valid_from, so this
     # proves the recovered timer evicted the state after the restart
+
+
+def test_rocksdb_state_store_matches_default(spark, stream_dir, tmp_path):
+    """B22 at scale — the RocksDB state store (off-heap + local-disk
+    state, changelog checkpoints; the backend a 100 TB stateful stream
+    runs on, where the default provider's state-as-heap-objects dies)
+    must be a drop-in: the applyInPandasWithState running agg replayed
+    under ``rocksdb_state_conf()`` yields exactly the default-provider
+    result, and the provider is verifiably active (RocksDB SST/log
+    files appear under the checkpoint's state dir)."""
+    confs = ops.rocksdb_state_conf()
+    with ops.session_confs(spark, confs):
+        assert (
+            spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+            == ops.ROCKSDB_PROVIDER
+        )
+        stream = ops.read_file_stream(spark, stream_dir, EVENT_SCHEMA)
+        running = ops.stateful_running_agg(stream, "user_id", "value", "ts")
+        _replay(
+            ops.write_stream_memory(running, "rocksdb_state", "update"),
+            tmp_path,
+            "rocksdb_state",
+        )
+    # conf restored after the context
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        != ops.ROCKSDB_PROVIDER
+    )
+    final = {}
+    for r in spark.table("rocksdb_state").collect():
+        final[r["key"]] = (r["running_sum"], r["running_count"])
+    # identical to test_stateful_running_agg's default-provider golden
+    assert final[1] == (7.0, 3)
+    assert final[2] == (13.0, 3)
+    # the provider actually engaged: RocksDB changelog/snapshot artifacts
+    # live under <ckpt>/state/** (.changelog with changelogCheckpointing,
+    # .zip snapshots otherwise) — the default provider writes .delta
+    import glob as _glob
+
+    state_files = _glob.glob(str(tmp_path / "ckpt_rocksdb_state" / "state" / "**" / "*.*"), recursive=True)
+    exts = {f.rsplit(".", 1)[-1] for f in state_files}
+    assert "changelog" in exts or "zip" in exts, f"no RocksDB artifacts: {sorted(exts)}"
+    assert "delta" not in exts, "default HDFS-backed provider artifacts present"
+
+
+def test_rocksdb_scd2_recovery_across_restart(spark, tmp_path):
+    """The restart-recovery property proven for the default provider
+    (test_stateful_scd2_state_recovery_across_restart) must hold when
+    state lives in RocksDB: stop after two batches, restart from the
+    same checkpoint — run 2 closes an interval whose valid_from only
+    the RECOVERED RocksDB state could know, and the merged upserts
+    equal the batch operator over all data."""
+    from etlbigdata_spark.operators import cleaning
+
+    d = tmp_path / "rdb_src"
+    d.mkdir()
+    b0 = [(1, _ts(9, 0), 1, 1.0), (2, _ts(9, 0), 2, 5.0)]
+    b1 = [(3, _ts(9, 30), 1, 1.0)]
+    b2 = [(4, _ts(10, 0), 1, 2.0), (5, _ts(10, 0), 2, 5.0)]
+    import os
+    import time
+
+    now = time.time()
+    for i, batch in enumerate([b0, b1]):
+        _write_batch(d / f"b{i}.parquet", batch)
+        os.utime(d / f"b{i}.parquet", (now - 100 + i,) * 2)
+
+    ckpt = str(tmp_path / "rdb_ckpt")
+
+    def drain():
+        rows = []
+        with ops.session_confs(spark, ops.rocksdb_state_conf()):
+            stream = ops.read_file_stream(spark, str(d), EVENT_SCHEMA)
+            hist = ops.stateful_scd2(stream, "user_id", "value", "ts")
+            w = ops.write_stream_foreach_batch(
+                hist, lambda bdf, _epoch: rows.extend(bdf.collect()), "update"
+            )
+            ops.run_available_now(w, ckpt)
+        return rows
+
+    upserts = {}
+    for r in drain():
+        upserts[(r.user_id, r.valid_from)] = (r.value, r.valid_to, r.is_current)
+    run1_keys = set(upserts)
+
+    _write_batch(d / "b2.parquet", b2)
+    os.utime(d / "b2.parquet", (now,) * 2)
+    for r in drain():  # restart: state recovered from the RocksDB checkpoint
+        upserts[(r.user_id, r.valid_from)] = (r.value, r.valid_to, r.is_current)
+
+    batch_df = spark.createDataFrame(b0 + b1 + b2, EVENT_SCHEMA)
+    expected = {
+        (r.user_id, r.valid_from): (r.value, r.valid_to, r.is_current)
+        for r in cleaning.scd2_history(batch_df, ["user_id"], "ts", ["value"]).collect()
+    }
+    assert upserts == expected
+    assert (1, _ts(9, 0)) in run1_keys
+    assert upserts[(1, _ts(9, 0))] == (1.0, _ts(10, 0), False)
