@@ -2052,6 +2052,23 @@ def s03_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fsim.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4, round_to=6)
 
 
+def s04_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24 — distributed Lloyd's k-means over the embedding corpus
+    (fsim.kmeans_fit): BLAS argmin assignment map-side, per-dimension
+    codegen avg update (per-iteration shuffle is k×d doubles,
+    corpus-size independent), deterministic hash-ordered init.  Reports
+    per-cluster membership counts.  Rows-only by design: the fit is
+    ITERATIVE (no single-statement SQL oracle exists) and mean floats
+    accumulate in partition order; correctness is proven in
+    tests/test_recall.py against a same-init numpy reference, the
+    Lloyd's monotone-inertia invariant, and repartition stability."""
+    emb = load(spark, sf_dir, "embeddings")
+    _, assigned, _ = fsim.kmeans_fit(emb, k=8, iters=3)
+    return assigned.groupBy("centroid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+    ).orderBy("centroid")
+
+
 def t11_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B25 — canonical text normalization (ftext.normalize_text_col):
     lowercase / punctuation-to-space / whitespace-collapse / trim as
@@ -4258,6 +4275,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a13_split_merge": a13_split_merge,
     "s02_lsh_topk": s02_lsh_topk,
     "s03_ivf_topk": s03_ivf_topk,
+    "s04_kmeans": s04_kmeans,
     "t05_fingerprint": t05_fingerprint,
     "t11_normalize": t11_normalize,
     "t12_pack_shards": t12_pack_shards,
@@ -4428,5 +4446,7 @@ ORACLE_SQL: dict[str, str] = {
     # rows-only (approximate / engine-specific RNG or hash): b17_sample,
     # d03_minhash, d04_simhash, s02_lsh_topk, d05_embedding_neardup —
     # each now has an oracle-checked sibling (d03v/d04v/s02v) or is
-    # RNG-by-design (b17)
+    # RNG-by-design (b17); s04_kmeans is iterative (no single-statement
+    # SQL oracle), proven against a same-init numpy reference +
+    # Lloyd's invariants in tests/test_recall.py
 }

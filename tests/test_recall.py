@@ -483,3 +483,81 @@ def test_containment_dominates_jaccard(docs):
         cns, csa, csb, c = cont[key]
         assert (cns, csa, csb) == (ns, sa, sb)  # shared core agrees
         assert c >= j - 1e-9, f"containment {c} < jaccard {j} for {key}"
+
+
+def test_kmeans_inertia_monotone_on_real_embeddings(emb):
+    """Lloyd's invariant: within-cluster sum of squares is non-increasing
+    across iterations (each assign step and each mean step can only
+    lower it); the final assignment covers the corpus with k clusters."""
+    cents, assigned, hist = fsim.kmeans_fit(emb, k=8, iters=4)
+    assert len(hist) == 4
+    assert all(b <= a + 1e-6 for a, b in zip(hist, hist[1:])), hist
+    assert hist[-1] < hist[0]  # real data, sampled init: must actually improve
+    assert assigned.count() == emb.count()
+    assert len(cents) == 8 and len(cents[0]) == len(emb.first()["embedding"])
+
+
+def test_kmeans_matches_numpy_reference(spark):
+    """Same init, same iteration count, well-separated blobs: the
+    distributed Lloyd's must land on the numpy reference's centroids
+    (allclose) and the identical assignment."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    blobs = np.concatenate(
+        [rng.normal(loc=c, scale=0.05, size=(40, 4)) for c in (-10.0, 0.0, 10.0)]
+    )
+    rows = [(i, [float(x) for x in blobs[i]]) for i in range(len(blobs))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents, assigned, hist = fsim.kmeans_fit(df, k=3, iters=3)
+
+    # numpy reference with the SAME deterministic init (hash-ordered sample)
+    init_ids = [
+        r["vec_id"]
+        for r in df.select("vec_id").orderBy(F.xxhash64("vec_id")).limit(3).collect()
+    ]
+    C = blobs[init_ids].astype(np.float64)
+    X = blobs.astype(np.float64)
+    for _ in range(3):
+        a = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+        for c in range(3):
+            if (a == c).any():
+                C[c] = X[a == c].mean(0)
+    ref_assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+
+    assert np.allclose(np.array(cents), C, atol=1e-9)
+    got = {r["vec_id"]: r["centroid"] for r in assigned.collect()}
+    assert all(got[i] == ref_assign[i] for i in range(len(blobs)))
+    # blob structure recovered: each cluster is pure
+    by_cluster = {}
+    for i in range(len(blobs)):
+        by_cluster.setdefault(got[i], set()).add(i // 40)
+    assert all(len(v) == 1 for v in by_cluster.values())
+
+
+def test_kmeans_repartition_stable(spark):
+    """Content-addressed init + per-dimension avg: on well-separated
+    data the fit is invariant to input partitioning (float partial-sum
+    order can move means by ulps, which separation absorbs)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    blobs = np.concatenate(
+        [rng.normal(loc=c, scale=0.1, size=(50, 8)) for c in (-5.0, 5.0)]
+    )
+    rows = [(i, [float(x) for x in blobs[i]]) for i in range(len(blobs))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    _, a1, h1 = fsim.kmeans_fit(df, k=2, iters=3)
+    _, a2, h2 = fsim.kmeans_fit(df.repartition(7), k=2, iters=3)
+    m1 = {r["vec_id"]: r["centroid"] for r in a1.collect()}
+    m2 = {r["vec_id"]: r["centroid"] for r in a2.collect()}
+    assert m1 == m2
+    assert all(abs(x - y) < 1e-6 for x, y in zip(h1, h2))
+
+
+def test_kmeans_rejects_bad_params(emb):
+    with pytest.raises(ValueError):
+        fsim.kmeans_fit(emb, k=0)
+    with pytest.raises(ValueError):
+        fsim.kmeans_fit(emb, k=2, iters=-1)
