@@ -146,6 +146,7 @@ class Engine:
         "lsh": fsim.lsh_topk,
         "lsh_verified": fsim.lsh_verified_topk,
         "ivf": fsim.ivf_topk,
+        "sq8": fsim.cosine_topk_quantized,  # corpus must be pre-quantized
     }
 
     def similar_topk(
@@ -156,6 +157,12 @@ class Engine:
         if method not in self._TOPK:
             raise ValueError(f"method must be one of {sorted(self._TOPK)}")
         return self._TOPK[method](corpus, queries, k=k, **kw)
+
+    def quantize_embeddings(self, corpus: DataFrame, **kw) -> DataFrame:
+        """SQ8 scalar quantization of an embedding column (4–8× smaller
+        scans); search the result with similar_topk(method='sq8');
+        see functions/similarity.quantize_embeddings."""
+        return fsim.quantize_embeddings(corpus, **kw)
 
     def cluster_embeddings(
         self, corpus: DataFrame, k: int = 16, iters: int = 5, **kw

@@ -542,3 +542,113 @@ def kmeans_fit(
         history.append(float(sum_sq - (n_by_c * (C * C).sum(axis=1)).sum()))
         assigned = _assign_nearest(corpus, C, vec_col)
     return [list(map(float, row)) for row in C], assigned, history
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    q_col: str = "emb_q",
+    scale_col: str = "emb_scale",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Scalar int8 quantization (SQ8) of an embedding column — the
+    storage/scan shape ANN runs at corpus scale: each float32/64 vector
+    becomes ``array<tinyint>`` plus one per-vector float scale, a 4–8×
+    smaller column whose parquet scan cost shrinks proportionally.
+
+    Per-vector symmetric max-abs scaling: ``q_j = round(x_j·127/s)``
+    with ``s = max|x_j|`` (so every component lands in [−127, 127] and
+    the reconstruction ``x̂_j = q_j·s/127`` has per-component error
+    ≤ s/254).  The scale rides WITH the vector, so quantization is
+    map-side only — no corpus pass to fit a codebook, no shuffle, and
+    re-sharding cannot change any vector's encoding.  Zero vectors get
+    scale 1.0 (all-zero codes).  Arrow-batched numpy, one batch = one
+    vectorized round.
+
+    ``keep_vec=False`` (default) drops the float column — the point of
+    the exercise at 100 TB; pass True for side-by-side recall tests.
+    Search with :func:`cosine_topk_quantized`; recall vs the exact path
+    is pinned in tests (cosine ordering is scale-invariant, so SQ8
+    cosine error is bounded by the per-component bound above).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    out_t = T.StructType(
+        [
+            T.StructField("q", T.ArrayType(T.ByteType())),
+            T.StructField("s", T.FloatType()),
+        ]
+    )
+
+    def _quant(v):  # pd.Series -> pd.DataFrame; hints stringified by
+        # `from __future__ import annotations`, so none (same as b18)
+        X = np.array(v.tolist(), dtype=np.float64)  # B×d
+        s = np.abs(X).max(axis=1)  # B
+        s[s == 0.0] = 1.0
+        q = np.rint(X * (127.0 / s)[:, None]).astype(np.int8)
+        return pd.DataFrame({"q": list(q), "s": s.astype(np.float32)})
+
+    quant = pandas_udf(_quant, returnType=out_t)
+    out = df.withColumn("__qs", quant(F.col(vec_col))).withColumn(
+        q_col, F.col("__qs.q")
+    ).withColumn(scale_col, F.col("__qs.s")).drop("__qs")
+    return out if keep_vec else out.drop(vec_col)
+
+
+def cosine_topk_quantized(
+    corpus_q: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    q_col: str = "emb_q",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Brute-force cosine top-k over an SQ8-quantized corpus
+    (:func:`quantize_embeddings`) — same single-scan, no-vector-shuffle,
+    per-batch-cut plan as :func:`cosine_topk`, scored directly on the
+    int8 CODES: cosine is scale-invariant, so the per-vector scales
+    cancel exactly and ``cos(x̂, ŷ) = (qₓ·q_y)/(‖qₓ‖‖q_y‖)`` — the
+    reconstruction never happens and the scale column is never read
+    (it exists for L2/reconstruction consumers).  The matmul
+    accumulates integer values in float64, which is exact for int8
+    products, so the score is bit-deterministic across partitionings.
+
+    ``queries`` arrive as FLOAT vectors (``vec_col``) and are quantized
+    with the same encoder driver-side, so index and probe share one
+    contract.  Approximate only through quantization (per-component
+    error ≤ s/254); recall@k vs the exact float path is pinned in
+    tests.  Returned ``cosine`` is the quantized estimate.
+    """
+    import numpy as np
+
+    c = corpus_q.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(q_col).cast("array<double>").alias("__cvec"),
+    )
+    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    qm = np.array([list(r[vec_col]) for r in qrows], dtype=np.float64)
+    s = np.abs(qm).max(axis=1)
+    s[s == 0.0] = 1.0
+    qq = np.rint(qm * (127.0 / s)[:, None])  # quantized codes, float64-exact
+    qid_t = queries.schema[id_col].dataType.simpleString()
+    q = c.sparkSession.createDataFrame(
+        [(r[id_col], [float(x) for x in qq[i]]) for i, r in enumerate(qrows)],
+        f"query_id {qid_t}, __qvec array<double>",
+    )
+    scored = _matmul_scores(c, q, k=k, round_to=round_to, include_self=False)
+    scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    cos = F.col("cosine")
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    scored = scored.select("query_id", "neighbor_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -2069,6 +2069,21 @@ def s04_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("centroid")
 
 
+def s05_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24 — SQ8 scalar-quantized ANN (fsim.quantize_embeddings +
+    cosine_topk_quantized): the corpus embedding column becomes
+    array<tinyint> + one float scale (4–8× smaller scan at corpus
+    scale), and cosine runs directly on the codes — scale-invariance
+    cancels the per-vector scales exactly.  Rows-only by design
+    (quantized scores are estimates; no SQL twin adds signal) — the
+    recall@5 ≥ 0.9 bound vs the exact float path and the SQ8 error
+    contract are pinned in tests/test_recall.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus_q = fsim.quantize_embeddings(emb)
+    return fsim.cosine_topk_quantized(corpus_q, queries, k=5, round_to=6)
+
+
 def t11_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B25 — canonical text normalization (ftext.normalize_text_col):
     lowercase / punctuation-to-space / whitespace-collapse / trim as
@@ -4276,6 +4291,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s02_lsh_topk": s02_lsh_topk,
     "s03_ivf_topk": s03_ivf_topk,
     "s04_kmeans": s04_kmeans,
+    "s05_quantized_topk": s05_quantized_topk,
     "t05_fingerprint": t05_fingerprint,
     "t11_normalize": t11_normalize,
     "t12_pack_shards": t12_pack_shards,
@@ -4448,5 +4464,7 @@ ORACLE_SQL: dict[str, str] = {
     # each now has an oracle-checked sibling (d03v/d04v/s02v) or is
     # RNG-by-design (b17); s04_kmeans is iterative (no single-statement
     # SQL oracle), proven against a same-init numpy reference +
-    # Lloyd's invariants in tests/test_recall.py
+    # Lloyd's invariants in tests/test_recall.py; s05_quantized_topk
+    # scores on int8 codes (estimate by design), recall-bounded vs the
+    # exact path in tests/test_recall.py
 }

@@ -123,7 +123,7 @@ def test_driver_window_covers_expected_components():
 def test_registry_counts_match_documentation():
     """README/COVERAGE cite these exact counts (round-3 verdict flagged
     drift); changing the registry must update the docs with it."""
-    assert len(workload.QUERIES) == 131
+    assert len(workload.QUERIES) == 132
     assert len(workload.ORACLE_SQL) == 121
 
 

@@ -561,3 +561,59 @@ def test_kmeans_rejects_bad_params(emb):
         fsim.kmeans_fit(emb, k=0)
     with pytest.raises(ValueError):
         fsim.kmeans_fit(emb, k=2, iters=-1)
+
+
+def test_quantize_embeddings_error_bound_and_shape(emb):
+    """SQ8 contract: codes in [-127,127], per-component reconstruction
+    error ≤ scale/254 + float32-scale slack, zero vectors get scale 1.0
+    and all-zero codes, and the encoding is map-side deterministic
+    (repartition-stable)."""
+    import numpy as np
+
+    q = fsim.quantize_embeddings(emb, keep_vec=True)
+    rows = q.select("vec_id", "embedding", "emb_q", "emb_scale").collect()
+    assert len(rows) == emb.count()
+    for r in rows[:100]:
+        x = np.array(list(r["embedding"]), dtype=np.float64)
+        code = np.array(list(r["emb_q"]), dtype=np.float64)
+        s = float(r["emb_scale"])
+        assert np.abs(code).max() <= 127
+        recon = code * s / 127.0
+        # s is stored float32: allow one float32 ulp of s on top of s/254
+        assert np.abs(recon - x).max() <= s / 254.0 + np.spacing(np.float32(s))
+    again = fsim.quantize_embeddings(emb.repartition(7), keep_vec=True).collect()
+    m1 = {r["vec_id"]: list(r["emb_q"]) for r in rows}
+    m2 = {r["vec_id"]: list(r["emb_q"]) for r in again}
+    assert m1 == m2
+    # dropped float column on the default path
+    assert "embedding" not in fsim.quantize_embeddings(emb).columns
+
+
+def test_quantize_zero_vector(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: (list(r["emb_q"]), r["emb_scale"])
+           for r in fsim.quantize_embeddings(df).collect()}
+    assert got[1] == ([0, 0, 0], 1.0)
+    assert got[2][0][1] == -127  # max-abs component saturates exactly
+
+
+def test_quantized_topk_recall_vs_exact(emb):
+    """SQ8 search must be a near-drop-in for the exact path at d=64:
+    recall@5 ≥ 0.9 against float cosine, scored on the int8 codes alone
+    (the scale column is never read — cosine is scale-invariant)."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = fsim.cosine_topk(emb, queries, k=5, round_to=6).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    corpus_q = fsim.quantize_embeddings(emb)
+    approx = fsim.cosine_topk_quantized(corpus_q, queries, k=5, round_to=6).collect()
+    got = {}
+    for r in approx:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth]
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.9, f"SQ8 recall@5 {avg:.2f}"
