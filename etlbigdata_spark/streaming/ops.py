@@ -653,6 +653,52 @@ def session_confs(spark: SparkSession, confs: dict[str, str]):
     return _cm()
 
 
+def read_state(
+    spark: SparkSession,
+    checkpoint_dir: str,
+    batch_id: int | None = None,
+    operator_id: int | None = None,
+    store_name: str | None = None,
+    join_side: str | None = None,
+) -> DataFrame:
+    """Read a streaming query's STATE STORE as a batch DataFrame
+    (Spark 4 ``statestore`` data source) — the operational window into a
+    long-running stateful pipeline that otherwise exists only inside the
+    checkpoint: inspect per-key state of a years-old SCD2/dedup/agg
+    stream, audit state size and key skew, debug one stuck key, or
+    verify an eviction actually happened — all WITHOUT stopping the
+    query (the reader works off committed checkpoint batches, never the
+    live store).
+
+    Returns ``(key struct, value struct, partition_id)`` rows — key and
+    value schemas are the operator's grouping key and state schema.
+    ``batch_id`` time-travels to the state as of that committed batch
+    (default: latest); ``operator_id``/``store_name``/``join_side``
+    select the store when a query has several stateful operators or a
+    stream-stream join.  Discover those with :func:`read_state_metadata`.
+    At scale the read is partition-parallel over the store's shuffle
+    partitions — state never funnels through the driver."""
+    r = spark.read.format("statestore")
+    if batch_id is not None:
+        r = r.option("batchId", batch_id)
+    if operator_id is not None:
+        r = r.option("operatorId", operator_id)
+    if store_name is not None:
+        r = r.option("storeName", store_name)
+    if join_side is not None:
+        r = r.option("joinSide", join_side)
+    return r.load(checkpoint_dir)
+
+
+def read_state_metadata(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+    """The checkpoint's operator/state-store catalog (Spark 4
+    ``state-metadata`` source): one row per stateful operator with its
+    store name, partition count, and committed batch range — the
+    discovery step before :func:`read_state`, and the quick answer to
+    "which batches can I still time-travel to"."""
+    return spark.read.format("state-metadata").load(checkpoint_dir)
+
+
 # -- sinks (B19) ------------------------------------------------------
 def write_stream_memory(df: DataFrame, name: str, output_mode: str = "complete"):
     """Memory sink for tests/goldens."""

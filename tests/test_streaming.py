@@ -1030,3 +1030,53 @@ def test_rocksdb_scd2_recovery_across_restart(spark, tmp_path):
     assert upserts == expected
     assert (1, _ts(9, 0)) in run1_keys
     assert upserts[(1, _ts(9, 0))] == (1.0, _ts(10, 0), False)
+
+
+def test_state_reader_inspects_scd2_state(spark, tmp_path):
+    """Operational surface: the statestore batch reader exposes a
+    stateful query's per-key state from the checkpoint alone — the
+    SCD2 stream's recovered (attrs, since) tuple per user must match
+    the open intervals the stream emitted, and state-metadata must
+    catalog the operator with its committed batch range."""
+    d = tmp_path / "sr_src"
+    d.mkdir()
+    b0 = [(1, _ts(9, 0), 1, 1.0), (2, _ts(9, 0), 2, 5.0)]
+    b1 = [(3, _ts(10, 0), 1, 2.0)]  # user 1 changes: open interval moves
+    import os
+    import time
+
+    now = time.time()
+    for i, batch in enumerate([b0, b1]):
+        _write_batch(d / f"b{i}.parquet", batch)
+        os.utime(d / f"b{i}.parquet", (now - 100 + i,) * 2)
+    ckpt = str(tmp_path / "sr_ckpt")
+    rows = []
+    stream = ops.read_file_stream(spark, str(d), EVENT_SCHEMA)
+    hist = ops.stateful_scd2(stream, "user_id", "value", "ts")
+    ops.run_available_now(
+        ops.write_stream_foreach_batch(
+            hist, lambda bdf, _e: rows.extend(bdf.collect()), "update"
+        ),
+        ckpt,
+    )
+
+    meta = ops.read_state_metadata(spark, ckpt).collect()
+    assert len(meta) == 1
+    assert meta[0]["operatorName"] == "applyInPandasWithState"
+    assert meta[0]["maxBatchId"] == 1  # two files, maxFilesPerTrigger=1
+
+    state = ops.read_state(spark, ckpt).collect()
+    got = {
+        r["key"]["user_id"]: (r["value"]["groupState"]["a0"], r["value"]["groupState"]["since"])
+        for r in state
+    }
+    # state per key = the OPEN interval's (attr value, valid_from)
+    assert got == {1: (2.0, _ts(10, 0)), 2: (5.0, _ts(9, 0))}
+
+    # time travel: as of batch 0, user 1's open interval was still 1.0@9:00
+    state0 = ops.read_state(spark, ckpt, batch_id=0).collect()
+    got0 = {
+        r["key"]["user_id"]: (r["value"]["groupState"]["a0"], r["value"]["groupState"]["since"])
+        for r in state0
+    }
+    assert got0 == {1: (1.0, _ts(9, 0)), 2: (5.0, _ts(9, 0))}
