@@ -1080,3 +1080,69 @@ def test_state_reader_inspects_scd2_state(spark, tmp_path):
         for r in state0
     }
     assert got0 == {1: (1.0, _ts(9, 0)), 2: (5.0, _ts(9, 0))}
+
+
+def test_jdbc_exactly_once_sink_under_crash_replay(spark, tmp_path):
+    """JDBC has no _spark_metadata manifest, so a torn failure (sink
+    write committed, checkpoint commit lost) makes plain append
+    duplicate the replayed batch; jdbc_exactly_once_sink's
+    delete-then-insert on the batch id must converge instead.  Tear the
+    newest commit marker after a completed run, restart, and require
+    the table to equal the uninterrupted expectation with NO duplicate
+    rows — while a plain-append control on the same torn checkpoint
+    shape DOES duplicate (proving the tear exercises the window)."""
+    import os
+
+    from etlbigdata_spark.sources import readers
+
+    d = tmp_path / "eo_src"
+    d.mkdir()
+    rows = [
+        [(1, _ts(10, 0), 1, 1.0), (2, _ts(10, 1), 2, 2.0)],
+        [(3, _ts(10, 2), 1, 3.0)],
+    ]
+    import time
+
+    now = time.time()
+    for i, batch in enumerate(rows):
+        _write_batch(d / f"f{i}.parquet", batch)
+        os.utime(d / f"f{i}.parquet", (now - 100 + i,) * 2)
+
+    url = f"jdbc:derby:{tmp_path}/eo_db;create=true"
+
+    def run(sink_fn, ckpt):
+        stream = ops.read_file_stream(spark, str(d), EVENT_SCHEMA, max_files_per_trigger=1)
+        out = stream.select("event_id", "user_id", "value")
+        ops.run_available_now(ops.write_stream_foreach_batch(out, sink_fn, "append"), ckpt)
+
+    def tear(ckpt):
+        commits = sorted(c for c in os.listdir(os.path.join(ckpt, "commits")) if not c.startswith("."))
+        os.remove(os.path.join(ckpt, "commits", commits[-1]))
+        crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+
+    # exactly-once sink: run, tear, replay -> no duplicates
+    ckpt = str(tmp_path / "eo_ckpt")
+    sink = ops.jdbc_exactly_once_sink(url, "eo_events")
+    run(sink, ckpt)
+    tear(ckpt)
+    run(sink, ckpt)
+    back = readers.read_jdbc(spark, url, "eo_events").collect()
+    assert sorted((r["event_id"], r["user_id"], r["value"]) for r in back) == [
+        (1, 1, 1.0), (2, 2, 2.0), (3, 1, 3.0),
+    ]
+    # batch ids rode along (the consumer-side filter handle)
+    assert {r["__batch_id"] for r in back} == {0, 1}
+
+    # control: plain append through the same torn-checkpoint sequence
+    # DOES duplicate batch 1 — the window is real, not hypothetical
+    from etlbigdata_spark.sources import writers
+
+    ckpt2 = str(tmp_path / "plain_ckpt")
+    plain = lambda df, _e: writers.write_jdbc(df, url, "plain_events", mode="append")  # noqa: E731
+    run(plain, ckpt2)
+    tear(ckpt2)
+    run(plain, ckpt2)
+    n = readers.read_jdbc(spark, url, "plain_events").count()
+    assert n == 4  # 3 rows + the replayed batch's duplicate
