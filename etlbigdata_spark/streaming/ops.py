@@ -768,6 +768,47 @@ def jdbc_exactly_once_sink(
     return sink
 
 
+def foreach_batch_enriched(
+    sink_fn: Callable[[DataFrame, int], None],
+    spark: SparkSession,
+    dim_path: str,
+    on: "str | list[str]",
+    how: str = "left",
+    fmt: str = "parquet",
+    dim_transform: "Callable[[DataFrame], DataFrame] | None" = None,
+    broadcast_dim: bool = True,
+) -> Callable[[DataFrame, int], None]:
+    """Wrap a foreachBatch sink so every micro-batch joins a FRESHLY
+    re-read dimension before delivery — the slowly-changing-dimension
+    enrichment pattern a plain stream-static join silently gets wrong:
+    a static DataFrame's file listing is resolved ONCE at query start,
+    so dimension rows added after ``start()`` never appear (pinned by
+    the control in tests), which on a weeks-running stream means
+    enriching today's events with week-old attributes.  Re-reading
+    inside foreachBatch re-lists the directory each batch, so each
+    micro-batch sees the dimension AS OF its own processing time —
+    eventually-consistent enrichment, the standard trade (exact
+    event-time attribution wants :func:`stateful_scd2` +
+    ``scd2_join`` instead).
+
+    ``dim_transform`` hooks filtering/renaming (e.g. keep
+    ``is_current`` rows of an SCD2 table); ``broadcast_dim`` (default)
+    hints the usual dim shape — set False for dimensions too large to
+    broadcast.  Per-batch cost is one directory re-list + the join;
+    at a minutes-long trigger that is noise, at sub-second triggers
+    cache the dim out-of-band instead."""
+
+    def fn(df: DataFrame, epoch_id: int) -> None:
+        dim = spark.read.format(fmt).load(dim_path)
+        if dim_transform is not None:
+            dim = dim_transform(dim)
+        if broadcast_dim:
+            dim = F.broadcast(dim)
+        sink_fn(df.join(dim, on, how), epoch_id)
+
+    return fn
+
+
 def write_stream_files(df: DataFrame, path: str, fmt: str = "parquet", **opts):
     """File sink (parquet/orc/json/csv) — the durable append-only lake
     sink: exactly-once per micro-batch via the sink's transaction log

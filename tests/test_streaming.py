@@ -1146,3 +1146,76 @@ def test_jdbc_exactly_once_sink_under_crash_replay(spark, tmp_path):
     run(plain, ckpt2)
     n = readers.read_jdbc(spark, url, "plain_events").count()
     assert n == 4  # 3 rows + the replayed batch's duplicate
+
+
+def test_foreach_batch_enriched_sees_dim_updates(spark, tmp_path):
+    """Per-batch dimension refresh: batch 0 enriches with dim v1; the
+    sink then appends a new dim row (between micro-batches, exactly how
+    a CDC writer updates a dim under a running stream), and batch 1
+    must see it.  Control: the SAME two batches through a plain
+    stream-static join resolve the dim's file listing once at start and
+    never see the update — the silent staleness the wrapper exists
+    for."""
+    import os
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "en_src"
+    d.mkdir()
+    b0 = [(1, _ts(10, 0), 1, 1.0)]
+    b1 = [(2, _ts(10, 5), 2, 2.0)]
+    now = time.time()
+    for i, batch in enumerate([b0, b1]):
+        _write_batch(d / f"f{i}.parquet", batch)
+        os.utime(d / f"f{i}.parquet", (now - 100 + i,) * 2)
+
+    dim_dir = tmp_path / "dim"
+    dim_dir.mkdir()
+    dim_schema = pa.schema([("user_id", pa.int64()), ("segment", pa.string())])
+
+    def write_dim(name, rows):
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.DataFrame(rows, columns=["user_id", "segment"]), schema=dim_schema
+            ),
+            dim_dir / name,
+        )
+
+    write_dim("v1.parquet", [(1, "gold")])  # user 2 unknown at start
+
+    got = []
+
+    def sink(df, epoch_id):
+        got.extend((epoch_id, r["user_id"], r["segment"]) for r in df.collect())
+        if epoch_id == 0:
+            write_dim("v2.parquet", [(2, "silver")])  # CDC update mid-stream
+
+    stream = ops.read_file_stream(spark, str(d), EVENT_SCHEMA, max_files_per_trigger=1)
+    wrapped = ops.foreach_batch_enriched(sink, spark, str(dim_dir), on="user_id")
+    ops.run_available_now(
+        ops.write_stream_foreach_batch(stream, wrapped, "append"),
+        str(tmp_path / "en_ckpt"),
+    )
+    assert sorted(got) == [(0, 1, "gold"), (1, 2, "silver")]
+
+    # control: plain stream-static join against the same (now 2-file)
+    # dim dir, then add a THIRD dim version between its batches — the
+    # static side must stay frozen at start-time listing
+    got2 = []
+
+    def sink2(df, epoch_id):
+        got2.extend((epoch_id, r["user_id"], r["segment"]) for r in df.collect())
+        if epoch_id == 0:
+            write_dim("v3.parquet", [(2, "platinum")])  # must NOT appear
+
+    stream2 = ops.read_file_stream(spark, str(d), EVENT_SCHEMA, max_files_per_trigger=1)
+    static_dim = spark.read.parquet(str(dim_dir))
+    joined = stream2.join(static_dim, "user_id", "left")
+    ops.run_available_now(
+        ops.write_stream_foreach_batch(joined, sink2, "append"),
+        str(tmp_path / "en_ckpt2"),
+    )
+    assert sorted(got2) == [(0, 1, "gold"), (1, 2, "silver")]  # v3 invisible
