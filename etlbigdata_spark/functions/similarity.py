@@ -383,6 +383,7 @@ def ivf_write_index(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize: bool = False,
 ) -> dict:
     """B24 — build and PERSIST the IVF index (round 6): the similarity
     twin of the dedup family's ``minhash_signatures`` parquet index.
@@ -391,8 +392,19 @@ def ivf_write_index(
     ``<path>/centroids`` sidecar (n_centroids rows).  Build once, probe
     every batch with :func:`ivf_probe_index` — at 100 TB the corpus is
     scanned once at build time and each query batch touches only
-    n_probe/n_centroids of the files afterwards."""
+    n_probe/n_centroids of the files afterwards.
+
+    ``quantize=True`` stores the vectors SQ8-encoded
+    (:func:`quantize_embeddings`: ``array<tinyint>`` codes + per-vector
+    scale) — a 4–8× smaller index whose probe scans shrink by the same
+    factor.  The probe scores corpus CODES against float queries:
+    cosine's scale invariance cancels the per-vector corpus scale
+    exactly, so only corpus-side quantization error remains (recall
+    bound pinned in tests).  The layout is self-describing — the probe
+    detects the code column in the index schema; no flag travels."""
     assigned, cents = ivf_assign(corpus, n_centroids, id_col, vec_col)
+    if quantize:
+        assigned = quantize_embeddings(assigned, vec_col=vec_col)
     assigned.write.mode("overwrite").partitionBy("centroid").parquet(f"{path}/vectors")
     spark = corpus.sparkSession
     cdf = spark.createDataFrame(
@@ -431,7 +443,10 @@ def ivf_probe_index(
     assigned = spark.read.parquet(f"{path}/vectors").filter(
         F.col("centroid").isin(probed)
     )
-    return _probe_score_topk(assigned, q, k, id_col, vec_col, round_to)
+    # self-describing layout: an SQ8 index carries codes, not floats —
+    # score the codes directly (corpus-side scale cancels out of cosine)
+    corpus_vec = vec_col if vec_col in assigned.columns else "emb_q"
+    return _probe_score_topk(assigned, q, k, id_col, corpus_vec, round_to)
 
 
 def _assign_nearest(

@@ -617,3 +617,47 @@ def test_quantized_topk_recall_vs_exact(emb):
     recalls = [len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth]
     avg = sum(recalls) / len(recalls)
     assert avg >= 0.9, f"SQ8 recall@5 {avg:.2f}"
+
+
+def test_ivf_quantized_index_smaller_pruned_and_high_recall(emb, spark, tmp_path):
+    """SQ8 IVF index: (a) the vectors side stores codes, not floats, and
+    is measurably smaller on disk; (b) the probe still partition-prunes;
+    (c) recall@5 vs the float-index probe at the same n_probe ≥ 0.9
+    (only corpus-side quantization error remains — the per-vector scale
+    cancels out of cosine)."""
+    import glob
+    import os
+    import re
+
+    from etlbigdata_spark.functions import similarity as fsim
+
+    queries = emb.orderBy("vec_id").limit(5)
+    fpath = str(tmp_path / "ivf_f")
+    qpath = str(tmp_path / "ivf_q")
+    fsim.ivf_write_index(emb, fpath, n_centroids=8)
+    fsim.ivf_write_index(emb, qpath, n_centroids=8, quantize=True)
+
+    def dir_bytes(p):
+        return sum(
+            os.path.getsize(f)
+            for f in glob.glob(os.path.join(p, "vectors", "**", "*.parquet"), recursive=True)
+        )
+
+    assert dir_bytes(qpath) < 0.6 * dir_bytes(fpath), (dir_bytes(qpath), dir_bytes(fpath))
+    qcols = spark.read.parquet(f"{qpath}/vectors").columns
+    assert "emb_q" in qcols and "embedding" not in qcols
+
+    probed_q = fsim.ivf_probe_index(spark, qpath, queries, k=5, n_probe=3, round_to=6)
+    plan = probed_q._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[([^\]]*centroid[^\]]*)\]", plan)
+
+    probed_f = fsim.ivf_probe_index(spark, fpath, queries, k=5, n_probe=3, round_to=6)
+    truth = {}
+    for r in probed_f.collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {}
+    for r in probed_q.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth]
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.9, f"SQ8-index recall@5 vs float index {avg:.2f}"
