@@ -292,13 +292,20 @@ def ivf_assign(
         (i, [float(x) for x in r[vec_col]])
         for i, r in enumerate(corpus.select(vec_col).orderBy(F.xxhash64(id_col)).limit(n_centroids).collect())
     ]
+    return _assign_to_cents(corpus, cents, vec_col), cents
+
+
+def _assign_to_cents(df: DataFrame, cents: list, vec_col: str) -> DataFrame:
+    """Cosine argmax assignment against a FIXED centroid list (the IVF
+    metric — distinct from kmeans' Euclidean :func:`_assign_nearest`):
+    shared by the initial build and every incremental append so one
+    index only ever carries one assignment rule."""
     cent_arr = F.array(*[F.array(*[F.lit(x) for x in vec]) for _, vec in cents])
     scores = F.transform(
         cent_arr, lambda cv: _dot(F.col(vec_col).cast("array<double>"), cv) / (_norm(cv) + F.lit(1e-12))
     )
     best = F.array_position(scores, F.array_max(scores)) - 1
-    assigned = corpus.withColumn("centroid", best.cast("int"))
-    return assigned, cents
+    return df.withColumn("centroid", best.cast("int"))
 
 
 def ivf_topk(
@@ -667,3 +674,38 @@ def cosine_topk_quantized(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def ivf_append_index(
+    new_batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incrementally grow a persisted :func:`ivf_write_index` index —
+    the ANN twin of the dedup family's incremental signature index
+    (d07): assign ONLY the new batch against the index's FROZEN
+    centroid sidecar (same cosine-argmax rule as the build, via
+    ``_assign_to_cents``) and append it into the centroid-partitioned
+    layout.  The existing corpus is never rescanned and never shuffles —
+    per-append cost is O(new batch), which is the property that keeps a
+    daily-embedding pipeline's index maintainable at 100 TB.  New
+    vectors are immediately visible to :func:`ivf_probe_index`,
+    including the ``n_probe = n_centroids`` exact-equality bound.
+
+    The layout is self-describing: if the index was built with
+    ``quantize=True`` the batch is SQ8-encoded with the same encoder
+    before landing, so one index never mixes float and code rows.
+    Frozen centroids mean cell balance can drift as the corpus drifts —
+    monitor with a per-partition count and REBUILD (not append) when a
+    cell outgrows its siblings; the same drift trade every IVF system
+    makes."""
+    spark = new_batch.sparkSession
+    cents_rows = spark.read.parquet(f"{path}/centroids").orderBy("centroid").collect()
+    cents = [(r["centroid"], list(r["vec"])) for r in cents_rows]
+    assigned = _assign_to_cents(new_batch, cents, vec_col)
+    existing_cols = spark.read.parquet(f"{path}/vectors").columns
+    if "emb_q" in existing_cols and vec_col not in existing_cols:
+        assigned = quantize_embeddings(assigned, vec_col=vec_col)
+    assigned.write.mode("append").partitionBy("centroid").parquet(f"{path}/vectors")
+    return {"n_centroids": len(cents), "path": path, "appended": True}

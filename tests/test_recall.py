@@ -661,3 +661,39 @@ def test_ivf_quantized_index_smaller_pruned_and_high_recall(emb, spark, tmp_path
     recalls = [len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth]
     avg = sum(recalls) / len(recalls)
     assert avg >= 0.9, f"SQ8-index recall@5 vs float index {avg:.2f}"
+
+
+def test_ivf_append_index_no_rescan_and_probe_complete(emb, spark, tmp_path):
+    """Incremental IVF: build on half the corpus, append the rest —
+    appended vectors must use the FROZEN centroid sidecar (cell ids
+    stay within the build's range), the full-probe bound must now hold
+    over the WHOLE corpus (probe(all cells) == exact top-k over
+    build+append), and the quantized layout must stay homogeneous
+    after an append."""
+    from etlbigdata_spark.functions import similarity as fsim
+
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    queries = emb.orderBy("vec_id").limit(5)
+
+    path = str(tmp_path / "ivf_inc")
+    fsim.ivf_write_index(half_a, path, n_centroids=8)
+    fsim.ivf_append_index(half_b, path)
+    vecs = spark.read.parquet(f"{path}/vectors")
+    assert vecs.count() == emb.count()
+    cids = {r["centroid"] for r in vecs.select("centroid").distinct().collect()}
+    assert cids <= set(range(8))  # frozen sidecar, no new cells
+
+    full = fsim.ivf_probe_index(spark, path, queries, k=5, n_probe=8, round_to=6)
+    exact = fsim.cosine_topk(emb, queries, k=5, round_to=6)
+    got = {(r.query_id, r.rank): r.neighbor_id for r in full.collect()}
+    want = {(r.query_id, r.rank): r.neighbor_id for r in exact.collect()}
+    assert got == want and len(got) == 25
+
+    # quantized index stays homogeneous across appends
+    qpath = str(tmp_path / "ivf_inc_q")
+    fsim.ivf_write_index(half_a, qpath, n_centroids=8, quantize=True)
+    fsim.ivf_append_index(half_b, qpath)
+    qvecs = spark.read.parquet(f"{qpath}/vectors")
+    assert qvecs.count() == emb.count()
+    assert "emb_q" in qvecs.columns and "embedding" not in qvecs.columns
