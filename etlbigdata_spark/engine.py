@@ -178,6 +178,12 @@ class Engine:
         pruning on disk); see functions/similarity.ivf_write_index."""
         return fsim.ivf_write_index(corpus, path, **kw)
 
+    def append_ann_index(self, new_batch: DataFrame, path: str, **kw) -> dict:
+        """Incrementally grow a persisted IVF index: assign only the new
+        batch against the frozen centroid sidecar and append — O(batch)
+        per day, no corpus rescan; see similarity.ivf_append_index."""
+        return fsim.ivf_append_index(new_batch, path, **kw)
+
     def probe_ann_index(self, path: str, queries: DataFrame, k: int = 10, **kw) -> DataFrame:
         """Top-k neighbors from a persisted IVF index — result-identical
         to similar_topk(method='ivf') for the same corpus/params, but
