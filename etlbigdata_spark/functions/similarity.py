@@ -709,3 +709,26 @@ def ivf_append_index(
         assigned = quantize_embeddings(assigned, vec_col=vec_col)
     assigned.write.mode("append").partitionBy("centroid").parquet(f"{path}/vectors")
     return {"n_centroids": len(cents), "path": path, "appended": True}
+
+
+def ivf_index_stats(spark, path: str) -> DataFrame:
+    """Health/drift monitor for a persisted IVF index — one row per
+    centroid cell with its vector count and share of the corpus, plus
+    a ``balance`` column (cell share × n_centroids; 1.0 = perfectly
+    even).  The number :func:`ivf_append_index`'s frozen-centroid trade
+    says to watch: a cell whose balance grows far past its siblings
+    means the corpus drifted away from the build-time sample and probe
+    cost is concentrating — rebuild rather than keep appending.  One
+    aggregation over the index's partition column (pure metadata-shaped
+    scan: only ``centroid`` is read, so column pruning keeps it cheap
+    even on a quantized multi-TB index)."""
+    vecs = spark.read.parquet(f"{path}/vectors").select("centroid")
+    n_cells = spark.read.parquet(f"{path}/centroids").count()
+    total = vecs.count()
+    return (
+        vecs.groupBy("centroid")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .withColumn("share", F.col("n_vectors") / F.lit(float(total)))
+        .withColumn("balance", F.col("share") * F.lit(float(n_cells)))
+        .orderBy("centroid")
+    )

@@ -697,3 +697,16 @@ def test_ivf_append_index_no_rescan_and_probe_complete(emb, spark, tmp_path):
     qvecs = spark.read.parquet(f"{qpath}/vectors")
     assert qvecs.count() == emb.count()
     assert "emb_q" in qvecs.columns and "embedding" not in qvecs.columns
+
+
+def test_ivf_index_stats_accounts_for_appends(emb, spark, tmp_path):
+    from etlbigdata_spark.functions import similarity as fsim
+
+    path = str(tmp_path / "ivf_stats")
+    fsim.ivf_write_index(emb.filter(F.col("vec_id") % 2 == 0), path, n_centroids=8)
+    fsim.ivf_append_index(emb.filter(F.col("vec_id") % 2 == 1), path)
+    stats = fsim.ivf_index_stats(spark, path).collect()
+    assert sum(r["n_vectors"] for r in stats) == emb.count()
+    assert abs(sum(r["share"] for r in stats) - 1.0) < 1e-9
+    for r in stats:
+        assert abs(r["balance"] - r["share"] * 8) < 1e-9
