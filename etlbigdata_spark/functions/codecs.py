@@ -217,3 +217,22 @@ def image_resize(blob: bytes, width: int, height: int) -> bytes:
     cols = np.minimum((np.arange(width) + 0.5) * src_w / width, src_w - 1).astype(np.int64)
     out = img[rows[:, None], cols[None, :]]
     return encode_bmp(out) if blob[:2] == b"BM" else encode_ppm(out)
+
+
+def image_ahash(blob: bytes) -> int:
+    """64-bit perceptual AVERAGE HASH (aHash — the classic public
+    algorithm: downscale to 8×8, luminance, bit = cell > mean): the
+    image twin of the text SimHash — near-duplicate images (re-encodes,
+    small edits, minor noise) land within a few bits, unrelated images
+    sit near Hamming 32.  Real decode (PPM P6 / BMP 24bpp), 8×8
+    nearest-neighbor grid (same resample rule as ``image_resize``),
+    Rec.601 luminance, bits packed row-major MSB-first into a SIGNED
+    64-bit int (Spark LongType-compatible)."""
+    img = decode_image(blob).astype(np.float64)
+    src_h, src_w = img.shape[:2]
+    rows = np.minimum((np.arange(8) + 0.5) * src_h / 8, src_h - 1).astype(np.int64)
+    cols = np.minimum((np.arange(8) + 0.5) * src_w / 8, src_w - 1).astype(np.int64)
+    small = img[rows[:, None], cols[None, :]]  # 8×8×3
+    lum = 0.299 * small[..., 0] + 0.587 * small[..., 1] + 0.114 * small[..., 2]
+    bits = (lum > lum.mean()).flatten()
+    return int.from_bytes(np.packbits(bits).tobytes(), "big", signed=True)

@@ -812,6 +812,26 @@ def simhash_near_dups(
         counter_bits = 16 if (max_words or 0) < (1 << 16) else 32
     sig = _persist_scoped(_simhash_signatures(toks, h, counter_bits))
 
+    return hamming_pairs_64(
+        sig, max_hamming=max_hamming, scheme=scheme, n_blocks=n_blocks,
+        band_bits=band_bits, candidate_join=candidate_join,
+    )
+
+
+def hamming_pairs_64(
+    sig: DataFrame,
+    max_hamming: int = 3,
+    scheme: str = "blocks",
+    n_blocks: int = 6,
+    band_bits: int = 16,
+    candidate_join: str = "sort_merge",
+) -> DataFrame:
+    """EXACT Hamming-distance-≤-k pairs over any ``(id, sig)`` table of
+    64-bit signatures — the candidate-generation + popcount core shared
+    by :func:`simhash_near_dups` (text) and the perceptual image hash
+    path (``multimodal.image_near_dups``); schemes and their recall
+    guarantees are documented on :func:`simhash_near_dups`.  Works for
+    ANY 64-bit fingerprint whose similarity notion is bit agreement."""
     if scheme == "blocks":
         if not max_hamming < n_blocks:
             raise ValueError(f"blocks scheme needs max_hamming < n_blocks, got {max_hamming} >= {n_blocks}")

@@ -217,3 +217,58 @@ def resize_media(
 
     resized = src.mapInPandas(run, schema=out_schema)
     return attach_media_meta(resized, "media", media_type="application/x-resized")
+
+
+def add_image_ahash(
+    df: DataFrame,
+    key_col: str,
+    bytes_col: str,
+    out_col: str = "ahash",
+    hash_fn: Callable[[bytes], int] | None = None,
+) -> DataFrame:
+    """Perceptual 64-bit average hash per image (``codecs.image_ahash``:
+    real PPM/BMP decode → 8×8 luminance grid → bit = cell > mean) as an
+    Arrow-batched ``mapInPandas`` — map-side only, the blob never
+    shuffles; only (key, 8-byte hash) rows leave the scan.  Swap
+    ``hash_fn`` for a JPEG/PNG-capable encoder where those libs exist
+    (same extension contract as ``decode_fn`` on the other operators)."""
+    from . import codecs
+
+    fn = hash_fn or codecs.image_ahash
+    src = df.select(F.col(key_col).cast("string").alias("key"), F.col(bytes_col).alias("blob"))
+    out_schema = T.StructType(
+        [T.StructField("key", T.StringType()), T.StructField(out_col, T.LongType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({"key": pdf["key"], out_col: [fn(b) for b in pdf["blob"]]})
+
+    return src.mapInPandas(run, schema=out_schema)
+
+
+def image_near_dups(
+    df: DataFrame,
+    key_col: str,
+    bytes_col: str,
+    max_hamming: int = 5,
+    scheme: str = "blocks",
+    hash_fn: Callable[[bytes], int] | None = None,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs — the multimodal face of the dedup
+    family: perceptual aHash per image (:func:`add_image_ahash`), then
+    the EXACT Hamming-≤-k pair core shared with the text SimHash
+    (``dedup.hamming_pairs_64``; same block-permutation recall
+    guarantee, same scale shape: candidates only on band collisions,
+    popcount before the pair shuffle).  At 100 TB the blobs are read
+    once map-side and everything downstream moves 8-byte hashes.
+    Returns (id_a, id_b, hamming), each pair once."""
+    from .dedup import hamming_pairs_64
+
+    hashed = add_image_ahash(df, key_col, bytes_col, out_col="sig").select(
+        F.col("key").alias("id"), "sig"
+    )
+    return hamming_pairs_64(
+        hashed, max_hamming=max_hamming, scheme=scheme,
+        n_blocks=max(6, max_hamming + 1),
+    )

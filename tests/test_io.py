@@ -725,3 +725,44 @@ def test_table_cache_survives_directory_rewrite(engine, tmp_path):
     assert after.count() == 6 and after.inputFiles() != before.inputFiles()
     workload.invalidate_table_cache()
     assert workload._TABLE_CACHE == {}
+
+
+def test_image_ahash_and_near_dups_real_codec(engine):
+    """Perceptual image dedup end-to-end on REAL PPM bytes: identical
+    bytes hash identically; a lightly-noised copy lands within a few
+    bits; an unrelated image sits far; and image_near_dups returns
+    exactly the planted near pair via the shared Hamming-band core."""
+    import numpy as np
+
+    from etlbigdata_spark.functions import codecs
+    from etlbigdata_spark.functions.multimodal import add_image_ahash, image_near_dups
+
+    rng = np.random.default_rng(42)
+    base = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    near = base.copy()
+    near[:4, :4] = np.clip(near[:4, :4].astype(int) + 12, 0, 255).astype(np.uint8)
+    far = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+
+    h_base = codecs.image_ahash(codecs.encode_ppm(base))
+    h_same = codecs.image_ahash(codecs.encode_ppm(base.copy()))
+    h_near = codecs.image_ahash(codecs.encode_ppm(near))
+    h_far = codecs.image_ahash(codecs.encode_ppm(far))
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert h_base == h_same
+    assert ham(h_base, h_near) <= 5
+    assert ham(h_base, h_far) > 10
+
+    df = engine.spark.createDataFrame(
+        [
+            ("base", bytearray(codecs.encode_ppm(base))),
+            ("near", bytearray(codecs.encode_ppm(near))),
+            ("far", bytearray(codecs.encode_ppm(far))),
+        ],
+        "key string, blob binary",
+    )
+    hashed = {r["key"]: r["ahash"] for r in add_image_ahash(df, "key", "blob").collect()}
+    assert hashed["base"] == h_base and hashed["far"] == h_far
+
+    pairs = image_near_dups(df, "key", "blob", max_hamming=5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {("base", "near")}
+    assert all(r["hamming"] <= 5 for r in pairs)
