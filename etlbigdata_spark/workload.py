@@ -2473,6 +2473,74 @@ FROM documents
 """
 
 
+def mm02_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B26×B23 — perceptual image dedup through the REAL codec chain,
+    oracle-checked: each doc becomes a deterministic 16×16 PPM whose
+    pixels are md5-chained from its (source, n_chars) key, so docs
+    sharing the key render the IDENTICAL image ⇒ aHash Hamming 0, and
+    distinct keys land far apart (64 effectively-random bits; a
+    cross-key collision is ~groups²/2⁶⁵ ≈ 10⁻¹⁴ here — and the key has
+    duplicate groups at EVERY test SF, unlike raw text which only
+    duplicates at sf0.1, which would make the driver row vacuous).
+    The pipeline is the production image path — encode_ppm →
+    add_image_ahash (map-side, 8-byte hashes leave the scan) →
+    hamming_pairs_64 block-LSH — while the oracle states the ground
+    truth in pure SQL: doc pairs equal on (source, n_chars).  Counted
+    per doc_a so the result is small and sorted."""
+    from .functions.multimodal import image_near_dups
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from .functions import codecs as _codecs
+
+        for pdf in batches:
+            blobs = []
+            for src, nch in zip(pdf["source"], pdf["n_chars"]):
+                seed = hashlib.md5(f"{src}:{int(nch)}".encode()).digest()
+                # md5-chain to 16*16*3 deterministic bytes (engine-free)
+                buf = bytearray()
+                block = seed
+                while len(buf) < 16 * 16 * 3:
+                    block = hashlib.md5(block).digest()
+                    buf.extend(block)
+                px = np.frombuffer(bytes(buf[: 16 * 16 * 3]), dtype=np.uint8).reshape(16, 16, 3)
+                blobs.append(_codecs.encode_ppm(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    import pyspark.sql.types as T2
+
+    blobs = docs.mapInPandas(
+        gen, schema=T2.StructType([
+            T2.StructField("doc_id", T2.LongType()),
+            T2.StructField("blob", T2.BinaryType()),
+        ])
+    )
+    pairs = image_near_dups(blobs, "doc_id", "blob", max_hamming=0)
+    # the pair core orients ids as STRINGS ("10" < "9"); re-orient
+    # numerically so doc_a matches the oracle's integer a < b
+    a = F.least(F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"))
+    return (
+        pairs.groupBy(a.alias("doc_a"))
+        .agg(F.count(F.lit(1)).alias("n_dups"))
+        .orderBy("doc_a")
+    )
+
+
+MM02_SQL = """
+SELECT CAST(a.doc_id AS BIGINT) AS doc_a, COUNT(*) AS n_dups
+FROM documents a JOIN documents b
+  ON a.source = b.source AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+GROUP BY a.doc_id
+ORDER BY doc_a
+"""
+
+
 # ---------------------------------------------------------------------
 # Streaming semantics in batch form (B20) — the streaming engine itself
 # is exercised by replay tests (tests/test_streaming.py)
@@ -4232,6 +4300,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t03_quality": t03_quality,
     "t04_language_id": t04_language_id,
     "mm01_binary_meta": mm01_binary_meta,
+    "mm02_image_neardup": mm02_image_neardup,
     "b27_profile": b27_profile,
     # --- past the driver window: redundant shapes + rows-only family ---
     # (b06_cube / b08_except / b09_theta / b14_explode / b10_range_frame
@@ -4443,6 +4512,7 @@ ORACLE_SQL: dict[str, str] = {
     "s01_cosine_topk": S01_SQL,
     "s02v_lsh_verified": S02V_SQL,
     "mm01_binary_meta": MM01_SQL,
+    "mm02_image_neardup": MM02_SQL,
     "st01_tumbling": ST01_SQL,
     "st02_sessions": ST02_SQL,
     "st03_watermark": ST03_SQL,

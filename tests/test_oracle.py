@@ -104,13 +104,18 @@ def test_driver_window_covers_expected_components():
         "st09_stream_incremental_dedup",
         "t13_repetition",
         "b31_merge_upsert",
+        # late round-6: the oracle-backed image-dedup face (real codec
+        # chain under a SQL ground truth) takes b27_profile's slot
+        "mm02_image_neardup",
     ):
         assert required in DRIVER_WINDOW
     # rotations: rows demoted after multiple driver-green rounds stay
-    # oracle-checked past the window (r5: a09/a12/a13; r6: a07/a10/a11/a15)
+    # oracle-checked past the window (r5: a09/a12/a13; r6: a07/a10/a11/
+    # a15, then b27_profile for mm02)
     for rotated_out in (
         "a09_count", "a12_transpose", "a13_split_merge",
         "a07_fill_nulls", "a10_replace", "a11_filter_contains", "a15_cast",
+        "b27_profile",
     ):
         assert rotated_out not in DRIVER_WINDOW
         assert rotated_out in workload.QUERIES and rotated_out in workload.ORACLE_SQL
@@ -123,8 +128,8 @@ def test_driver_window_covers_expected_components():
 def test_registry_counts_match_documentation():
     """README/COVERAGE cite these exact counts (round-3 verdict flagged
     drift); changing the registry must update the docs with it."""
-    assert len(workload.QUERIES) == 132
-    assert len(workload.ORACLE_SQL) == 121
+    assert len(workload.QUERIES) == 133
+    assert len(workload.ORACLE_SQL) == 122
 
 
 NO_ORACLE = sorted(set(workload.QUERIES) - set(workload.ORACLE_SQL))
