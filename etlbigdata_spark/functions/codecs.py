@@ -236,3 +236,72 @@ def image_ahash(blob: bytes) -> int:
     lum = 0.299 * small[..., 0] + 0.587 * small[..., 1] + 0.114 * small[..., 2]
     bits = (lum > lum.mean()).flatten()
     return int.from_bytes(np.packbits(bits).tobytes(), "big", signed=True)
+
+
+def decode_wav(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL audio codec via the stdlib ``wave`` module: 16-bit PCM WAV →
+    (sample_rate, n_channels, samples int16 array shaped
+    [n_frames, n_channels]).  The audio twin of ``decode_ppm`` — no
+    external library, exact samples, ValueError on non-WAV or non-PCM-16
+    bytes (compressed formats need a user decode_fn, same gate as
+    JPEG)."""
+    import io
+    import wave
+
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("unsupported audio format (built-in real codec: PCM WAV)")
+    with wave.open(io.BytesIO(blob), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError(f"built-in WAV codec handles 16-bit PCM only, got {8 * w.getsampwidth()}-bit")
+        rate, nch, n = w.getframerate(), w.getnchannels(), w.getnframes()
+        samples = np.frombuffer(w.readframes(n), dtype="<i2").reshape(-1, nch)
+    return rate, nch, samples
+
+
+def encode_wav(rate: int, samples: np.ndarray) -> bytes:
+    """Inverse of :func:`decode_wav` (tests + fixture synthesis):
+    [n, ch] int16 → PCM WAV bytes."""
+    import io
+    import wave
+
+    samples = np.asarray(samples, dtype="<i2")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(samples.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def audio_features(key: str, blob: bytes) -> dict:
+    """Strict audio featurizer over the real WAV codec, emitting the
+    shared FEATURE_SCHEMA row with the documented field mapping:
+    ``width`` = sample rate, ``height`` = channels, ``n_frames`` =
+    sample frames; ``feature`` = [duration_sec, rms, peak,
+    zero_crossing_rate, dc_mean] over the channel-mixed signal —
+    the level/clipping/silence statistics an audio-curation filter
+    gates on."""
+    rate, nch, samples = decode_wav(blob)
+    x = samples.astype(np.float64).mean(axis=1) / 32768.0  # mixdown, [-1, 1)
+    n = len(x)
+    dur = n / rate if rate else 0.0
+    rms = float(np.sqrt((x * x).mean())) if n else 0.0
+    peak = float(np.abs(x).max()) if n else 0.0
+    zcr = float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean()) if n > 1 else 0.0
+    dc = float(x.mean()) if n else 0.0
+    return {
+        "key": key, "width": int(rate), "height": int(nch), "n_frames": int(n),
+        "feature": [dur, rms, peak, zcr, dc],
+    }
+
+
+def media_features(key: str, blob: bytes) -> dict:
+    """Magic-byte dispatcher over ALL built-in real codecs: PPM/BMP →
+    :func:`image_features`, RIFF/WAVE → :func:`audio_features`;
+    ValueError otherwise (the strict contract)."""
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        return audio_features(key, blob)
+    return image_features(key, blob)

@@ -95,7 +95,7 @@ def extract_media_features(
     elif strict:
         from . import codecs
 
-        fn = codecs.image_features
+        fn = codecs.media_features  # PPM/BMP images + PCM WAV audio
     else:
         fn = _fake_decode
     src = df.select(F.col(key_col).cast("string").alias("key"), F.col(bytes_col).alias("blob"))

@@ -766,3 +766,41 @@ def test_image_ahash_and_near_dups_real_codec(engine):
     pairs = image_near_dups(df, "key", "blob", max_hamming=5).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {("base", "near")}
     assert all(r["hamming"] <= 5 for r in pairs)
+
+
+def test_wav_strict_audio_features_real_codec(engine):
+    """Strict audio path: a synthesized stereo 16-bit PCM sine decodes
+    through the stdlib wave codec to exact rate/channels/frames and the
+    level statistics an audio-curation gate filters on."""
+    import numpy as np
+
+    from etlbigdata_spark.functions import codecs
+
+    rate, dur_s = 8000, 0.5
+    t = np.arange(int(rate * dur_s)) / rate
+    mono = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int16)
+    stereo = np.stack([mono, mono], axis=1)
+    blob = codecs.encode_wav(rate, stereo)
+
+    r2, nch, samples = codecs.decode_wav(blob)
+    assert (r2, nch, samples.shape[0]) == (rate, 2, len(mono))
+    assert np.array_equal(samples[:, 0], mono)  # exact roundtrip
+
+    df = engine.spark.createDataFrame([("a1", bytearray(blob))], "key string, blob binary")
+    rows = extract_media_features(df, "key", "blob", strict=True).collect()
+    r = rows[0]
+    assert (r["width"], r["height"], r["n_frames"]) == (rate, 2, len(mono))
+    dur, rms, peak, zcr, dc = r["feature"]
+    assert abs(dur - dur_s) < 1e-6
+    assert abs(rms - 0.5 / np.sqrt(2)) < 0.01  # sine RMS = A/sqrt(2)
+    assert 0.45 < peak <= 0.51
+    assert abs(zcr - 2 * 440 / rate) < 0.02  # 2 crossings per cycle
+    assert abs(dc) < 1e-3
+
+    # strict contract: non-media bytes still rejected
+    with pytest.raises(Exception):
+        codecs.media_features("x", b"not media at all")
+
+    # 8-bit PCM is outside the built-in codec's contract
+    with pytest.raises(ValueError):
+        codecs.decode_wav(blob[:3] + b"X" + blob[4:])
