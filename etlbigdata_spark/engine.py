@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .catalog import Catalog
 from .functions import corpus as fcorpus
 from .functions import dedup as fdedup
+from .functions import multimodal as fmm
 from .functions import similarity as fsim
 from .functions import text as ftext
 from .operators import scale as opscale
@@ -113,6 +114,8 @@ class Engine:
         "minhash_verified": fdedup.minhash_verified_pairs,
         "simhash": fdedup.simhash_near_dups,
         "embedding": fdedup.embedding_near_dups,
+        # perceptual image hash; pass key_col=/bytes_col= (binary media)
+        "image": fmm.image_near_dups,
     }
 
     def dedup_exact(self, df: DataFrame, **kw) -> DataFrame:

@@ -207,3 +207,21 @@ def test_cluster_embeddings_diversity_sampling(eng, emb):
     assert {(r["centroid"], r["vec_id"]) for r in again.collect()} == {
         (r["centroid"], r["vec_id"]) for r in picked.collect()
     }
+
+
+def test_near_dup_pairs_image_dispatch(eng, spark):
+    import numpy as np
+
+    from etlbigdata_spark.functions import codecs
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    b = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [("x", bytearray(codecs.encode_ppm(a))),
+         ("x2", bytearray(codecs.encode_ppm(a.copy()))),
+         ("y", bytearray(codecs.encode_ppm(b)))],
+        "key string, blob binary",
+    )
+    pairs = eng.near_dup_pairs(df, method="image", key_col="key", bytes_col="blob", max_hamming=0)
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {("x", "x2")}
