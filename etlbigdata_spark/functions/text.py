@@ -337,6 +337,7 @@ def unigram_surprisal(
     id_col: str = "doc_id",
     text_col: str = "text",
     smoothing: float = 0.5,
+    broadcast_vocab: "bool | str" = "auto",
 ) -> DataFrame:
     """B25 — corpus-relative unigram surprisal quality score (round 6):
     per document, the mean ``-log2 p(token)`` where ``p`` is the
@@ -363,9 +364,15 @@ def unigram_surprisal(
     in as a broadcast 1-row cross join (no driver action, plan stays
     lazy until the caller materializes).  The vocab-keyed join shuffles
     16-byte rows — at production vocab sizes (~10⁷ distinct) the scored
-    vocab table is ~100 MB total, far below any per-partition bound,
-    and AQE may upgrade it to broadcast at runtime.  Measured round 6
-    at sf1: hashing + the shared persist cut 4.1 → 2.4 s min-of-3.
+    vocab table is ~100 MB total, far below any per-partition bound.
+    With ``broadcast_vocab`` (default "auto": an eager approx-distinct
+    probe over the persisted stream proves the bound) the scored vocab
+    BROADCASTS instead, so the full token stream never shuffles by
+    token — measured round 6 at sf1: hashing + the shared persist cut
+    4.1 → 2.4 s min-of-3, then the broadcast join 2.76 → 1.95 s
+    (alternating pairs, result-identical; the (doc, tok) pre-aggregation
+    alternative measured 2.21 s and was rejected as strictly worse than
+    the broadcast).
     Documents with zero tokens produce no output row (no distribution
     to score them under); left-join downstream if they must be kept.
     """
@@ -374,6 +381,19 @@ def unigram_surprisal(
         F.explode(tokens_col(F.col(text_col))).alias("tok"),
     )
     toks = _persist_scoped(toks.select("__id", F.xxhash64("tok").alias("tok")))
+    if broadcast_vocab == "auto":
+        # EAGER probe (documented, same discipline as simhash_near_dups'
+        # counter_bits="auto"): one approx-distinct over the persisted
+        # token stream (map-side partials, no shuffle) decides whether
+        # the scored vocab is broadcast-safe. ~2M distinct ≈ 32 MB —
+        # comfortably under executor broadcast budgets; natural-language
+        # vocab passes at any corpus size, adversarial random-string
+        # corpora fall back to the shuffle join. Pass True/False to skip
+        # the probe when the corpus is known.
+        approx_vocab = toks.agg(
+            F.approx_count_distinct("tok").alias("v")
+        ).collect()[0]["v"]
+        broadcast_vocab = approx_vocab < 2_000_000
     freqs = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__cnt"))
     stats = freqs.agg(
         F.sum("__cnt").alias("__total"), F.count(F.lit(1)).alias("__vocab")
@@ -394,7 +414,7 @@ def unigram_surprisal(
         .select("tok", "__surp_u")
     )
     return (
-        toks.join(scored, "tok")
+        toks.join(F.broadcast(scored) if broadcast_vocab else scored, "tok")
         .groupBy("__id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
