@@ -301,6 +301,17 @@ class Engine:
         index never shuffles)."""
         return fdedup.incremental_minhash_pairs(batch, index, **kw)
 
+    def semantic_dedup(self, corpus: DataFrame, **kw) -> DataFrame:
+        """SemDeDup-style embedding dedup: cluster-partitioned within-cell
+        cosine pairs, keep-lowest-id survivors — see
+        functions.similarity.semantic_dedup."""
+        return fsim.semantic_dedup(corpus, **kw)
+
+    def duplicated_spans(self, df: DataFrame, **kw) -> DataFrame:
+        """Cross-document duplicated-span detection (exact-substring
+        dedup mode) — see functions.dedup.duplicated_spans."""
+        return fdedup.duplicated_spans(df, **kw)
+
     def merge(self, target: DataFrame, source: DataFrame, keys: list[str], **kw) -> DataFrame:
         """SQL MERGE semantics (update/insert/keep/delete) as one
         full-outer join — see operators.merge.merge_upsert."""

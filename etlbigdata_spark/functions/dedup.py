@@ -1023,3 +1023,93 @@ def embedding_near_dups(
             (1 - F.col("l2_dist") * F.col("l2_dist") / 2).alias("cosine_est"),
         )
     )
+
+
+def positional_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """(doc_id, pos, h) — ALL positional word n-grams (NOT distinct,
+    unlike :func:`exploded_shingles`): ``pos`` is the 1-based start
+    token offset, ``h`` the xxhash64 of the shingle text.  The position
+    is what :func:`duplicated_spans` needs to merge hits back into
+    contiguous spans; the 8-byte hash is what keeps the wide stages
+    narrow (same discipline as d02's inverted index — a 64-bit
+    collision would need ~2³² distinct shingles per corpus to matter)."""
+    df = rebalance_for_expansion(df)
+    toked = df.select(
+        F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("__toks")
+    )
+    grams = F.when(
+        F.size("__toks") < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size("__toks") - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice("__toks", i, n), " "),
+        )
+    )
+    return toked.select(
+        "doc_id", F.posexplode(grams).alias("__p0", "__sh")
+    ).select(
+        "doc_id", (F.col("__p0") + 1).alias("pos"), F.xxhash64("__sh").alias("h")
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_tokens: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """B23 — cross-document duplicated-SPAN detection: the
+    exact-substring dedup mode of Lee et al. 2021 ("Deduplicating
+    Training Data Makes Language Models Better"), at word-n-gram
+    granularity instead of a suffix array.  Document-level dedup
+    (exact/MinHash/SimHash/containment) misses the boilerplate CASE —
+    license headers, navigation chrome, quoted paragraphs — where only
+    a SPAN of each document is duplicated; this finds those spans so a
+    curation pipeline can cut them instead of dropping whole docs.
+
+    Plan (three bounded shuffles, no pair join at all):
+      1. tokenize once, posexplode every positional n-gram hashed to
+         64 bits (:func:`positional_shingles`) — the expansion stage,
+         rebalanced to cluster parallelism;
+      2. doc-frequency aggregate on the hash (map-side partial) keeps
+         hashes seen in ≥ ``min_docs`` DISTINCT docs; the semi-join
+         back reuses the same hash partitioning;
+      3. per-doc gaps-and-islands window (``pos − row_number`` is
+         constant within a consecutive run) merges adjacent duplicated
+         positions into maximal spans.
+    Unlike every pair finder, cost is linear in the token stream —
+    there is no candidate-pair blowup to guard, so no ``max_doc_freq``
+    cutoff is needed (a hot shingle just marks more spans).
+
+    Returns ``(doc_id, span_start, span_end, span_tokens)`` — 1-based
+    inclusive token offsets; a run of positions [i..j] covers tokens
+    i..j+n−1, so ``span_tokens = j − i + n``.  Filtered to spans of at
+    least ``min_tokens`` tokens (require ``min_tokens > n`` to demand a
+    real run rather than a single shared n-gram).
+    """
+    # the token stream feeds BOTH the doc-freq agg and the hit semi-join;
+    # scoped-persist it (d02's discipline) so tokenize+explode runs once
+    pos = _persist_scoped(positional_shingles(df, id_col, text_col, n))
+    dup = (
+        pos.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("h")
+    )
+    hits = pos.join(dup, "h", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hits.withColumn("__grp", F.col("pos") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_id", "__grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).alias("span_end"),
+            (F.max("pos") - F.min("pos") + F.lit(n)).alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= min_tokens)
+        .drop("__grp")
+    )

@@ -732,3 +732,116 @@ def ivf_index_stats(spark, path: str) -> DataFrame:
         .withColumn("balance", F.col("share") * F.lit(float(n_cells)))
         .orderBy("centroid")
     )
+
+
+def semantic_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic pseudo-random centroid sample for
+    :func:`semantic_dedup_pairs`: the ``n_centroids`` vectors with the
+    smallest ``md5(id-as-string)``.  md5 is engine-portable, so an
+    external SQL twin can pick the IDENTICAL set (unlike
+    ``ivf_assign``'s xxhash64 sample), and the choice is stable across
+    partitioning and resharding.  Driver-collects ``n_centroids`` rows
+    only — centroid counts are small by contract (they broadcast into
+    every assignment expression)."""
+    rows = (
+        corpus.select(F.col(vec_col), F.md5(F.col(id_col).cast("string")).alias("__h"))
+        .orderBy("__h")
+        .limit(n_centroids)
+        .collect()
+    )
+    return [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(rows)]
+
+
+def _assign_cosine_argmax(
+    df: DataFrame, cents: list, vec_col: str, round_to: int, out_col: str = "cluster"
+) -> Column | DataFrame:
+    """Full-cosine argmax assignment against a fixed centroid list,
+    ROUNDED before the argmax so an external engine computing the same
+    rounded scores picks the same cell; ties break to the lowest
+    centroid index (``array_position`` returns the first maximum).
+    Distinct from ``_assign_to_cents`` (IVF), which skips the constant
+    query norm and never needs cross-engine determinism.  Map-side
+    codegen: the centroid matrix is a literal array, no shuffle."""
+    cent_arr = F.array(*[F.array(*[F.lit(x) for x in vec]) for _, vec in cents])
+    v = F.col(vec_col).cast("array<double>")
+    scores = F.transform(
+        cent_arr, lambda cv: F.round(_dot(v, cv) / (_norm(v) * _norm(cv)), round_to)
+    )
+    best = F.array_position(scores, F.array_max(scores)) - 1
+    return df.withColumn(out_col, best.cast("int"))
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    threshold: float = 0.99,
+    round_to: int = 6,
+    centroids: list | None = None,
+) -> DataFrame:
+    """B23/B24 — SemDeDup-style semantic near-dup pairs (Abbas et al.
+    2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication"): partition the embedding space into
+    ``n_centroids`` cells, then compare vectors ONLY within their cell.
+
+    This is the cluster trick that makes embedding dedup subquadratic:
+    the all-pairs cost O(n²) drops to Σ|cell|², and the per-cell join is
+    an equi-join on ``cluster`` — one corpus shuffle on the cell id, no
+    cross-cell pairs ever materialize.  At 100 TB you scale
+    ``n_centroids`` with the corpus (SemDeDup uses ~10⁴–10⁵ cells for
+    web-scale corpora, keeping cells at ~10³–10⁴ vectors) and feed
+    k-means centroids (:func:`kmeans_fit`) instead of the sampled ones;
+    the deterministic md5 sample here is the oracle-checkable face of
+    the same plan.
+
+    The designed trade (inherited from the paper): a near-dup pair
+    SPLIT across two cells is missed.  Recall is governed by cell
+    granularity; exact duplicates always collide (identical vectors get
+    identical argmax).
+
+    Returns ``(id_a, id_b, cluster, cosine)`` with ``id_a < id_b`` and
+    rounded cosine ≥ threshold.
+    """
+    cents = centroids if centroids is not None else semantic_centroids(
+        corpus, n_centroids, id_col, vec_col
+    )
+    assigned = _assign_cosine_argmax(corpus, cents, vec_col, round_to)
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "cluster"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "cluster"
+    )
+    pairs = a.join(b, "cluster").filter(F.col("id_a") < F.col("id_b"))
+    cos = F.round(cosine_sim(F.col("__va"), F.col("__vb")), round_to)
+    return (
+        pairs.select("id_a", "id_b", "cluster", cos.alias("cosine"))
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    threshold: float = 0.99,
+    round_to: int = 6,
+    centroids: list | None = None,
+) -> DataFrame:
+    """Keep-one-per-neighborhood face of :func:`semantic_dedup_pairs`:
+    a vector is dropped iff some LOWER-id vector in its cell is within
+    ``threshold`` — the single-pass keep-lowest rule (deterministic, no
+    iterative closure), matching the winner-pick discipline of
+    ``dedup.exact_dedup``.  Returns the surviving rows of ``corpus``."""
+    pairs = semantic_dedup_pairs(
+        corpus, id_col, vec_col, n_centroids, threshold, round_to, centroids
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return corpus.join(dropped, id_col, "left_anti")

@@ -1841,6 +1841,112 @@ D08_SQL = _pairs_oracle_sql(
 )
 
 
+def d09_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B23/B24 — SemDeDup-style semantic near-dup pairs
+    (``similarity.semantic_dedup_pairs``): cluster the embedding space
+    into cells, compare ONLY within cells — the subquadratic embedding
+    dedup (O(Σ|cell|²), one shuffle on the cell id, no cross-cell
+    pairs).  NON-VACUOUS: unions a re-identified duplicate slice
+    (vec_id < 20 re-ided +100000) so true semantic dups exist at every
+    SF — identical vectors always land in the same cell, so the planted
+    pairs are found by construction.  Centroids are the md5-smallest
+    sample, cosines rounded to 6 dp before BOTH the argmax and the
+    threshold — the oracle runs the identical algorithm."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    return fsim.semantic_dedup_pairs(
+        corpus, "vec_id", "embedding", n_centroids=8, threshold=0.99, round_to=6
+    )
+
+
+D09_SQL = """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 20
+),
+cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
+         CAST(embedding AS DOUBLE[]) AS cv
+  FROM (SELECT vec_id, embedding FROM corpus
+        ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8)
+),
+scored AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.cid,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6) AS s
+  FROM corpus e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, v, CAST(cid AS INTEGER) AS cluster
+  FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) = 1
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM assigned a
+JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.99
+"""
+
+
+def d10_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B23 — cross-document duplicated-SPAN detection
+    (``dedup.duplicated_spans``): the exact-substring dedup mode (Lee
+    et al. 2021) document-level finders miss — only a span of each doc
+    is duplicated (boilerplate headers, quoted paragraphs).  Linear in
+    the token stream: doc-freq agg on positional 5-gram hashes,
+    semi-join back, per-doc gaps-and-islands merge — NO pair join.
+    NON-VACUOUS: the corpus has no natural cross-doc 5-gram runs at
+    test SFs, so a slice (doc_id ≡ 0 mod 37) is re-ided +100000 with a
+    3-token preamble prepended — the original text becomes a shared
+    span of the new doc, offset by the preamble, exercising the island
+    merge at a non-trivial offset.  Oracle runs the identical
+    algorithm on shingle STRINGS (Spark uses xxhash64 keys — same
+    8-byte discipline as d02)."""
+    fdedup.release_cached()
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 37 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("planted preamble marker "), F.col("text")).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    return fdedup.duplicated_spans(
+        corpus, "doc_id", "text", n=5, min_tokens=8, min_docs=2
+    )
+
+
+D10_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, 'planted preamble marker ' || text AS text
+  FROM documents WHERE doc_id % 37 = 0
+),
+toked AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM corpus),
+pos AS (
+  SELECT doc_id, u.p AS pos, u.sh AS sh
+  FROM (SELECT doc_id,
+               unnest([{{'p': i, 'sh': array_to_string(toks[i:i+4], ' ')}}
+                       FOR i IN generate_series(1, greatest(len(toks) - 4, 0))]) AS u
+        FROM toked)
+),
+dup AS (SELECT sh FROM pos GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2),
+hits AS (SELECT p.doc_id, p.pos FROM pos p JOIN dup USING (sh)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits
+)
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end,
+       MAX(pos) - MIN(pos) + 5 AS span_tokens
+FROM isl GROUP BY doc_id, grp
+HAVING MAX(pos) - MIN(pos) + 5 >= 8
+"""
+
+
 def d03_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B23 — MinHash+LSH candidates, r×b banding (b=16, r=2: junk pairs
     at J=0.1 collide with P≈0.15 instead of 0.81 at r=1). Approximate →
@@ -4352,6 +4458,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d04_simhash": d04_simhash,
     "d05_embedding_neardup": d05_embedding_neardup,
     "d08_containment_pairs": d08_containment_pairs,
+    "d09_semantic_dedup": d09_semantic_dedup,
+    "d10_duplicated_spans": d10_duplicated_spans,
     # a09/a12/a13 rotated out of the window in round 5 (three rounds
     # driver-green); still oracle-checked here
     "a09_count": a09_count,
@@ -4507,6 +4615,8 @@ ORACLE_SQL: dict[str, str] = {
     "d03v_minhash_verified": D03V_SQL,
     "d07_incremental_dedup": D07_SQL,
     "d08_containment_pairs": D08_SQL,
+    "d09_semantic_dedup": D09_SQL,
+    "d10_duplicated_spans": D10_SQL,
     "d04v_simhash_verified": D04V_SQL,
     "d06_dup_clusters": D06_SQL,
     "s01_cosine_topk": S01_SQL,

@@ -31,6 +31,8 @@ def plans(spark, sf_dir):
             "q05_region_revenue",
             "d02_jaccard_pairs",
             "d08_containment_pairs",
+            "d09_semantic_dedup",
+            "d10_duplicated_spans",
             "s01_cosine_topk",
             "b09_asof",
         )
@@ -89,6 +91,34 @@ def test_d08_inherits_d02_plan_shape(plans):
         assert "shingle_str" not in part
     assert "xxhash64" in plan, "d08 no longer hashes shingles"
     assert "ShuffledHashJoin" in plan, "d08 self-join lost the shuffle_hash hint"
+
+
+def test_d09_within_cell_equi_join_only(plans):
+    """SemDeDup's whole point is that the pair join is an EQUI-join on
+    the cell id — never a cross/theta product over the corpus."""
+    plan = plans["d09_semantic_dedup"]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"(BroadcastHash|SortMerge|ShuffledHash)Join \[cluster", plan), (
+        "d09 pair join is not keyed on the cell id"
+    )
+
+
+def test_d10_no_pair_join_and_hashed_stream(plans):
+    """Span dedup is linear in the token stream: the only join is the
+    LeftSemi hit-marking join on the 64-bit shingle hash — no pair join,
+    no shingle STRINGS in any exchange, and the doc-freq aggregate runs
+    with a map-side partial."""
+    plan = plans["d10_duplicated_spans"]
+    assert "CartesianProduct" not in plan
+    joins = re.findall(r"(\w+Join) \[[^\]]*\], \[[^\]]*\], (\w+)", plan)
+    assert joins and all(jt == "LeftSemi" for _, jt in joins), (
+        f"d10 grew a non-semi join: {joins}"
+    )
+    for part in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "__sh" not in part and "shingle" not in part
+    assert "xxhash64" in plan, "d10 no longer hashes shingles"
+    assert "partial_count" in plan, "doc-freq agg lost its map-side partial"
 
 
 def test_s01_corpus_never_shuffled(plans):

@@ -710,3 +710,105 @@ def test_ivf_index_stats_accounts_for_appends(emb, spark, tmp_path):
     assert abs(sum(r["share"] for r in stats) - 1.0) < 1e-9
     for r in stats:
         assert abs(r["balance"] - r["share"] * 8) < 1e-9
+
+
+def test_semantic_dedup_pairs_finds_planted_dups_within_cells(emb, spark):
+    """Planted exact duplicates (same vector, new id) MUST surface:
+    identical vectors get identical argmax, so cell splitting cannot
+    lose them — the designed guarantee of the SemDeDup cluster trick."""
+    base = emb.select("vec_id", "embedding").filter(F.col("vec_id") < 100)
+    planted = base.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 5000).alias("vec_id"), "embedding"
+    )
+    corpus = base.unionByName(planted)
+    pairs = fsim.semantic_dedup_pairs(
+        corpus, n_centroids=4, threshold=0.99
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    for i in range(10):
+        assert (i, i + 5000) in found
+    # planted pairs sit in one cell and score ~1.0
+    assert all(r.cosine >= 0.99 for r in pairs)
+
+
+def test_semantic_dedup_keep_lowest_id(emb):
+    """The keep-one face drops exactly the higher id of each planted
+    pair and keeps everything else."""
+    base = emb.select("vec_id", "embedding").filter(F.col("vec_id") < 100)
+    planted = base.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 5000).alias("vec_id"), "embedding"
+    )
+    corpus = base.unionByName(planted)
+    kept = {
+        r.vec_id
+        for r in fsim.semantic_dedup(corpus, n_centroids=4, threshold=0.99).collect()
+    }
+    assert all(i in kept for i in range(100))
+    assert all(i + 5000 not in kept for i in range(10))
+
+
+def test_semantic_dedup_cells_partition_the_corpus(emb):
+    """Every vector lands in exactly one cell, cells cover the corpus."""
+    base = emb.select("vec_id", "embedding")
+    cents = fsim.semantic_centroids(base, n_centroids=4)
+    assigned = fsim._assign_cosine_argmax(base, cents, "embedding", round_to=6)
+    n = base.count()
+    assert assigned.count() == n
+    assert assigned.filter(
+        (F.col("cluster") < 0) | (F.col("cluster") >= 4)
+    ).count() == 0
+
+
+def test_duplicated_spans_known_layout(spark):
+    """Hand-checkable span geometry: two docs share an 8-token run at
+    different offsets; a third doc is unrelated.  Spans must be maximal,
+    1-based inclusive, and offset-correct on BOTH sides."""
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        (1, f"{shared} unique tail one two three"),
+        (2, f"lead-in words here {shared}"),
+        (3, "nothing in common with the others at all whatsoever today"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = {
+        r.doc_id: (r.span_start, r.span_end, r.span_tokens)
+        for r in fdedup.duplicated_spans(
+            df, n=5, min_tokens=8, min_docs=2
+        ).collect()
+    }
+    # doc 1: shared run at tokens 1..8; doc 2: offset by the 3-token lead-in
+    assert spans[1] == (1, 8, 8)
+    assert spans[2] == (4, 11, 8)
+    assert 3 not in spans
+
+
+def test_duplicated_spans_merges_adjacent_and_respects_min_tokens(spark):
+    """A single shared 5-gram (5 tokens) is below min_tokens=8 and must
+    NOT be reported; a 10-token shared run must come back as ONE merged
+    span, not a chain of 5-gram hits."""
+    run10 = "one two three four five six seven eight nine ten"
+    gram5 = "red orange yellow green blue"
+    rows = [
+        (1, f"{run10} xx yy"),
+        (2, f"aa bb {run10}"),
+        (3, f"{gram5} cc dd ee ff gg"),
+        (4, f"hh ii jj kk ll {gram5}"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = fdedup.duplicated_spans(df, n=5, min_tokens=8, min_docs=2)
+    spans = {(r.doc_id, r.span_start, r.span_end, r.span_tokens) for r in got.collect()}
+    assert (1, 1, 10, 10) in spans
+    assert (2, 3, 12, 10) in spans
+    assert all(d not in {3, 4} for d, *_ in spans)
+
+
+def test_duplicated_spans_within_doc_repeat_not_cross_doc(spark):
+    """A run repeated WITHIN one doc but appearing in no other doc does
+    not meet min_docs=2 — span dedup here is cross-document by
+    contract (within-doc repetition is t13's Gopher filters)."""
+    run = "p q r s t u v w"
+    df = spark.createDataFrame(
+        [(1, f"{run} {run}"), (2, "totally different words everywhere obviously")],
+        ["doc_id", "text"],
+    )
+    assert fdedup.duplicated_spans(df, n=5, min_tokens=8).count() == 0
