@@ -301,6 +301,21 @@ class Engine:
         index never shuffles)."""
         return fdedup.incremental_minhash_pairs(batch, index, **kw)
 
+    def train_tokenizer(self, df: DataFrame, **kw) -> list:
+        """Train BPE merges: distributed word count + bounded-vocab
+        merge loop — see functions.bpe.bpe_learn.  Persist with
+        functions.bpe.merges_df + save_parquet."""
+        from .functions import bpe as fbpe
+
+        return fbpe.bpe_learn(df, **kw)
+
+    def tokenize(self, df: DataFrame, merges: list, **kw) -> DataFrame:
+        """Apply trained BPE merges (adds a subword-array column) — see
+        functions.bpe.bpe_encode."""
+        from .functions import bpe as fbpe
+
+        return fbpe.bpe_encode(df, merges, **kw)
+
     def semantic_dedup(self, corpus: DataFrame, **kw) -> DataFrame:
         """SemDeDup-style embedding dedup: cluster-partitioned within-cell
         cosine pairs, keep-lowest-id survivors — see

@@ -1,0 +1,183 @@
+"""Byte-pair-encoding tokenizer training and application (SURVEY §2
+B25 — the tokenizer-training step of an LLM data pipeline).
+
+The standard production shape (Sennrich et al. 2016; every real BPE
+trainer, e.g. the HF `tokenizers` WordPiece/BPE trainers, works this
+way): the CORPUS-sized work — word frequency counting — is
+distributed (one shuffle, map-side partial combine), and the merge
+loop then runs over the resulting word-frequency table, which is
+bounded by the VOCABULARY, not the corpus.  At 100 TB the distinct-
+word table is millions of rows where the corpus is trillions of
+tokens; ``min_freq`` caps it further (rare words can't influence the
+top merges anyway).
+
+Application (``bpe_encode``) is an Arrow-batched pandas UDF — the one
+genuinely Python-shaped stage in the library's text path (per-word
+greedy merge resolution is a data-dependent loop no SQL expression
+expresses).  It memoizes per distinct word within each batch, so cost
+scales with distinct words per batch, not tokens.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+from .text import tokens_col
+
+_END = "▁"  # end-of-word sentinel appended to a word's last symbol
+
+
+def word_counts(df: DataFrame, text_col: str = "text", min_freq: int = 1) -> DataFrame:
+    """(word, freq) — the distributed stage of BPE training: tokenize,
+    explode, ONE count aggregate (map-side partial combine folds each
+    task's token stream to its local vocabulary before the shuffle, so
+    the exchange carries ~distinct-words×tasks rows, not the corpus)."""
+    counts = (
+        df.select(F.explode(tokens_col(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    if min_freq > 1:
+        counts = counts.filter(F.col("freq") >= min_freq)
+    return counts
+
+
+def _merge_word(symbols: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, ...]:
+    out: list[str] = []
+    i, n = 0, len(symbols)
+    while i < n:
+        if i + 1 < n and symbols[i] == pair[0] and symbols[i + 1] == pair[1]:
+            out.append(symbols[i] + symbols[i + 1])
+            i += 2
+        else:
+            out.append(symbols[i])
+            i += 1
+    return tuple(out)
+
+
+def learn_merges_from_counts(
+    counts: list[tuple[str, int]], num_merges: int
+) -> list[tuple[str, str]]:
+    """Classic BPE merge learning over a (word, freq) table — driver-
+    side by design: the table is vocabulary-bounded (see module doc).
+    Deterministic: ties in pair frequency break lexicographically, so
+    the same corpus always yields the same merge list regardless of
+    partitioning or input order."""
+    words: dict[tuple[str, ...], int] = {}
+    for w, f in counts:
+        if not w:
+            continue
+        syms = tuple(list(w[:-1]) + [w[-1] + _END])
+        words[syms] = words.get(syms, 0) + f
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pair_freq: Counter = Counter()
+        for syms, f in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pair_freq[(a, b)] += f
+        if not pair_freq:
+            break
+        best = min(pair_freq.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pair_freq[best] < 2:
+            break  # nothing left that repeats; further merges are noise
+        merges.append(best)
+        words = _apply_merge_all(words, best)
+    return merges
+
+
+def _apply_merge_all(
+    words: dict[tuple[str, ...], int], pair: tuple[str, str]
+) -> dict[tuple[str, ...], int]:
+    out: dict[tuple[str, ...], int] = {}
+    for syms, f in words.items():
+        merged = _merge_word(syms, pair)
+        out[merged] = out.get(merged, 0) + f
+    return out
+
+
+def bpe_learn(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 100,
+    min_freq: int = 1,
+) -> list[tuple[str, str]]:
+    """Train BPE merges on a corpus: distributed word count →
+    driver-side merge loop over the bounded frequency table."""
+    counts = [(r.word, r.freq) for r in word_counts(df, text_col, min_freq).collect()]
+    return learn_merges_from_counts(counts, num_merges)
+
+
+def merges_df(spark, merges: list[tuple[str, str]]) -> DataFrame:
+    """(rank, left, right) — the persistable form of a merge list
+    (write with ``write_parquet``, reload with ``load_merges``), so a
+    tokenizer trained once is applied to later corpus batches without
+    retraining — same index-persistence discipline as the MinHash and
+    IVF indexes."""
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)], ["rank", "left", "right"]
+    )
+
+
+def load_merges(df: DataFrame) -> list[tuple[str, str]]:
+    return [(r.left, r.right) for r in df.orderBy("rank").collect()]
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """GPT-2-style greedy application: repeatedly merge the present
+    pair with the LOWEST training rank until none applies."""
+    syms = list(word[:-1]) + [word[-1] + _END] if word else []
+    while len(syms) > 1:
+        best_rank, best_i = None, -1
+        for i, pair in enumerate(zip(syms, syms[1:])):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply trained merges: adds ``out_col`` (array<string> of subword
+    tokens, end-of-word sentinel U+2581 kept on word-final subwords so
+    the encoding is lossless — joining a word's subwords and stripping
+    the sentinel reconstructs the word).
+
+    Arrow pandas UDF over the tokenized column; the rank table rides
+    the task closure (it is merge-list-sized), and each batch memoizes
+    per DISTINCT word, so hot words (Zipf's law: most of the stream)
+    are encoded once per batch."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    @F.pandas_udf(ArrayType(ArrayType(StringType())))
+    def _enc(tok_lists: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def enc_doc(toks):
+            out = []
+            for w in toks if toks is not None else []:
+                got = cache.get(w)
+                if got is None:
+                    got = cache[w] = _encode_word(w, ranks)
+                out.append(got)
+            return out
+
+        return tok_lists.map(enc_doc)
+
+    toked = df.withColumn("__toks", tokens_col(F.col(text_col)))
+    return (
+        toked.withColumn(out_col, F.flatten(_enc(F.col("__toks"))))
+        .drop("__toks")
+    )

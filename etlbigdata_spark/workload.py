@@ -25,6 +25,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions import bpe as fbpe
 from .functions import corpus as fcorpus
 from .functions import dedup as fdedup
 from .functions import similarity as fsim
@@ -2358,6 +2359,34 @@ GROUP BY source
 """
 
 
+def t16_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B25 — BPE tokenizer training + application (round 6,
+    functions.bpe): distributed word count (the only corpus-sized
+    stage, map-side combined), driver-side merge loop over the
+    vocabulary-bounded frequency table (the standard production trainer
+    shape), Arrow-batched greedy encode with per-batch word memoization.
+    Output is the tokenizer-quality report per source: subword count
+    and fertility (subwords per word — THE metric a tokenizer is judged
+    by).  Rows-only: the greedy in-word merge loop is not expressible
+    as a single SQL statement in the oracle dialect; determinism is
+    pinned instead by tests (lexicographic tie-breaks make the merge
+    list a pure function of the corpus) and a hand-checked classic
+    example (Sennrich's low/lower/newest/widest)."""
+    docs = load(spark, sf_dir, "documents")
+    merges = fbpe.bpe_learn(docs, num_merges=40, min_freq=2)
+    enc = fbpe.bpe_encode(docs, merges)
+    per_doc = enc.select(
+        "source",
+        F.size("bpe_tokens").alias("n_sub"),
+        F.size(ftext.tokens_col(F.col("text"))).alias("n_words"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_sub").alias("n_subwords"),
+        F.round(F.sum("n_sub") / F.sum("n_words"), 4).alias("fertility"),
+    )
+
+
 def t05_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B25 — polynomial rolling-hash document fingerprint (the
     cross-engine oracle twin).  Oracle-checked since round 3: the
@@ -4474,6 +4503,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t12_pack_shards": t12_pack_shards,
     "t14_surprisal": t14_surprisal,
     "t15_mixture": t15_mixture,
+    "t16_bpe_fertility": t16_bpe_fertility,
     "t13_repetition": t13_repetition,
     "b28_percentile": b28_percentile,
     "b28a_approx_percentile": b28a_approx_percentile,
@@ -4646,5 +4676,8 @@ ORACLE_SQL: dict[str, str] = {
     # SQL oracle), proven against a same-init numpy reference +
     # Lloyd's invariants in tests/test_recall.py; s05_quantized_topk
     # scores on int8 codes (estimate by design), recall-bounded vs the
-    # exact path in tests/test_recall.py
+    # exact path in tests/test_recall.py; t16_bpe_fertility's greedy
+    # in-word merge loop has no single-statement SQL form — determinism
+    # pinned by lexicographic tie-breaks + hand-checked classic example
+    # in tests/test_operators.py
 }

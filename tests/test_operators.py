@@ -930,3 +930,67 @@ def test_asof_self_join_matches_two_frame_asof(spark):
         if direction == "backward":
             by_id = {r["event_id"]: r["r_event_id"] for r in got.collect()}
             assert by_id == {20: 11, 21: 11, 22: 12, 30: None, 41: 40}
+
+
+def test_bpe_learn_classic_example(spark):
+    """Sennrich's canonical corpus: the first merges must be ('e','s'),
+    ('es','t▁') — frequency ties broken lexicographically make the
+    whole list a pure function of the corpus."""
+    from etlbigdata_spark.functions import bpe
+
+    df = spark.createDataFrame(
+        [(1, "low low low low low lower lower newest newest newest "
+             "newest newest newest widest widest widest")],
+        ["doc_id", "text"],
+    )
+    m = bpe.bpe_learn(df, num_merges=6)
+    assert m[0] == ("e", "s")
+    assert m[1] == ("es", "t▁")
+    # after enough merges, whole hot words become single tokens
+    m10 = bpe.bpe_learn(df, num_merges=10)
+    enc = bpe.bpe_encode(df, m10).collect()[0].bpe_tokens
+    assert "newest▁" in enc and "low▁" in enc
+
+
+def test_bpe_encode_is_lossless(spark):
+    """Joining each word's subwords and stripping the end sentinel must
+    reconstruct the original token stream exactly."""
+    from etlbigdata_spark.functions import bpe, text as ftext
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    m = bpe.bpe_learn(docs, num_merges=30, min_freq=2)
+    enc = bpe.bpe_encode(docs, m)
+    back = enc.select(
+        "doc_id",
+        F.array_join(ftext.tokens_col(F.col("text")), " ").alias("orig"),
+        F.regexp_replace(
+            F.array_join("bpe_tokens", ""), "▁", " "
+        ).alias("rejoined"),
+    )
+    bad = back.filter(F.rtrim("rejoined") != F.col("orig")).count()
+    assert bad == 0
+
+
+def test_bpe_learn_partitioning_invariant(spark):
+    """The merge list must not depend on input partitioning — the
+    distributed word count is a plain aggregate and the driver loop
+    sorts ties deterministically."""
+    from etlbigdata_spark.functions import bpe
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(80)
+    m1 = bpe.bpe_learn(docs.repartition(1), num_merges=20, min_freq=2)
+    m2 = bpe.bpe_learn(docs.repartition(16), num_merges=20, min_freq=2)
+    assert m1 == m2
+
+
+def test_bpe_merges_roundtrip_parquet(spark, tmp_path):
+    """A trained tokenizer persists and reloads unchanged (the
+    index-persistence discipline: train once, apply to later batches)."""
+    from etlbigdata_spark.functions import bpe
+
+    df = spark.createDataFrame([(1, "aa ab aa ab aa ab ba")], ["doc_id", "text"])
+    m = bpe.bpe_learn(df, num_merges=5)
+    p = str(tmp_path / "merges.parquet")
+    bpe.merges_df(spark, m).write.parquet(p)
+    assert bpe.load_merges(spark.read.parquet(p)) == m
