@@ -34,7 +34,15 @@ round 5): its oracle face rebuilds the corpus index inline and runs
 r=1 recall banding + exact verification so DuckDB can check it
 all-pairs; the production path is incremental_minhash_pairs against a
 PRE-BUILT parquet index (r×b banding, no exact verify), whose cost a
-rebuild-every-run bench would misstate ~3×.
+rebuild-every-run bench would misstate ~3×.  And for
+d09_semantic_dedup (round 6): its oracle face pins the cell count at 8
+so DuckDB can replay the exact algorithm, which at sf1 means ~6k-row
+cells and an O(Σ|cell|²) within-cell join the module documents as the
+thing you SCALE THE CELL COUNT to avoid (SemDeDup runs 10⁴–10⁵
+k-means cells at web scale; see functions/similarity.py) — benching
+the 8-cell face would report the deliberately-unscaled correctness
+twin.  d10_duplicated_spans IS production-shaped (linear in the token
+stream, no pair join) and is in the headline set.
 """
 
 from __future__ import annotations
@@ -96,6 +104,7 @@ HEADLINE = [
     "d01_dup_groups",
     "d02_jaccard_pairs",
     "d08_containment_pairs",
+    "d10_duplicated_spans",
     "t14_surprisal",
     "d03_minhash",
     "d04_simhash",

@@ -301,6 +301,16 @@ class Engine:
         index never shuffles)."""
         return fdedup.incremental_minhash_pairs(batch, index, **kw)
 
+    def fit_pca(self, corpus: DataFrame, k: int = 8, **kw) -> dict:
+        """One-pass distributed PCA fit (eager) — see
+        functions.similarity.pca_fit."""
+        return fsim.pca_fit(corpus, k=k, **kw)
+
+    def project_pca(self, df: DataFrame, model: dict, **kw) -> DataFrame:
+        """Codegen projection onto fitted components — see
+        functions.similarity.pca_transform."""
+        return fsim.pca_transform(df, model, **kw)
+
     def train_tokenizer(self, df: DataFrame, **kw) -> list:
         """Train BPE merges: distributed word count + bounded-vocab
         merge loop — see functions.bpe.bpe_learn.  Persist with

@@ -790,6 +790,13 @@ def semantic_dedup_pairs(
     semantic deduplication"): partition the embedding space into
     ``n_centroids`` cells, then compare vectors ONLY within their cell.
 
+    NOTE: when ``centroids`` is None this EAGERLY runs a small Spark
+    job during plan construction (:func:`semantic_centroids` collects
+    ``n_centroids`` rows — the simhash-auto-probe discipline: say so up
+    front).  Pass a precomputed ``centroids`` list (e.g. from
+    :func:`kmeans_fit`) to keep construction lazy and to reuse one
+    centroid set across batches.
+
     This is the cluster trick that makes embedding dedup subquadratic:
     the all-pairs cost O(n²) drops to Σ|cell|², and the per-cell join is
     an equi-join on ``cluster`` — one corpus shuffle on the cell id, no
@@ -845,3 +852,106 @@ def semantic_dedup(
     )
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return corpus.join(dropped, id_col, "left_anti")
+
+
+def pca_fit(
+    corpus: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+) -> dict:
+    """Distributed PCA over an embedding column — the dimension-
+    reduction step before ANN/clustering when the raw embedding is
+    wider than the signal (complements :func:`quantize_embeddings`:
+    SQ8 shrinks bytes per dimension, PCA shrinks dimensions).
+
+    EAGER (runs the corpus scan now).  One-pass moment aggregation:
+    each Arrow batch reduces to ``(n, Σx, XᵀX)`` inside ``mapInPandas``
+    (float64 BLAS, map-side only — the shuffle-free discipline of
+    :func:`kmeans_fit`), the per-batch rows (d²+d+1 numbers each)
+    collapse on the driver, and the d×d covariance eigendecomposition
+    is a driver-side ``numpy.linalg.eigh`` — d is small by contract
+    (embeddings are 64–4096 wide), the corpus never shuffles and is
+    scanned exactly ONCE.
+
+    Determinism: eigh on a fixed covariance is deterministic; each
+    component's sign is canonicalized (coordinate of largest magnitude
+    made positive — lowest index on ties) so refits agree.  Float
+    summation order across batches varies with partitioning, which
+    perturbs components at ~1e-12 relative — tests pin tolerance-equal,
+    not bit-equal, across repartitions.
+
+    Returns ``{"mean": [d], "components": [k][d] (rows = top
+    eigenvectors, descending eigenvalue), "explained_variance": [k]}``.
+    """
+    import numpy as np
+
+    d = len(corpus.select(vec_col).first()[0])
+    if not 1 <= k <= d:
+        raise ValueError(f"need 1 <= k <= dim, got k={k}, dim={d}")
+
+    moment_schema = (
+        "n long, s array<double>, xtx array<double>"
+    )
+
+    def _moments(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            x = _np.asarray(list(pdf.iloc[:, 0]), dtype=_np.float64)
+            if x.size == 0:
+                continue
+            yield _pd.DataFrame(
+                {
+                    "n": [x.shape[0]],
+                    "s": [x.sum(axis=0).tolist()],
+                    "xtx": [(x.T @ x).ravel().tolist()],
+                }
+            )
+
+    parts = corpus.select(vec_col).mapInPandas(_moments, moment_schema).toPandas()
+    n = int(parts["n"].sum())
+    if n < 2:
+        raise ValueError(f"need >= 2 vectors to fit PCA, got {n}")
+    s = np.sum([np.asarray(v) for v in parts["s"]], axis=0)
+    xtx = np.sum([np.asarray(v).reshape(d, d) for v in parts["xtx"]], axis=0)
+    mean = s / n
+    cov = (xtx - np.outer(mean, s)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T
+    # sign convention: largest-|coordinate| entry positive (first on ties)
+    for row in comps:
+        j = int(np.argmax(np.abs(row)))
+        if row[j] < 0:
+            row *= -1.0
+    return {
+        "mean": mean.tolist(),
+        "components": comps.tolist(),
+        "explained_variance": evals[order].tolist(),
+    }
+
+
+def pca_transform(
+    df: DataFrame,
+    model: dict,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+    round_to: int | None = None,
+) -> Column | DataFrame:
+    """Project onto fitted components: adds ``out_col`` =
+    array<double>[k].  The mean and the k×d component matrix ride the
+    plan as literal arrays, so the projection is pure map-side codegen
+    (``zip_with``/``aggregate`` dot products) — no Python workers, no
+    shuffle, and the plan composes with downstream pruning."""
+    mean_lit = F.array(*[F.lit(float(m)) for m in model["mean"]])
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"), mean_lit, lambda x, m: x - m
+    )
+    comp_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in model["components"]]
+    )
+    proj = F.transform(comp_lit, lambda c: _dot(centered, c))
+    if round_to is not None:
+        proj = F.transform(proj, lambda v: F.round(v, round_to))
+    return df.withColumn(out_col, proj)

@@ -2359,6 +2359,28 @@ GROUP BY source
 """
 
 
+def s06_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24 — distributed PCA (round 6, similarity.pca_fit/pca_transform):
+    one-pass per-batch moment reduction (n, Σx, XᵀX) in mapInPandas,
+    driver-side d×d eigh, codegen literal-matrix projection.  Output:
+    per-label count + mean of the first two principal coordinates
+    (4-dp rounded).  Rows-only: the eigendecomposition has no
+    single-statement SQL form; correctness is pinned by tests against
+    numpy PCA on the collected corpus, the sign convention, and
+    partitioning-tolerance invariance."""
+    emb = load(spark, sf_dir, "embeddings")
+    model = fsim.pca_fit(emb, k=4)
+    proj = fsim.pca_transform(emb, model, round_to=6)
+    return (
+        proj.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(F.element_at("pca", 1)), 4).alias("mean_pc1"),
+            F.round(F.avg(F.element_at("pca", 2)), 4).alias("mean_pc2"),
+        )
+    )
+
+
 def t16_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B25 — BPE tokenizer training + application (round 6,
     functions.bpe): distributed word count (the only corpus-sized
@@ -4393,7 +4415,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "b07_topk_group": b07_topk_group,
     "b08_intersect": b08_intersect,
     "b09_asof": b09_asof,
-    "b09_anti": b09_anti,
+    # b09_anti (3rd B9 row) and b15_json (2nd B15 row) rotated past the
+    # window late in round 6 after five driver-green rounds — their
+    # families keep window rows (b09_asof/b09_range, b15_from_json) and
+    # both stay oracle-checked by tests/test_oracle.py; the freed slots
+    # promote the two new round-6 dedup modes, d09 (SemDeDup semantic)
+    # and d10 (duplicated spans), so every dedup family member proves
+    # itself at the driver gate in its first round.
     "b09_range": b09_range,
     "b10_ranks": b10_ranks,
     "b10_running_sum": b10_running_sum,
@@ -4402,7 +4430,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "b13_math": b13_math,
     "b14_arrays": b14_arrays,
     "b15_from_json": b15_from_json,
-    "b15_json": b15_json,
     "b16_pivot": b16_pivot,
     # b16_unpivot (2nd B16 row) demoted in round 4 to free a window slot
     # for a01_csv_scan — A1 had no driver-level proof; unpivot stays
@@ -4428,6 +4455,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d02_jaccard_pairs": d02_jaccard_pairs,
     "d03v_minhash_verified": d03v_minhash_verified,
     "d04v_simhash_verified": d04v_simhash_verified,
+    "d09_semantic_dedup": d09_semantic_dedup,
+    "d10_duplicated_spans": d10_duplicated_spans,
     "s01_cosine_topk": s01_cosine_topk,
     "s02v_lsh_verified": s02v_lsh_verified,
     "t01_text_stats": t01_text_stats,
@@ -4487,8 +4516,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d04_simhash": d04_simhash,
     "d05_embedding_neardup": d05_embedding_neardup,
     "d08_containment_pairs": d08_containment_pairs,
-    "d09_semantic_dedup": d09_semantic_dedup,
-    "d10_duplicated_spans": d10_duplicated_spans,
+    "b09_anti": b09_anti,
+    "b15_json": b15_json,
     # a09/a12/a13 rotated out of the window in round 5 (three rounds
     # driver-green); still oracle-checked here
     "a09_count": a09_count,
@@ -4504,6 +4533,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t14_surprisal": t14_surprisal,
     "t15_mixture": t15_mixture,
     "t16_bpe_fertility": t16_bpe_fertility,
+    "s06_pca": s06_pca,
     "t13_repetition": t13_repetition,
     "b28_percentile": b28_percentile,
     "b28a_approx_percentile": b28a_approx_percentile,
@@ -4679,5 +4709,7 @@ ORACLE_SQL: dict[str, str] = {
     # exact path in tests/test_recall.py; t16_bpe_fertility's greedy
     # in-word merge loop has no single-statement SQL form — determinism
     # pinned by lexicographic tie-breaks + hand-checked classic example
-    # in tests/test_operators.py
+    # in tests/test_operators.py; s06_pca's eigendecomposition likewise
+    # has no SQL form — proven against numpy PCA + invariance tests in
+    # tests/test_recall.py
 }

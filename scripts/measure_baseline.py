@@ -42,7 +42,7 @@ HEADLINE = [
     "evt03_sessionize", "b10_range_frame",
     "b15_json", "b15_from_json", "b16_pivot", "t01_text_stats",
     "t02_token_count", "d01_dup_groups", "d02_jaccard_pairs",
-    "d08_containment_pairs",
+    "d08_containment_pairs", "d10_duplicated_spans",
     "t14_surprisal",
     "s01_cosine_topk", "st02_sessions", "st03_watermark",
 ]

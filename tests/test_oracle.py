@@ -107,15 +107,20 @@ def test_driver_window_covers_expected_components():
         # late round-6: the oracle-backed image-dedup face (real codec
         # chain under a SQL ground truth) takes b27_profile's slot
         "mm02_image_neardup",
+        # late round-6: the two new dedup modes prove themselves at the
+        # driver gate in their first round (b09_anti/b15_json demoted —
+        # redundant family rows, five driver-green rounds)
+        "d09_semantic_dedup",
+        "d10_duplicated_spans",
     ):
         assert required in DRIVER_WINDOW
     # rotations: rows demoted after multiple driver-green rounds stay
     # oracle-checked past the window (r5: a09/a12/a13; r6: a07/a10/a11/
-    # a15, then b27_profile for mm02)
+    # a15, then b27_profile for mm02, then b09_anti/b15_json for d09/d10)
     for rotated_out in (
         "a09_count", "a12_transpose", "a13_split_merge",
         "a07_fill_nulls", "a10_replace", "a11_filter_contains", "a15_cast",
-        "b27_profile",
+        "b27_profile", "b09_anti", "b15_json",
     ):
         assert rotated_out not in DRIVER_WINDOW
         assert rotated_out in workload.QUERIES and rotated_out in workload.ORACLE_SQL
@@ -128,8 +133,8 @@ def test_driver_window_covers_expected_components():
 def test_registry_counts_match_documentation():
     """README/COVERAGE cite these exact counts (round-3 verdict flagged
     drift); changing the registry must update the docs with it."""
-    assert len(workload.QUERIES) == 133
-    assert len(workload.ORACLE_SQL) == 122
+    assert len(workload.QUERIES) == 137
+    assert len(workload.ORACLE_SQL) == 124
 
 
 NO_ORACLE = sorted(set(workload.QUERIES) - set(workload.ORACLE_SQL))

@@ -812,3 +812,66 @@ def test_duplicated_spans_within_doc_repeat_not_cross_doc(spark):
         ["doc_id", "text"],
     )
     assert fdedup.duplicated_spans(df, n=5, min_tokens=8).count() == 0
+
+
+def test_pca_matches_numpy_reference(emb):
+    """Distributed moment aggregation + eigh must equal numpy PCA on
+    the collected corpus (same covariance, same components up to the
+    shared sign convention) to float tolerance."""
+    import numpy as np
+
+    model = fsim.pca_fit(emb, k=4)
+    x = np.array([list(r.embedding) for r in emb.select("embedding").collect()],
+                 dtype=np.float64)
+    mean = x.mean(axis=0)
+    cov = np.cov(x, rowvar=False)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:4]
+    ref = evecs[:, order].T.copy()
+    for row in ref:
+        j = int(np.argmax(np.abs(row)))
+        if row[j] < 0:
+            row *= -1.0
+    assert np.allclose(model["mean"], mean, atol=1e-9)
+    assert np.allclose(model["explained_variance"], evals[order], rtol=1e-9)
+    assert np.allclose(model["components"], ref, atol=1e-8)
+
+
+def test_pca_partitioning_invariant_to_tolerance(emb):
+    """Refitting under different partitioning only perturbs float
+    summation order — components must agree to ~1e-9."""
+    import numpy as np
+
+    m1 = fsim.pca_fit(emb.repartition(1), k=3)
+    m2 = fsim.pca_fit(emb.repartition(16), k=3)
+    assert np.allclose(m1["components"], m2["components"], atol=1e-9)
+    assert np.allclose(m1["explained_variance"], m2["explained_variance"], rtol=1e-9)
+
+
+def test_pca_transform_reduces_reconstruction_error(emb):
+    """Projections onto the top-k components must capture more variance
+    than projections onto the BOTTOM eigenvectors' share — i.e. the
+    explained-variance ordering is real, and transform actually applies
+    the fitted basis (variance of pc1 ≈ top eigenvalue)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    model = fsim.pca_fit(emb, k=2)
+    proj = fsim.pca_transform(emb, model)
+    v = (proj.select(F.element_at("pca", 1).alias("p1"),
+                     F.element_at("pca", 2).alias("p2"))
+         .agg(F.variance("p1").alias("v1"), F.variance("p2").alias("v2"))
+         .collect()[0])
+    assert abs(v.v1 - model["explained_variance"][0]) < 1e-6 * max(1.0, v.v1)
+    assert abs(v.v2 - model["explained_variance"][1]) < 1e-6 * max(1.0, v.v2)
+    assert v.v1 >= v.v2
+
+
+def test_pca_transform_is_codegen_no_python(emb, spark):
+    """The projection is literal-matrix codegen: no Python workers, no
+    shuffle in the transform plan."""
+    model = fsim.pca_fit(emb, k=2)
+    proj = fsim.pca_transform(emb, model)
+    plan = proj._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
