@@ -422,3 +422,55 @@ def test_scd2_join_matches_interval_containment(spark, events, probes):
         ]
         expected = covering[0] if covering else None
         assert got[i] == expected, (i, k, ts, covering)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abc"), min_size=0, max_size=12).map(" ".join),
+        min_size=2,
+        max_size=6,
+    ),
+    n=st.sampled_from([2, 3]),
+)
+@settings(**_SETTINGS)
+def test_duplicated_spans_match_python_reference(spark, docs, n):
+    """The distributed span finder (doc-freq agg + semi-join + islands
+    window) == a from-scratch Python implementation: positional
+    n-grams, cross-doc duplicated grams, maximal consecutive runs.
+    Tiny alphabet forces heavy cross-doc collisions, within-doc
+    repeats, and overlapping runs — the island-merge edge cases."""
+    from collections import defaultdict
+
+    from etlbigdata_spark.functions import dedup as fdedup
+
+    min_tokens = n + 1  # require a run of >= 2 consecutive positions
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in fdedup.duplicated_spans(
+            df, n=n, min_tokens=min_tokens, min_docs=2
+        ).collect()
+    }
+
+    gram_docs = defaultdict(set)
+    positions = {}
+    for i, t in rows:
+        toks = [w for w in t.lower().split() if w]
+        pos = [(p + 1, " ".join(toks[p : p + n])) for p in range(len(toks) - n + 1)]
+        positions[i] = pos
+        for _, g in pos:
+            gram_docs[g].add(i)
+    want = set()
+    for i, pos in positions.items():
+        hits = sorted(p for p, g in pos if len(gram_docs[g]) >= 2)
+        run: list[int] = []
+        for p in hits + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                start, end = run[0], run[-1] + n - 1
+                if end - start + 1 >= min_tokens:
+                    want.add((i, start, end, end - start + 1))
+                run = []
+            if p is not None:
+                run.append(p)
+    assert got == want
