@@ -784,6 +784,7 @@ def semantic_dedup_pairs(
     threshold: float = 0.99,
     round_to: int = 6,
     centroids: list | None = None,
+    vectorized: bool = False,
 ) -> DataFrame:
     """B23/B24 — SemDeDup-style semantic near-dup pairs (Abbas et al.
     2023, "SemDeDup: Data-efficient learning at web-scale through
@@ -814,11 +815,21 @@ def semantic_dedup_pairs(
 
     Returns ``(id_a, id_b, cluster, cosine)`` with ``id_a < id_b`` and
     rounded cosine ≥ threshold.
+
+    ``vectorized=True`` scores each cell with blocked BLAS matmuls
+    inside ``applyInPandas`` (:func:`_cell_pairs_vectorized`) instead
+    of the per-pair expression cosine — same row multiset (tested
+    equal), ~the cosine_topk vectorized/expression twin discipline;
+    use it when cells are 10³+ vectors.  The expression path stays the
+    default because it is the cross-engine oracle face (JVM-side
+    HALF_UP rounding, no Python workers).
     """
     cents = centroids if centroids is not None else semantic_centroids(
         corpus, n_centroids, id_col, vec_col
     )
     assigned = _assign_cosine_argmax(corpus, cents, vec_col, round_to)
+    if vectorized:
+        return _cell_pairs_vectorized(assigned, id_col, vec_col, threshold, round_to)
     a = assigned.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "cluster"
     )
@@ -955,3 +966,67 @@ def pca_transform(
     if round_to is not None:
         proj = F.transform(proj, lambda v: F.round(v, round_to))
     return df.withColumn(out_col, proj)
+
+
+def _cell_pairs_vectorized(
+    assigned: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    round_to: int,
+    block_rows: int = 2048,
+) -> DataFrame:
+    """Per-cell pairwise scoring as BLAS: ``applyInPandas`` groups by
+    the cell id, each cell scores its upper triangle in row-blocks of
+    ``block_rows`` (one (block × |cell|) matmul per step, so worker
+    memory is bounded by block_rows × |cell| doubles, not |cell|²).
+    Same row multiset as the expression path (tested equal); this is
+    the face that scales when cells are 10³–10⁴ vectors."""
+    from pyspark.sql import types as T
+
+    id_type = assigned.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    empty = {"id_a": [], "id_b": [], "cluster": [], "cosine": []}
+
+    def score(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        b = len(pdf)
+        if b < 2:
+            return pd.DataFrame(empty)
+        ids = pdf[id_col].to_numpy()
+        x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(x, axis=1)
+        parts = []
+        for lo in range(0, b, block_rows):
+            hi = min(lo + block_rows, b)
+            sims = (x[lo:hi] @ x.T) / np.outer(norms[lo:hi], norms)
+            rows, cols = np.nonzero(np.round(sims, round_to) >= threshold)
+            keep = (rows + lo) < cols  # upper triangle only, no self
+            rows, cols = rows[keep], cols[keep]
+            if not len(rows):
+                continue
+            ia, ib = ids[rows + lo], ids[cols]
+            swap = ia > ib
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "id_a": np.where(swap, ib, ia),
+                        "id_b": np.where(swap, ia, ib),
+                        "cluster": np.full(len(rows), key[0], dtype=np.int32),
+                        "cosine": np.round(sims[rows, cols], round_to),
+                    }
+                )
+            )
+        return pd.concat(parts) if parts else pd.DataFrame(empty)
+
+    return assigned.groupBy("cluster").applyInPandas(score, out_schema)

@@ -875,3 +875,35 @@ def test_pca_transform_is_codegen_no_python(emb, spark):
     plan = proj._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_semantic_dedup_vectorized_equals_expression_path(emb):
+    """The blocked-BLAS per-cell scorer and the expression cosine must
+    produce the same pair set with the same rounded scores — the
+    cosine_topk twin discipline applied to d09.  block_rows=3 forces
+    multiple blocks per cell so the triangle bookkeeping is exercised
+    across block boundaries."""
+    base = emb.select("vec_id", "embedding").filter(F.col("vec_id") < 120)
+    planted = base.filter(F.col("vec_id") < 15).select(
+        (F.col("vec_id") + 7000).alias("vec_id"), "embedding"
+    )
+    corpus = base.unionByName(planted)
+    cents = fsim.semantic_centroids(corpus, n_centroids=4)
+    kw = dict(n_centroids=4, threshold=0.9, centroids=cents)
+    expr = {
+        (r.id_a, r.id_b, r.cluster, round(r.cosine, 6))
+        for r in fsim.semantic_dedup_pairs(corpus, **kw).collect()
+    }
+    vec = {
+        (r.id_a, r.id_b, r.cluster, round(r.cosine, 6))
+        for r in fsim.semantic_dedup_pairs(corpus, vectorized=True, **kw).collect()
+    }
+    assert expr == vec and len(expr) >= 15
+    vec_blocked = {
+        (r.id_a, r.id_b, r.cluster, round(r.cosine, 6))
+        for r in fsim._cell_pairs_vectorized(
+            fsim._assign_cosine_argmax(corpus, cents, "embedding", 6),
+            "vec_id", "embedding", 0.9, 6, block_rows=3,
+        ).collect()
+    }
+    assert vec_blocked == expr
