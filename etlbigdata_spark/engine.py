@@ -301,6 +301,14 @@ class Engine:
         index never shuffles)."""
         return fdedup.incremental_minhash_pairs(batch, index, **kw)
 
+    def rollup_sink(self, path: str, keys: list[str], **kw):
+        """foreachBatch sink maintaining a parquet continuous aggregate
+        (idempotent absolute-value upsert) — see
+        streaming.ops.rollup_merge_sink."""
+        from .streaming import ops as stops
+
+        return stops.rollup_merge_sink(path, keys, **kw)
+
     def fit_pca(self, corpus: DataFrame, k: int = 8, **kw) -> dict:
         """One-pass distributed PCA fit (eager) — see
         functions.similarity.pca_fit."""

@@ -828,3 +828,103 @@ def run_available_now(writer, checkpoint_dir: str):
     q = writer.option("checkpointLocation", checkpoint_dir).trigger(availableNow=True).start()
     q.awaitTermination()
     return q
+
+
+def rollup_merge_sink(
+    path: str,
+    keys: list[str],
+    partition_col: str | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink maintaining a parquet CONTINUOUS AGGREGATE
+    (the hypertable-style "gold table" evt01 computes in batch): feed
+    it an UPDATE-mode windowed aggregation — each micro-batch then
+    carries ABSOLUTE re-aggregated values for exactly the keys it
+    touched — and the sink upserts those rows into the rollup by key
+    (``operators.merge.merge_upsert``), so after any drain the table
+    equals the batch aggregate of everything consumed.
+
+    Absolute values are what make this EXACTLY-ONCE under crash-replay
+    with no batch-id bookkeeping: a replayed micro-batch re-delivers
+    identical (key, total) rows and the upsert converges — a
+    delta-accumulating sink would double-count in the same torn window
+    ``jdbc_exactly_once_sink`` closes with DELETE-by-batch-id.
+
+    Two rewrite shapes, honestly scoped:
+
+    * ``partition_col=None`` — staged rewrite + atomic directory swap
+      (the ``compact_parquet`` protocol, LOCAL-FS only: URI-scheme
+      paths raise).  Per-batch cost is a full rollup rewrite — right
+      when the rollup is small by construction (it is an aggregate).
+    * ``partition_col`` given (e.g. a window-day column) — only
+      partitions PRESENT in the batch are rewritten via dynamic
+      partition overwrite: per-batch work follows touched partitions,
+      not rollup size — the shape that holds when the rollup itself is
+      big.  A crash mid-write can tear one partition directory until
+      the replay heals it (idempotent merge); true per-partition
+      atomicity needs a table format's transaction log.
+    """
+    from ..operators.merge import merge_upsert
+
+    if "://" in path:
+        raise NotImplementedError(
+            f"rollup_merge_sink is local-filesystem only (staging swap / "
+            f"directory listing); got URI-scheme path {path!r} — use a table "
+            "format's MERGE on object stores"
+        )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        import glob as _glob
+        import os
+        import shutil
+
+        spark = batch_df.sparkSession
+        root = path.rstrip("/")
+        exists = os.path.isdir(root) and (
+            _glob.glob(os.path.join(root, "*.parquet"))
+            or _glob.glob(os.path.join(root, "*", "*.parquet"))
+        )
+        if partition_col is not None:
+            touched = [r[0] for r in batch_df.select(partition_col).distinct().collect()]
+            if not touched:
+                return
+            if exists:
+                target = spark.read.parquet(root).filter(
+                    F.col(partition_col).isin(touched)
+                )
+                merged = merge_upsert(target, batch_df.select(*target.columns), keys)
+            else:
+                merged = batch_df
+            # cut lineage so the write does not read the path it overwrites;
+            # rollup-per-partition is small by construction
+            merged = merged.localCheckpoint(eager=True)
+            (
+                merged.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(partition_col)
+                .parquet(root)
+            )
+            return
+        staging, backup = root + ".__rollup_staging", root + ".__rollup_backup"
+        if os.path.exists(backup):
+            raise RuntimeError(
+                f"leftover {backup} from an interrupted swap — restore or remove "
+                "it first (the previous rollup may live only there)"
+            )
+        if exists:
+            target = spark.read.parquet(root)
+            merged = merge_upsert(target, batch_df.select(*target.columns), keys)
+        else:
+            merged = batch_df
+        merged.write.mode("overwrite").parquet(staging)
+        if exists:
+            os.rename(root, backup)
+        try:
+            os.rename(staging, root)
+        except OSError:
+            if exists:
+                os.rename(backup, root)  # old rollup wins over none
+            raise
+        if exists:
+            shutil.rmtree(backup)
+
+    return sink

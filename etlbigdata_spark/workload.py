@@ -3004,6 +3004,59 @@ ST09_SQL = (
 )
 
 
+def st11_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19+B6 composite — CONTINUOUS-AGGREGATE maintenance through the
+    REAL engine (round 6, streaming.ops.rollup_merge_sink): update-mode
+    hourly counts drain through foreachBatch and are UPSERTED into a
+    parquet rollup per micro-batch (absolute re-aggregated values make
+    the upsert idempotent — exactly-once under crash replay with no
+    batch-id bookkeeping, torn-commit-tested).  After the drain the
+    rollup equals the batch hourly aggregate, which the oracle computes
+    as plain SQL (st01's time_bucket twin).  Values are summed as
+    DECIMAL inside the stream so the cross-engine hash is exact."""
+    import shutil
+    import tempfile
+
+    from .streaming import ops as stops
+
+    stream = _event_stream(spark, sf_dir).withColumn("value", D("value"))
+    agg = stops.tumbling_counts(stream, "ts", "1 hour", keys=["event_type"], value_col="value")
+    base = tempfile.mkdtemp(prefix="st11_")
+    rollup = f"{base}/rollup"
+    sink = stops.rollup_merge_sink(rollup, keys=["window_start", "event_type"])
+    ckpt = f"{base}/ckpt"
+    try:
+        stops.run_available_now(
+            stops.write_stream_foreach_batch(agg, sink, output_mode="update"), ckpt
+        )
+        rows = spark.read.parquet(rollup).select(
+            F.year("window_start").alias("yr"),
+            F.month("window_start").alias("mo"),
+            F.dayofmonth("window_start").alias("dy"),
+            F.hour("window_start").alias("hr"),
+            "event_type",
+            "n_events",
+            F.col("sum_value").cast("double").alias("sum_value"),
+        ).collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        while _PENDING_STAGE_DIRS:
+            shutil.rmtree(_PENDING_STAGE_DIRS.pop(), ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "yr int, mo int, dy int, hr int, event_type string, n_events long, sum_value double"
+    )
+
+
+ST11_SQL = """
+SELECT CAST(year(tb) AS INTEGER) AS yr, CAST(month(tb) AS INTEGER) AS mo,
+       CAST(day(tb) AS INTEGER) AS dy, CAST(hour(tb) AS INTEGER) AS hr,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM (SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS tb, event_type, value FROM events)
+GROUP BY 1, 2, 3, 4, 5
+"""
+
+
 def st10_stream_dq_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B19+DQ composite — data-quality monitoring ON A STREAM through
     the REAL engine: the event stream drains through ``foreachBatch``,
@@ -4481,6 +4534,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st07_stream_join": st07_stream_join,
     "st08_stream_dedup": st08_stream_dedup,
     "st10_stream_dq_monitor": st10_stream_dq_monitor,
+    "st11_stream_rollup": st11_stream_rollup,
     # round-6: a07/a10/a11/a15 rotated out after five driver-green
     # rounds; still oracle-checked here
     "a07_fill_nulls": a07_fill_nulls,
@@ -4693,6 +4747,7 @@ ORACLE_SQL: dict[str, str] = {
     "st08_stream_dedup": ST08_SQL,
     "st09_stream_incremental_dedup": ST09_SQL,
     "st10_stream_dq_monitor": ST10_SQL,
+    "st11_stream_rollup": ST11_SQL,
     "t05_fingerprint": T05_SQL,
     "t11_normalize": T11_SQL,
     "t12_pack_shards": T12_SQL,

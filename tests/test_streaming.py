@@ -1219,3 +1219,95 @@ def test_foreach_batch_enriched_sees_dim_updates(spark, tmp_path):
         str(tmp_path / "en_ckpt2"),
     )
     assert sorted(got2) == [(0, 1, "gold"), (1, 2, "silver")]  # v3 invisible
+
+
+def _rollup_rows(spark, path):
+    return {
+        (r["window_start"], r["user_id"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(path).collect()
+    }
+
+
+def test_rollup_merge_sink_matches_batch_aggregate(spark, stream_dir, tmp_path):
+    """Continuous-aggregate maintenance: update-mode tumbling counts
+    upserted into a parquet rollup per micro-batch must end equal to
+    the one-shot batch aggregate — the hypertable gold-table contract."""
+    rollup = str(tmp_path / "rollup")
+    stream = ops.read_file_stream(spark, stream_dir, EVENT_SCHEMA, max_files_per_trigger=1)
+    agg = ops.tumbling_counts(stream, "ts", "10 minutes", keys=["user_id"], value_col="value")
+    sink = ops.rollup_merge_sink(rollup, keys=["window_start", "user_id"])
+    ops.run_available_now(
+        ops.write_stream_foreach_batch(agg, sink, "update"), str(tmp_path / "ck1")
+    )
+    batch = ops.tumbling_counts(
+        spark.read.schema(EVENT_SCHEMA).parquet(stream_dir), "ts", "10 minutes",
+        keys=["user_id"], value_col="value",
+    )
+    want = {
+        (r["window_start"], r["user_id"]): (r["n_events"], r["sum_value"])
+        for r in batch.collect()
+    }
+    assert _rollup_rows(spark, rollup) == want
+
+
+def test_rollup_merge_sink_crash_replay_converges(spark, stream_dir, tmp_path):
+    """Tear the newest checkpoint commit after a completed drain and
+    restart: the replayed batch re-delivers ABSOLUTE totals and the
+    upsert converges — same final rollup, no double counting.  This is
+    the property a delta-accumulating sink would fail."""
+    import os
+
+    rollup = str(tmp_path / "rollup_cr")
+    ckpt = str(tmp_path / "ck_cr")
+
+    def run():
+        stream = ops.read_file_stream(spark, stream_dir, EVENT_SCHEMA, max_files_per_trigger=1)
+        agg = ops.tumbling_counts(stream, "ts", "10 minutes", keys=["user_id"], value_col="value")
+        sink = ops.rollup_merge_sink(rollup, keys=["window_start", "user_id"])
+        ops.run_available_now(ops.write_stream_foreach_batch(agg, sink, "update"), ckpt)
+
+    run()
+    golden = _rollup_rows(spark, rollup)
+    commits = sorted(c for c in os.listdir(os.path.join(ckpt, "commits")) if not c.startswith("."))
+    os.remove(os.path.join(ckpt, "commits", commits[-1]))
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()  # replays the torn batch
+    assert _rollup_rows(spark, rollup) == golden
+
+
+def test_rollup_merge_sink_partitioned_touches_only_batch_partitions(spark, tmp_path):
+    """partition_col mode: a batch touching one partition must leave
+    the other partition's files physically untouched (dynamic
+    overwrite), while the merged values stay correct."""
+    import os
+
+    rollup = str(tmp_path / "rollup_part")
+    sink = ops.rollup_merge_sink(rollup, keys=["day", "user_id"], partition_col="day")
+    b0 = spark.createDataFrame(
+        [("d1", 1, 10), ("d2", 2, 20)], "day string, user_id int, n long"
+    )
+    sink(b0, 0)
+    d1_files = {
+        f: os.path.getmtime(os.path.join(rollup, "day=d1", f))
+        for f in os.listdir(os.path.join(rollup, "day=d1"))
+        if f.endswith(".parquet")
+    }
+    b1 = spark.createDataFrame([("d2", 2, 25), ("d2", 3, 5)], "day string, user_id int, n long")
+    sink(b1, 1)
+    after = {
+        f: os.path.getmtime(os.path.join(rollup, "day=d1", f))
+        for f in os.listdir(os.path.join(rollup, "day=d1"))
+        if f.endswith(".parquet")
+    }
+    assert after == d1_files, "untouched partition was rewritten"
+    got = {(r.day, r.user_id): r.n for r in spark.read.parquet(rollup).collect()}
+    assert got == {("d1", 1): 10, ("d2", 2): 25, ("d2", 3): 5}
+
+
+def test_rollup_merge_sink_rejects_uri_paths():
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        ops.rollup_merge_sink("s3://bucket/rollup", keys=["k"])
