@@ -1091,6 +1091,11 @@ def duplicated_spans(
     least ``min_tokens`` tokens (require ``min_tokens > n`` to demand a
     real run rather than a single shared n-gram).
     """
+    if n < 1 or min_docs < 2 or min_tokens < n:
+        raise ValueError(
+            f"need n >= 1, min_docs >= 2 and min_tokens >= n, got "
+            f"n={n}, min_tokens={min_tokens}, min_docs={min_docs}"
+        )
     # the token stream feeds BOTH the doc-freq agg and the hit semi-join;
     # scoped-persist it (d02's discipline) so tokenize+explode runs once
     pos = _persist_scoped(positional_shingles(df, id_col, text_col, n))

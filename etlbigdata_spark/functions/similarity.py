@@ -824,9 +824,13 @@ def semantic_dedup_pairs(
     default because it is the cross-engine oracle face (JVM-side
     HALF_UP rounding, no Python workers).
     """
+    if centroids is None and n_centroids < 1:
+        raise ValueError(f"need n_centroids >= 1, got {n_centroids}")
     cents = centroids if centroids is not None else semantic_centroids(
         corpus, n_centroids, id_col, vec_col
     )
+    if not cents:
+        raise ValueError("no centroids: corpus is empty (or an empty list was passed)")
     assigned = _assign_cosine_argmax(corpus, cents, vec_col, round_to)
     if vectorized:
         return _cell_pairs_vectorized(assigned, id_col, vec_col, threshold, round_to)

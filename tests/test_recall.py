@@ -907,3 +907,18 @@ def test_semantic_dedup_vectorized_equals_expression_path(emb):
         ).collect()
     }
     assert vec_blocked == expr
+
+
+def test_new_dedup_ops_validate_arguments(spark, emb):
+    """Bad parameters fail loudly at construction, not deep in a job."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        fdedup.duplicated_spans(df, min_tokens=2, n=5)  # min_tokens < n
+    with _pytest.raises(ValueError):
+        fdedup.duplicated_spans(df, min_docs=1)
+    with _pytest.raises(ValueError):
+        fsim.semantic_dedup_pairs(emb, n_centroids=0)
+    with _pytest.raises(ValueError):
+        fsim.semantic_dedup_pairs(emb.limit(0))
