@@ -345,6 +345,11 @@ class Engine:
         dedup mode) — see functions.dedup.duplicated_spans."""
         return fdedup.duplicated_spans(df, **kw)
 
+    def cut_spans(self, df: DataFrame, spans: DataFrame, **kw) -> DataFrame:
+        """Remove reported spans from the text (the actionable half of
+        duplicated_spans) — see functions.dedup.cut_spans."""
+        return fdedup.cut_spans(df, spans, **kw)
+
     def merge(self, target: DataFrame, source: DataFrame, keys: list[str], **kw) -> DataFrame:
         """SQL MERGE semantics (update/insert/keep/delete) as one
         full-outer join — see operators.merge.merge_upsert."""

@@ -22,11 +22,8 @@ from __future__ import annotations
 
 from collections import Counter
 
-import pandas as pd
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, StringType
 
 from .text import tokens_col
 
@@ -155,29 +152,49 @@ def bpe_encode(
     the encoding is lossless — joining a word's subwords and stripping
     the sentinel reconstructs the word).
 
-    Arrow pandas UDF over the tokenized column; the rank table rides
-    the task closure (it is merge-list-sized), and each batch memoizes
-    per DISTINCT word, so hot words (Zipf's law: most of the stream)
-    are encoded once per batch."""
-    ranks = {pair: i for i, pair in enumerate(merges)}
+    Arrow ``mapInPandas`` stage over the RAW text column (tokenization
+    happens Python-side, replicating ``text.tokens_col``'s ASCII
+    ``\\s+`` split + lowercase exactly — the reconstruction test pins
+    parity).  mapInPandas rather than a scalar pandas UDF expression on
+    purpose: a whole-row Arrow stage composes with arbitrarily complex
+    upstream projections (e.g. ``cut_spans``'s rebuild), where a
+    UDF-in-projection can be left unextracted by the optimizer inside a
+    codegen-fallback interpreted Project, which cannot evaluate Python
+    UDFs (observed on Spark 4.1 with the cut_spans expression tree).
+    The rank table rides the task closure (it is merge-list-sized), and
+    each batch memoizes per DISTINCT word, so hot words (Zipf's law:
+    most of the stream) are encoded once per batch."""
+    import re
 
-    @F.pandas_udf(ArrayType(ArrayType(StringType())))
-    def _enc(tok_lists: pd.Series) -> pd.Series:
+    from pyspark.sql import types as T
+
+    if out_col in df.columns:
+        raise ValueError(f"output column {out_col!r} already exists")
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    ws = re.compile(r"\s+", re.ASCII)  # Java \s is ASCII-only; match it
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.ArrayType(T.StringType()))]
+    )
+
+    def run(batches):
         cache: dict[str, list[str]] = {}
 
-        def enc_doc(toks):
-            out = []
-            for w in toks if toks is not None else []:
+        def enc_doc(text):
+            out: list[str] = []
+            if text is None:
+                return out
+            for w in ws.split(text.lower()):
+                if not w:
+                    continue
                 got = cache.get(w)
                 if got is None:
                     got = cache[w] = _encode_word(w, ranks)
-                out.append(got)
+                out.extend(got)
             return out
 
-        return tok_lists.map(enc_doc)
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = pdf[text_col].map(enc_doc)
+            yield pdf
 
-    toked = df.withColumn("__toks", tokens_col(F.col(text_col)))
-    return (
-        toked.withColumn(out_col, F.flatten(_enc(F.col("__toks"))))
-        .drop("__toks")
-    )
+    return df.mapInPandas(run, out_schema)

@@ -1118,3 +1118,59 @@ def duplicated_spans(
         .filter(F.col("span_tokens") >= min_tokens)
         .drop("__grp")
     )
+
+
+def cut_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Apply a span report (:func:`duplicated_spans` output) as a TEXT
+    TRANSFORM: drop the tokens inside each listed span and rebuild the
+    document — the "cut the duplicated substring" step of Lee et al.'s
+    exact-substring dedup (the span finder only reports; the caller
+    picks the keep policy by filtering ``spans`` first, e.g. keep each
+    span's occurrence in its lowest doc by anti-joining those rows out).
+
+    Plan: spans collapse to ONE array per doc (groupBy doc — spans per
+    doc are few by construction), broadcast-or-shuffle join back to the
+    docs, then the rebuild is pure codegen: tokenize, keep tokens whose
+    1-based position falls in no span (``exists`` over the bounded span
+    array), re-join with single spaces.  Docs with no spans pass
+    through unchanged (left join + coalesce).
+
+    NOTE the tokenizer normalization: output text is the space-joined
+    token stream (lowercased, whitespace collapsed) — the same
+    canonical form every shingle op in this module scores, so
+    ``duplicated_spans(cut_spans(...))`` composes exactly.
+    """
+    out_col = out_col or text_col
+    per_doc = spans.groupBy(F.col(id_col).alias("__sid")).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").cast("long").alias("span_start"),
+                F.col("span_end").cast("long").alias("span_end"),
+            )
+        ).alias("__spans")
+    )
+    joined = df.join(per_doc, F.col(id_col) == F.col("__sid"), "left").drop("__sid")
+    toks = tokens_col(F.col(text_col))
+    pos_toks = F.zip_with(
+        toks,
+        F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1))),
+        lambda t, p: F.struct(t.alias("t"), p.alias("p")),
+    )
+    kept = F.filter(
+        pos_toks,
+        lambda s: ~F.exists(
+            F.coalesce(
+                F.col("__spans"),
+                F.array().cast("array<struct<span_start:long,span_end:long>>"),
+            ),
+            lambda sp: (s["p"] >= sp["span_start"]) & (s["p"] <= sp["span_end"]),
+        ),
+    )
+    rebuilt = F.array_join(F.transform(kept, lambda s: s["t"]), " ")
+    return joined.withColumn(out_col, rebuilt).drop("__spans")

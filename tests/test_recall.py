@@ -922,3 +922,52 @@ def test_new_dedup_ops_validate_arguments(spark, emb):
         fsim.semantic_dedup_pairs(emb, n_centroids=0)
     with _pytest.raises(ValueError):
         fsim.semantic_dedup_pairs(emb.limit(0))
+
+
+def test_cut_spans_removes_reported_spans_and_composes(spark):
+    """cut_spans drops exactly the reported token ranges; docs without
+    spans pass through (canonicalized); and the composition
+    duplicated_spans(cut_spans(docs, spans)) finds nothing left when
+    ALL occurrences are cut."""
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        (1, f"{shared} unique tail one two three"),
+        (2, f"lead-in words here {shared}"),
+        (3, "nothing in common with the others at all whatsoever today"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = fdedup.duplicated_spans(df, n=5, min_tokens=8, min_docs=2)
+    cleaned = fdedup.cut_spans(df, spans)
+    got = {r.doc_id: r.text for r in cleaned.collect()}
+    assert got[1] == "unique tail one two three"
+    assert got[2] == "lead-in words here"
+    assert got[3] == rows[2][1]  # untouched (already canonical)
+    assert fdedup.duplicated_spans(cleaned, n=5, min_tokens=8, min_docs=2).count() == 0
+
+
+def test_cut_spans_keep_one_policy(spark):
+    """The caller-side keep policy: filter the span report to exclude
+    each run's lowest-doc occurrence, cut the rest — the kept doc
+    retains the span, the other loses it."""
+    shared = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [(1, f"{shared} tail a b"), (2, f"x y z {shared}")], ["doc_id", "text"]
+    )
+    spans = fdedup.duplicated_spans(df, n=5, min_tokens=8, min_docs=2)
+    keep_lowest = spans.groupBy().agg(F.min("doc_id").alias("keep_id"))
+    to_cut = spans.join(
+        keep_lowest, spans.doc_id == keep_lowest.keep_id, "left_anti"
+    )
+    got = {r.doc_id: r.text for r in fdedup.cut_spans(df, to_cut).collect()}
+    assert got[1] == f"{shared} tail a b"
+    assert got[2] == "x y z"
+
+
+def test_cut_spans_empty_doc_and_no_spans(spark):
+    """Empty text survives the rebuild; an empty span table is a
+    canonicalizing no-op."""
+    df = spark.createDataFrame([(1, ""), (2, "  Hello   World  ")], ["doc_id", "text"])
+    spans = fdedup.duplicated_spans(df, n=5, min_tokens=8, min_docs=2)
+    got = {r.doc_id: r.text for r in fdedup.cut_spans(df, spans).collect()}
+    assert got[1] == ""
+    assert got[2] == "hello world"

@@ -223,3 +223,53 @@ def test_llm_curation_journey_round6(engine, tmp_path):
     got = {(r.query_id, r.rank): r.neighbor_id for r in probed.collect()}
     want = {(r.query_id, r.rank): r.neighbor_id for r in inmem.collect()}
     assert got == want and len(got) == 9
+
+
+def test_llm_curation_journey_round6_late(engine, tmp_path):
+    """Late-round-6 surface as one curation flow through the Engine
+    facade: find cross-doc duplicated spans, cut every occurrence but
+    the lowest-doc one, semantically dedup the embedding side, reduce
+    dimensions with PCA, and train/apply a BPE tokenizer on the cleaned
+    corpus — the end-to-end shape of a training-data prep pipeline."""
+    from pyspark.sql import functions as F
+
+    boiler = " ".join(f"license term{i} clause{i}" for i in range(6))  # 18 tokens
+    docs = engine.spark.createDataFrame(
+        [
+            (1, boiler + " body one about apples and orchards"),
+            (2, boiler + " body two about rivers and bridges"),
+            (3, "independent document with entirely distinct content here"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = engine.duplicated_spans(docs, n=5, min_tokens=10)
+    assert {r.doc_id for r in spans.collect()} == {1, 2}
+    # keep the boilerplate once (lowest doc), cut it elsewhere
+    keep = spans.groupBy().agg(F.min("doc_id").alias("k"))
+    cleaned = engine.cut_spans(
+        docs, spans.join(keep, spans.doc_id == keep.k, "left_anti")
+    )
+    out = {r.doc_id: r.text for r in cleaned.collect()}
+    assert out[1].startswith("license") and not out[2].startswith("license")
+    assert engine.duplicated_spans(cleaned, n=5, min_tokens=10).count() == 0
+
+    # semantic dedup: doc 2's embedding duplicates doc 1's
+    emb = engine.spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 2.0, 3.0]),
+            (2, [1.0, 0.0, 2.0, 3.0]),
+            (3, [9.0, 4.0, 0.5, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    survivors = engine.semantic_dedup(emb, n_centroids=2, threshold=0.99)
+    assert {r.vec_id for r in survivors.collect()} == {1, 3}
+
+    model = engine.fit_pca(emb, k=2)
+    proj = engine.project_pca(emb, model)
+    assert len(proj.first()["pca"]) == 2
+
+    merges = engine.train_tokenizer(cleaned, num_merges=20, min_freq=2)
+    toked = engine.tokenize(cleaned, merges)
+    n = toked.select(F.sum(F.size("bpe_tokens"))).first()[0]
+    assert merges and n > 0
