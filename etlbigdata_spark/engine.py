@@ -114,8 +114,9 @@ class Engine:
         "minhash_verified": fdedup.minhash_verified_pairs,
         "simhash": fdedup.simhash_near_dups,
         "embedding": fdedup.embedding_near_dups,
-        # perceptual image hash; pass key_col=/bytes_col= (binary media)
+        # perceptual media hashes; pass key_col=/bytes_col= (binary media)
         "image": fmm.image_near_dups,
+        "audio": fmm.audio_near_dups,
     }
 
     def dedup_exact(self, df: DataFrame, **kw) -> DataFrame:

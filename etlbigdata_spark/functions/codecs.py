@@ -305,3 +305,28 @@ def media_features(key: str, blob: bytes) -> dict:
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         return audio_features(key, blob)
     return image_features(key, blob)
+
+
+def audio_fphash(blob: bytes) -> int:
+    """64-bit perceptual AUDIO fingerprint — the audio member of the
+    Hamming-dedup triad (text SimHash, image aHash, this), in the
+    spirit of the Haitsma–Kalker energy-difference fingerprint: real
+    WAV decode, mono mixdown, 65 equal time frames, bit i =
+    energy(frame i+1) > energy(frame i), packed MSB-first into a SIGNED
+    64-bit int (Spark LongType-compatible).
+
+    GAIN-INVARIANT by construction: a volume change multiplies every
+    frame energy by the same factor, so all comparisons — and the hash
+    — are unchanged; re-encodes and light noise flip only a few bits,
+    unrelated audio sits near Hamming 32.  Time-shift robustness is
+    NOT claimed (a large offset re-frames the signal) — that needs
+    overlapped frames and multi-hash matching, out of scope for the
+    dedup face."""
+    _, _, samples = decode_wav(blob)
+    x = samples.astype(np.float64).mean(axis=1)
+    if len(x) < 65:
+        x = np.pad(x, (0, 65 - len(x)))
+    frames = np.array_split(x * x, 65)
+    e = np.array([f.mean() for f in frames])
+    bits = e[1:] > e[:-1]
+    return int.from_bytes(np.packbits(bits).tobytes(), "big", signed=True)

@@ -272,3 +272,54 @@ def image_near_dups(
         hashed, max_hamming=max_hamming, scheme=scheme,
         n_blocks=max(6, max_hamming + 1),
     )
+
+
+def add_audio_fphash(
+    df: DataFrame,
+    key_col: str,
+    bytes_col: str,
+    out_col: str = "fphash",
+    hash_fn: Callable[[bytes], int] | None = None,
+) -> DataFrame:
+    """Perceptual 64-bit audio fingerprint per blob
+    (``codecs.audio_fphash``: real WAV decode → 65-frame energy deltas)
+    as an Arrow-batched ``mapInPandas`` — map-side only, the blob never
+    shuffles; only (key, 8-byte hash) rows leave the scan.  Swap
+    ``hash_fn`` for an MP3/OGG-capable decoder where those libs exist
+    (same extension contract as the image path)."""
+    from . import codecs
+
+    fn = hash_fn or codecs.audio_fphash
+    src = df.select(F.col(key_col).cast("string").alias("key"), F.col(bytes_col).alias("blob"))
+    out_schema = T.StructType(
+        [T.StructField("key", T.StringType()), T.StructField(out_col, T.LongType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({"key": pdf["key"], out_col: [fn(b) for b in pdf["blob"]]})
+
+    return src.mapInPandas(run, schema=out_schema)
+
+
+def audio_near_dups(
+    df: DataFrame,
+    key_col: str,
+    bytes_col: str,
+    max_hamming: int = 5,
+    scheme: str = "blocks",
+    hash_fn: Callable[[bytes], int] | None = None,
+) -> DataFrame:
+    """Near-duplicate AUDIO pairs — same shape as :func:`image_near_dups`
+    with the energy-delta fingerprint: hash map-side, then the EXACT
+    Hamming-≤-k pair core shared with text SimHash and image aHash
+    (``dedup.hamming_pairs_64``).  Returns (id_a, id_b, hamming)."""
+    from .dedup import hamming_pairs_64
+
+    hashed = add_audio_fphash(df, key_col, bytes_col, out_col="sig", hash_fn=hash_fn).select(
+        F.col("key").alias("id"), "sig"
+    )
+    return hamming_pairs_64(
+        hashed, max_hamming=max_hamming, scheme=scheme,
+        n_blocks=max(6, max_hamming + 1),
+    )

@@ -2698,6 +2698,67 @@ ORDER BY doc_a
 """
 
 
+def mm03_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B26×B23 — perceptual AUDIO dedup through the real WAV codec,
+    oracle-checked, and a STRONGER claim than mm02's byte-identical
+    images: each doc renders a deterministic 65-frame PCM WAV whose
+    per-frame amplitudes are md5-chained from its (source, n_chars)
+    key, then each doc applies a doc_id-DEPENDENT gain — so dup-group
+    members have DIFFERENT bytes, and only the energy-delta
+    fingerprint's designed gain invariance makes them collide at
+    Hamming 0.  Adjacent amplitude steps are ≥40 LSB where key bytes
+    differ (quantization under any gain ≥0.3 cannot reorder energies)
+    and exactly equal where bytes tie — the hash is a pure function of
+    the key in BOTH engines' eyes, so the oracle states ground truth as
+    doc pairs equal on (source, n_chars), identical to mm02's."""
+    from .functions.multimodal import audio_near_dups
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from .functions import codecs as _codecs
+
+        for pdf in batches:
+            blobs = []
+            for did, src, nch in zip(pdf["doc_id"], pdf["source"], pdf["n_chars"]):
+                seed = hashlib.md5(f"{src}:{int(nch)}".encode()).digest()
+                buf = bytearray()
+                block = seed
+                while len(buf) < 65:  # one amplitude byte per frame
+                    block = hashlib.md5(block).digest()
+                    buf.extend(block)
+                amps = 2000.0 + 40.0 * np.frombuffer(bytes(buf[:65]), dtype=np.uint8)
+                sign = np.tile([1.0, -1.0], 50)
+                x = (amps[:, None] * sign[None, :]).ravel()  # 65 frames × 100
+                gain = 0.3 + 0.3 * (int(did) % 3)  # 0.3 / 0.6 / 0.9 by doc
+                blobs.append(_codecs.encode_wav(16000, (x * gain).astype(np.int16)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    import pyspark.sql.types as T2
+
+    blobs = docs.mapInPandas(
+        gen, schema=T2.StructType([
+            T2.StructField("doc_id", T2.LongType()),
+            T2.StructField("blob", T2.BinaryType()),
+        ])
+    )
+    pairs = audio_near_dups(blobs, "doc_id", "blob", max_hamming=0)
+    a = F.least(F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"))
+    return (
+        pairs.groupBy(a.alias("doc_a"))
+        .agg(F.count(F.lit(1)).alias("n_dups"))
+        .orderBy("doc_a")
+    )
+
+
+MM03_SQL = MM02_SQL
+
+
 # ---------------------------------------------------------------------
 # Streaming semantics in batch form (B20) — the streaming engine itself
 # is exercised by replay tests (tests/test_streaming.py)
@@ -4535,6 +4596,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st08_stream_dedup": st08_stream_dedup,
     "st10_stream_dq_monitor": st10_stream_dq_monitor,
     "st11_stream_rollup": st11_stream_rollup,
+    "mm03_audio_neardup": mm03_audio_neardup,
     # round-6: a07/a10/a11/a15 rotated out after five driver-green
     # rounds; still oracle-checked here
     "a07_fill_nulls": a07_fill_nulls,
@@ -4748,6 +4810,7 @@ ORACLE_SQL: dict[str, str] = {
     "st09_stream_incremental_dedup": ST09_SQL,
     "st10_stream_dq_monitor": ST10_SQL,
     "st11_stream_rollup": ST11_SQL,
+    "mm03_audio_neardup": MM03_SQL,
     "t05_fingerprint": T05_SQL,
     "t11_normalize": T11_SQL,
     "t12_pack_shards": T12_SQL,

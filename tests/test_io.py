@@ -804,3 +804,53 @@ def test_wav_strict_audio_features_real_codec(engine):
     # 8-bit PCM is outside the built-in codec's contract
     with pytest.raises(ValueError):
         codecs.decode_wav(blob[:3] + b"X" + blob[4:])
+
+
+def test_audio_fphash_and_near_dups_real_codec(engine):
+    """Perceptual AUDIO dedup end-to-end on REAL PCM WAV bytes: a
+    volume-scaled copy hashes IDENTICALLY (energy deltas are gain-
+    invariant by construction), a lightly-noised copy lands within a
+    few bits, unrelated audio sits far, and audio_near_dups returns
+    exactly the planted near pairs via the shared Hamming-band core."""
+    import numpy as np
+
+    from etlbigdata_spark.functions import codecs
+    from etlbigdata_spark.functions.multimodal import add_audio_fphash, audio_near_dups
+
+    rng = np.random.default_rng(7)
+    t = np.arange(16000) / 16000.0
+    # amplitude-modulated tone: frame energies vary, so delta bits carry info
+    envelope = 0.2 + 0.8 * np.abs(np.sin(2 * np.pi * 3.0 * t))
+    base = (envelope * np.sin(2 * np.pi * 440 * t) * 12000).astype(np.int16)
+    gain = (base.astype(np.float64) * 0.5).astype(np.int16)          # -6 dB copy
+    noised = (base + rng.normal(0, 120, len(base))).astype(np.int16)  # light noise
+    far = (0.7 * np.sin(2 * np.pi * 97 * t + np.cumsum(rng.normal(0, 0.05, len(t)))) * 12000).astype(np.int16)
+
+    wav = lambda s: codecs.encode_wav(16000, s)  # noqa: E731
+    h_base = codecs.audio_fphash(wav(base))
+    h_gain = codecs.audio_fphash(wav(gain))
+    h_noise = codecs.audio_fphash(wav(noised))
+    h_far = codecs.audio_fphash(wav(far))
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert h_base == h_gain, "gain invariance is the designed property"
+    assert ham(h_base, h_noise) <= 5
+    assert ham(h_base, h_far) > 10
+
+    df = engine.spark.createDataFrame(
+        [
+            ("base", bytearray(wav(base))),
+            ("gain", bytearray(wav(gain))),
+            ("noise", bytearray(wav(noised))),
+            ("far", bytearray(wav(far))),
+        ],
+        "key string, blob binary",
+    )
+    hashed = {r["key"]: r["fphash"] for r in add_audio_fphash(df, "key", "blob").collect()}
+    assert hashed["base"] == h_base and hashed["far"] == h_far
+
+    pairs = audio_near_dups(df, "key", "blob", max_hamming=5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {("base", "gain"), ("base", "noise"), ("gain", "noise")}
+    # the Engine facade routes method="audio" to the same core
+    via_engine = engine.near_dup_pairs(df, method="audio", key_col="key", bytes_col="blob")
+    assert {(r["id_a"], r["id_b"]) for r in via_engine.collect()} == got
