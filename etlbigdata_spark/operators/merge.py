@@ -85,3 +85,69 @@ def merge_upsert(
             fallback = F.col(f"s.{c}") if c in source.columns else F.lit(None)
             out.append(F.when(tgt_present, F.col(f"t.{c}")).otherwise(fallback).alias(c))
     return j.select(*out)
+
+
+def diff_tables(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Read-side twin of :func:`merge_upsert`: classify every key across
+    two snapshots — the validation step after a migration, backfill, or
+    CDC sync ("did the copy actually converge?").
+
+    Returns one row per key with ``change_type`` ∈
+    ``only_left | only_right | changed | same`` plus the key columns.
+    ONE full-outer shuffle join on the keys (bucket both sides on them
+    to make it exchange-free, same note as merge); non-key values
+    compare as a single null-safe struct equality, so NULL == NULL is
+    ``same``, not ``changed``.
+
+    Keys must be unique per side (the snapshot contract; pre-compact
+    with ``cleaning.keep_latest`` otherwise) — duplicate keys would
+    fan out the join and double-count classifications.
+    """
+    if not keys:
+        raise ValueError("need at least one key column")
+    cols = compare_cols or [c for c in left.columns if c not in keys]
+    missing = [c for c in cols + keys if c not in right.columns]
+    if missing:
+        raise ValueError(f"right side lacks columns {missing}")
+    lv = F.struct(*[F.col(f"l.{c}").alias(c) for c in cols])
+    rv = F.struct(*[F.col(f"r.{c}").alias(c) for c in cols])
+    # presence markers, NOT key-nullness: the null-safe join matches
+    # null keys across sides, where a key column would read as "absent"
+    left = left.withColumn("__in_l", F.lit(1))
+    right = right.withColumn("__in_r", F.lit(1))
+    joined = left.alias("l").join(
+        right.alias("r"),
+        on=[F.col(f"l.{k}").eqNullSafe(F.col(f"r.{k}")) for k in keys],
+        how="full_outer",
+    )
+    in_l, in_r = F.col("l.__in_l").isNotNull(), F.col("r.__in_r").isNotNull()
+    change = (
+        F.when(in_l & ~in_r, F.lit("only_left"))
+        .when(in_r & ~in_l, F.lit("only_right"))
+        .when(lv.eqNullSafe(rv), F.lit("same"))
+        .otherwise(F.lit("changed"))
+    )
+    key_out = [
+        F.coalesce(F.col(f"l.{k}"), F.col(f"r.{k}")).alias(k) for k in keys
+    ]
+    return joined.select(*key_out, change.alias("change_type"))
+
+
+def diff_summary(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """(change_type, n) rollup of :func:`diff_tables` — the one-screen
+    convergence report (all-``same`` = the sync is clean)."""
+    return (
+        diff_tables(left, right, keys, compare_cols)
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

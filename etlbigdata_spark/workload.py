@@ -1620,6 +1620,59 @@ GROUP BY o_orderpriority
 """
 
 
+def b40_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (round 6, operators/merge.diff_tables) — the
+    read-side twin of MERGE: after a migration/backfill/CDC sync,
+    classify every key across the two snapshots as
+    only_left/only_right/changed/same in ONE full-outer shuffle join
+    with null-safe struct value compare.  The 'right' snapshot here is
+    orders with key ≡ 0 mod 13 dropped, ≡ 0 mod 7 re-priced and a
+    shifted-key slice added — so all four classes are non-empty at
+    every SF; the oracle states identical semantics in SQL."""
+    from .operators import merge as fmerge
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    right = orders.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 2)
+        .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderpriority",
+    ).unionByName(
+        orders.filter(F.col("o_orderkey") % 11 == 0).select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            "o_totalprice", "o_orderpriority",
+        )
+    )
+    return fmerge.diff_summary(orders, right, ["o_orderkey"])
+
+
+B40_SQL = """
+WITH r AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderpriority
+  FROM orders WHERE o_orderkey % 13 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 11 = 0
+),
+classified AS (
+  SELECT CASE
+           WHEN r.o_orderkey IS NULL THEN 'only_left'
+           WHEN l.o_orderkey IS NULL THEN 'only_right'
+           WHEN l.o_totalprice = r.o_totalprice
+                AND l.o_orderpriority = r.o_orderpriority THEN 'same'
+           ELSE 'changed'
+         END AS change_type
+  FROM orders l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
+)
+SELECT change_type, COUNT(*) AS n FROM classified GROUP BY change_type
+"""
+
+
 # ---------------------------------------------------------------------
 # LLM-pipeline: text analysis (B25)
 # ---------------------------------------------------------------------
@@ -4597,6 +4650,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st10_stream_dq_monitor": st10_stream_dq_monitor,
     "st11_stream_rollup": st11_stream_rollup,
     "mm03_audio_neardup": mm03_audio_neardup,
+    "b40_table_diff": b40_table_diff,
     # round-6: a07/a10/a11/a15 rotated out after five driver-green
     # rounds; still oracle-checked here
     "a07_fill_nulls": a07_fill_nulls,
@@ -4811,6 +4865,7 @@ ORACLE_SQL: dict[str, str] = {
     "st10_stream_dq_monitor": ST10_SQL,
     "st11_stream_rollup": ST11_SQL,
     "mm03_audio_neardup": MM03_SQL,
+    "b40_table_diff": B40_SQL,
     "t05_fingerprint": T05_SQL,
     "t11_normalize": T11_SQL,
     "t12_pack_shards": T12_SQL,

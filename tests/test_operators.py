@@ -994,3 +994,43 @@ def test_bpe_merges_roundtrip_parquet(spark, tmp_path):
     p = str(tmp_path / "merges.parquet")
     bpe.merges_df(spark, m).write.parquet(p)
     assert bpe.load_merges(spark.read.parquet(p)) == m
+
+
+def test_diff_tables_classifies_including_null_keys_and_values(spark):
+    """diff_tables: all four classes; NULL keys match null-safely
+    (presence markers, not key-nullness — a null-keyed row present on
+    both sides is same/changed, never only_*); NULL == NULL values are
+    'same'."""
+    from etlbigdata_spark.operators import merge as fmerge
+
+    left = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (None, "n", 1.0)],
+        "k int, v string, x double",
+    )
+    right = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "CHANGED", 30.0),
+         (None, "n", 1.0), (4, "d", 40.0)],
+        "k int, v string, x double",
+    )
+    got = {r.k: r.change_type for r in fmerge.diff_tables(left, right, ["k"]).collect()}
+    assert got[1] == "same"
+    assert got[2] == "same"      # NULL == NULL value is same
+    assert got[3] == "changed"
+    assert got[None] == "same"   # null key matched across sides
+    assert got[4] == "only_right"
+    summary = {r.change_type: r.n for r in fmerge.diff_summary(left, right, ["k"]).collect()}
+    assert summary == {"same": 3, "changed": 1, "only_right": 1}
+
+
+def test_diff_tables_compare_cols_subset_and_validation(spark):
+    from etlbigdata_spark.operators import merge as fmerge
+    import pytest as _pytest
+
+    left = spark.createDataFrame([(1, "a", 1.0)], "k int, v string, x double")
+    right = spark.createDataFrame([(1, "a", 99.0)], "k int, v string, x double")
+    got = fmerge.diff_tables(left, right, ["k"], compare_cols=["v"]).collect()
+    assert got[0].change_type == "same"  # x excluded from the compare
+    with _pytest.raises(ValueError):
+        fmerge.diff_tables(left, right, [])
+    with _pytest.raises(ValueError):
+        fmerge.diff_tables(left, right.drop("x"), ["k"])
