@@ -358,6 +358,13 @@ class Engine:
 
         return fmerge.merge_upsert(target, source, keys, **kw)
 
+    def diff(self, left: DataFrame, right: DataFrame, keys: list[str], **kw) -> DataFrame:
+        """Classify keys across two snapshots (only_left/only_right/
+        changed/same) — see operators.merge.diff_tables."""
+        from .operators import merge as fmerge
+
+        return fmerge.diff_tables(left, right, keys, **kw)
+
     def keep_latest(self, df: DataFrame, keys: list[str], order_cols: list) -> DataFrame:
         """CDC compaction: one deterministic winner per key."""
         from .operators import cleaning

@@ -19,6 +19,36 @@ def read_parquet(spark: SparkSession, path: str, **opts) -> DataFrame:
     return spark.read.options(**opts).parquet(path)
 
 
+def read_parquet_since(
+    spark: SparkSession, path: str, modified_after: str, fmt: str = "parquet", **opts
+) -> DataFrame:
+    """Batch-incremental file pickup (A3+): scan only files whose
+    modification time is STRICTLY after ``modified_after``
+    ("YYYY-MM-DDTHH:MM:SS", local TZ unless an offset is given) — the
+    generic file source's ``modifiedAfter`` listing filter, applied at
+    FILE-LISTING time, so old files are never opened, not just
+    filtered.  The poor-man's incremental ingest between full loads
+    when a streaming checkpoint is not in play: record the watermark
+    you processed to, pass it here next run (a file landing with an
+    mtime at-or-before a recorded watermark is missed — the classic
+    mtime-watermark race; use the Structured Streaming file source's
+    checkpointed listing when that matters).  Composes with pushdown
+    exactly like :func:`read_parquet`.  Pass ``schema=`` to skip
+    inference; otherwise the schema is inferred from the UNFILTERED
+    directory (one footer read) so a pickup that matches zero files
+    returns an empty frame with the right schema instead of failing
+    inference."""
+    schema = opts.pop("schema", None)
+    if schema is None:
+        schema = spark.read.format(fmt).options(**opts).load(path).schema
+    return (
+        spark.read.schema(schema)
+        .options(modifiedAfter=modified_after, **opts)
+        .format(fmt)
+        .load(path)
+    )
+
+
 def read_orc(spark: SparkSession, path: str, **opts) -> DataFrame:
     """ORC scan (A3 sibling — the other columnar lake format Spark reads
     natively; same pushdown/pruning machinery as parquet)."""

@@ -854,3 +854,31 @@ def test_audio_fphash_and_near_dups_real_codec(engine):
     # the Engine facade routes method="audio" to the same core
     via_engine = engine.near_dup_pairs(df, method="audio", key_col="key", bytes_col="blob")
     assert {(r["id_a"], r["id_b"]) for r in via_engine.collect()} == got
+
+
+def test_read_parquet_since_lists_only_new_files(engine, tmp_path):
+    """modifiedAfter is a LISTING-time filter: only files newer than the
+    watermark are read; an empty pickup is an empty frame, not an
+    error."""
+    import os
+    import time
+
+    from etlbigdata_spark.sources import readers
+
+    d = str(tmp_path / "inc")
+    engine.spark.createDataFrame([(1, "old")], "id long, v string").coalesce(1).write.parquet(d)
+    old_files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    past = time.time() - 3600
+    for f in old_files:
+        os.utime(os.path.join(d, f), (past, past))
+    engine.spark.createDataFrame([(2, "new")], "id long, v string").coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+
+    watermark = time.strftime("%Y-%m-%dT%H:%M:%S", time.localtime(past + 60))
+    got = readers.read_parquet_since(engine.spark, d, watermark)
+    assert [(r.id, r.v) for r in got.collect()] == [(2, "new")]
+    future = time.strftime("%Y-%m-%dT%H:%M:%S", time.localtime(time.time() + 3600))
+    assert readers.read_parquet_since(engine.spark, d, future).count() == 0
+    # full read still sees both rows — the filter is per-call, not sticky
+    assert readers.read_parquet(engine.spark, d).count() == 2
