@@ -94,6 +94,7 @@ HEADLINE = [
     "b09_theta",
     "b10_running_sum",
     "b31_merge_upsert",
+    "b40_table_diff",
     "evt03_sessionize",
     "b10_range_frame",
     "b15_json",

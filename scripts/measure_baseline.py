@@ -38,7 +38,7 @@ HEADLINE = [
     "q21_sole_failing_supplier", "q22_idle_rich_customers",
     "b06_grouping_sets", "b07_topk_group",
     "b09_asof", "b09_theta", "b10_running_sum",
-    "b31_merge_upsert",
+    "b31_merge_upsert", "b40_table_diff",
     "evt03_sessionize", "b10_range_frame",
     "b15_json", "b15_from_json", "b16_pivot", "t01_text_stats",
     "t02_token_count", "d01_dup_groups", "d02_jaccard_pairs",
