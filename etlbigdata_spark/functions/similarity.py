@@ -757,6 +757,23 @@ def semantic_centroids(
     return [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(rows)]
 
 
+def _norm_centroids(cents: list) -> list[tuple[int, list[float]]]:
+    """Accept both centroid shapes — the (index, vector) pairs the md5
+    sample produces AND the bare k×d vector list :func:`kmeans_fit`
+    returns — so k-means centroids drop straight into the semantic
+    dedup faces."""
+    out = []
+    for i, c in enumerate(cents):
+        if (
+            isinstance(c, (tuple, list)) and len(c) == 2
+            and isinstance(c[0], int) and isinstance(c[1], (list, tuple))
+        ):
+            out.append((c[0], [float(x) for x in c[1]]))
+        else:
+            out.append((i, [float(x) for x in c]))
+    return out
+
+
 def _assign_cosine_argmax(
     df: DataFrame, cents: list, vec_col: str, round_to: int, out_col: str = "cluster"
 ) -> Column | DataFrame:
@@ -831,6 +848,7 @@ def semantic_dedup_pairs(
     )
     if not cents:
         raise ValueError("no centroids: corpus is empty (or an empty list was passed)")
+    cents = _norm_centroids(cents)
     assigned = _assign_cosine_argmax(corpus, cents, vec_col, round_to)
     if vectorized:
         return _cell_pairs_vectorized(assigned, id_col, vec_col, threshold, round_to)

@@ -474,3 +474,25 @@ def test_duplicated_spans_match_python_reference(spark, docs, n):
             if p is not None:
                 run.append(p)
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abc"), min_size=0, max_size=12).map(" ".join),
+        min_size=2,
+        max_size=6,
+    ),
+)
+@settings(**_SETTINGS)
+def test_cut_spans_then_respans_is_empty(spark, docs):
+    """Fixed point: cutting EVERY reported span leaves a corpus in
+    which the span finder reports nothing — for arbitrary tiny-alphabet
+    corpora (heavy collisions, repeats, overlaps)."""
+    from etlbigdata_spark.functions import dedup as fdedup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    spans = fdedup.duplicated_spans(df, n=2, min_tokens=3, min_docs=2)
+    cleaned = fdedup.cut_spans(df, spans)
+    assert fdedup.duplicated_spans(cleaned, n=2, min_tokens=3, min_docs=2).count() == 0

@@ -971,3 +971,22 @@ def test_cut_spans_empty_doc_and_no_spans(spark):
     got = {r.doc_id: r.text for r in fdedup.cut_spans(df, spans).collect()}
     assert got[1] == ""
     assert got[2] == "hello world"
+
+
+def test_semantic_dedup_with_kmeans_centroids(emb):
+    """The production composition: kmeans_fit centroids feed
+    semantic_dedup_pairs (instead of the md5 oracle sample) — planted
+    exact duplicates still always collide (identical vectors share an
+    argmax regardless of which centroids are used), and construction
+    stays lazy (centroids precomputed)."""
+    base = emb.select("vec_id", "embedding").filter(F.col("vec_id") < 100)
+    planted = base.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 9000).alias("vec_id"), "embedding"
+    )
+    corpus = base.unionByName(planted)
+    cents, _, _ = fsim.kmeans_fit(corpus, k=4, iters=2)
+    pairs = fsim.semantic_dedup_pairs(
+        corpus, threshold=0.99, centroids=cents, vectorized=True
+    )
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert all((i, i + 9000) in found for i in range(8))
