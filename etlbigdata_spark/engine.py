@@ -142,7 +142,16 @@ class Engine:
     ) -> DataFrame:
         """Near-dedup end-to-end: pairs → connected components → keep the
         min-id winner per cluster (full rows never shuffle)."""
-        pairs = self.near_dup_pairs(df, method=method, id_col=id_col, **kw)
+        import inspect
+
+        fn = self._NEAR_DUP[method]
+        if "id_col" in inspect.signature(fn).parameters:
+            pairs = self.near_dup_pairs(df, method=method, id_col=id_col, **kw)
+        else:
+            # media methods (image/audio) key on key_col=/bytes_col= and
+            # emit stringified pair ids; the winner id is the media key
+            pairs = self.near_dup_pairs(df, method=method, **kw)
+            id_col = kw.get("key_col", id_col)
         return fdedup.dedup_by_components(df, pairs, id_col=id_col)
 
     _TOPK = {
@@ -343,7 +352,10 @@ class Engine:
 
     def duplicated_spans(self, df: DataFrame, **kw) -> DataFrame:
         """Cross-document duplicated-span detection (exact-substring
-        dedup mode) — see functions.dedup.duplicated_spans."""
+        dedup mode) — see functions.dedup.duplicated_spans.  Entry
+        releases prior dedup caches (the near_dup_pairs convention:
+        this op persist-scopes its positional-shingle table)."""
+        fdedup.release_cached()
         return fdedup.duplicated_spans(df, **kw)
 
     def cut_spans(self, df: DataFrame, spans: DataFrame, **kw) -> DataFrame:

@@ -1117,6 +1117,9 @@ def duplicated_spans(
         )
         .filter(F.col("span_tokens") >= min_tokens)
         .drop("__grp")
+        # report under the CALLER'S id column so cut_spans(df, spans,
+        # id_col=...) composes for any id name, not just "doc_id"
+        .withColumnRenamed("doc_id", id_col)
     )
 
 
@@ -1143,8 +1146,16 @@ def cut_spans(
 
     NOTE the tokenizer normalization: output text is the space-joined
     token stream (lowercased, whitespace collapsed) — the same
-    canonical form every shingle op in this module scores, so
-    ``duplicated_spans(cut_spans(...))`` composes exactly.
+    canonical form every shingle op in this module scores.
+
+    Cutting is NOT idempotent in general: removing a span splices its
+    neighbors together, and the new adjacencies can themselves form
+    fresh cross-doc duplicate runs ("a [c c] b" and "a [d d] b" both
+    cut to "a b").  One pass removes every REPORTED span; a corpus
+    with zero duplicated spans is reached by iterating
+    find → cut to the fixed point, which terminates because each
+    cutting pass strictly shrinks total token count (pinned by the
+    iterated-fixed-point property test).
     """
     out_col = out_col or text_col
     per_doc = spans.groupBy(F.col(id_col).alias("__sid")).agg(

@@ -918,13 +918,20 @@ def pca_fit(
     """
     import numpy as np
 
-    d = len(corpus.select(vec_col).first()[0])
+    first = [float(x) for x in corpus.select(vec_col).first()[0]]
+    d = len(first)
     if not 1 <= k <= d:
         raise ValueError(f"need 1 <= k <= dim, got k={k}, dim={d}")
 
     moment_schema = (
         "n long, s array<double>, xtx array<double>"
     )
+    # shift by a first-row estimate before accumulating moments: the
+    # naive XᵀX − mean·Σx form cancels catastrophically when the mean
+    # offset dwarfs the spread (‖mean‖ ≫ std loses ~2·log10(‖mean‖/std)
+    # significant digits); shifted moments make the subtraction
+    # well-conditioned at identical cost
+    shift = np.asarray(first, dtype=np.float64)
 
     def _moments(batches):
         import numpy as _np
@@ -934,6 +941,7 @@ def pca_fit(
             x = _np.asarray(list(pdf.iloc[:, 0]), dtype=_np.float64)
             if x.size == 0:
                 continue
+            x = x - shift
             yield _pd.DataFrame(
                 {
                     "n": [x.shape[0]],
@@ -948,8 +956,9 @@ def pca_fit(
         raise ValueError(f"need >= 2 vectors to fit PCA, got {n}")
     s = np.sum([np.asarray(v) for v in parts["s"]], axis=0)
     xtx = np.sum([np.asarray(v).reshape(d, d) for v in parts["xtx"]], axis=0)
-    mean = s / n
-    cov = (xtx - np.outer(mean, s)) / (n - 1)
+    mean_c = s / n
+    mean = shift + mean_c
+    cov = (xtx - np.outer(mean_c, s)) / (n - 1)
     evals, evecs = np.linalg.eigh(cov)  # ascending
     order = np.argsort(evals)[::-1][:k]
     comps = evecs[:, order].T
@@ -1028,11 +1037,19 @@ def _cell_pairs_vectorized(
         ids = pdf[id_col].to_numpy()
         x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
         norms = np.linalg.norm(x, axis=1)
+        # F.round is BigDecimal HALF_UP (ties away from zero); np.round
+        # is half-to-even — match the expression path exactly so a
+        # cosine on the half-ulp boundary classifies identically
+        scale = 10.0 ** round_to
+
+        def round_half_up(a):
+            return np.sign(a) * np.floor(np.abs(a) * scale + 0.5) / scale
+
         parts = []
         for lo in range(0, b, block_rows):
             hi = min(lo + block_rows, b)
             sims = (x[lo:hi] @ x.T) / np.outer(norms[lo:hi], norms)
-            rows, cols = np.nonzero(np.round(sims, round_to) >= threshold)
+            rows, cols = np.nonzero(round_half_up(sims) >= threshold)
             keep = (rows + lo) < cols  # upper triangle only, no self
             rows, cols = rows[keep], cols[keep]
             if not len(rows):
@@ -1045,7 +1062,7 @@ def _cell_pairs_vectorized(
                         "id_a": np.where(swap, ib, ia),
                         "id_b": np.where(swap, ia, ib),
                         "cluster": np.full(len(rows), key[0], dtype=np.int32),
-                        "cosine": np.round(sims[rows, cols], round_to),
+                        "cosine": round_half_up(sims[rows, cols]),
                     }
                 )
             )

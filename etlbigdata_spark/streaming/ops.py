@@ -888,9 +888,15 @@ def rollup_merge_sink(
             if not touched:
                 return
             if exists:
-                target = spark.read.parquet(root).filter(
-                    F.col(partition_col).isin(touched)
-                )
+                # isin() is three-valued: NULL partition values compare
+                # NULL (not true) and would silently DROP previously
+                # merged rows from the null partition — include them
+                # null-safely when the batch touches that partition
+                non_null = [t for t in touched if t is not None]
+                cond = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+                if any(t is None for t in touched):
+                    cond = cond | F.col(partition_col).isNull()
+                target = spark.read.parquet(root).filter(cond)
                 merged = merge_upsert(target, batch_df.select(*target.columns), keys)
             else:
                 merged = batch_df

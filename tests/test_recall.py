@@ -990,3 +990,63 @@ def test_semantic_dedup_with_kmeans_centroids(emb):
     )
     found = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert all((i, i + 9000) in found for i in range(8))
+
+
+def test_duplicated_spans_and_cut_spans_compose_with_custom_id_col(spark):
+    """The span report carries the CALLER'S id column, so the
+    find → cut pair composes for any id name (review fix)."""
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    df = spark.createDataFrame(
+        [(1, f"{shared} tail"), (2, f"pre {shared}")], ["my_id", "text"]
+    )
+    spans = fdedup.duplicated_spans(df, id_col="my_id", n=5, min_tokens=8)
+    assert "my_id" in spans.columns
+    cleaned = fdedup.cut_spans(df, spans, id_col="my_id")
+    got = {r.my_id: r.text for r in cleaned.collect()}
+    assert got[1] == "tail" and got[2] == "pre"
+
+
+def test_pca_fit_is_stable_under_large_mean_offset(spark):
+    """Shifted-moment accumulation: a corpus offset by 1e6 must produce
+    the same components as the centered corpus (the naive XᵀX − mean·Σx
+    form loses ~12 digits to cancellation there; review fix)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(0, 1, (200, 6))
+    rows_c = [(i, [float(v) for v in x[i]]) for i in range(200)]
+    rows_o = [(i, [float(v + 1e6) for v in x[i]]) for i in range(200)]
+    centered = spark.createDataFrame(rows_c, "vec_id long, embedding array<double>")
+    offset = spark.createDataFrame(rows_o, "vec_id long, embedding array<double>")
+    mc = fsim.pca_fit(centered, k=3)
+    mo = fsim.pca_fit(offset, k=3)
+    assert np.allclose(mc["components"], mo["components"], atol=1e-6)
+    assert np.allclose(
+        mc["explained_variance"], mo["explained_variance"], rtol=1e-6
+    )
+
+
+def test_engine_dedup_near_works_for_media_methods(spark):
+    """dedup_near(method="audio"/"image") must not forward id_col into
+    the media pair finders (they have none) and must anti-join the
+    stringified pair ids back onto the original key (review fix)."""
+    import numpy as np
+
+    from etlbigdata_spark.engine import Engine
+    from etlbigdata_spark.functions import codecs
+
+    eng = Engine(spark)
+    t = np.arange(8000) / 8000.0
+    env = 0.2 + 0.8 * np.abs(np.sin(2 * np.pi * 3.0 * t))
+    base = (env * np.sin(2 * np.pi * 440 * t) * 12000).astype(np.int16)
+    gain = (base.astype(np.float64) * 0.5).astype(np.int16)
+    rng = np.random.default_rng(11)
+    far = (0.7 * np.sin(2 * np.pi * 97 * t + np.cumsum(rng.normal(0, 0.05, len(t)))) * 12000).astype(np.int16)
+    df = spark.createDataFrame(
+        [(1, bytearray(codecs.encode_wav(8000, base))),
+         (2, bytearray(codecs.encode_wav(8000, gain))),
+         (3, bytearray(codecs.encode_wav(8000, far)))],
+        "media_key long, blob binary",
+    )
+    kept = eng.dedup_near(df, method="audio", key_col="media_key", bytes_col="blob")
+    assert {r.media_key for r in kept.collect()} == {1, 3}

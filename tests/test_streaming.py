@@ -1311,3 +1311,23 @@ def test_rollup_merge_sink_rejects_uri_paths():
 
     with _pytest.raises(NotImplementedError):
         ops.rollup_merge_sink("s3://bucket/rollup", keys=["k"])
+
+
+def test_rollup_merge_sink_null_partition_values_survive(spark, tmp_path):
+    """isin() is three-valued: a NULL partition value must still be
+    read-merged when a later batch touches the null partition, not
+    silently dropped by a NULL comparison (review fix)."""
+    rollup = str(tmp_path / "rollup_null")
+    sink = ops.rollup_merge_sink(rollup, keys=["day", "user_id"], partition_col="day")
+    b0 = spark.createDataFrame(
+        [(None, 1, 10), ("d1", 2, 20)], "day string, user_id int, n long"
+    )
+    sink(b0, 0)
+    b1 = spark.createDataFrame(
+        [(None, 3, 5)], "day string, user_id int, n long"
+    )
+    sink(b1, 1)  # touches ONLY the null partition
+    got = {(r.day, r.user_id): r.n for r in spark.read.parquet(rollup).collect()}
+    assert got == {(None, 1): 10, ("d1", 2): 20, (None, 3): 5}, (
+        "user 1's null-partition row was lost in the merge"
+    )
