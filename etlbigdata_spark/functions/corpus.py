@@ -305,3 +305,38 @@ def pack_shards(
         .drop("__before")
     )
     return out
+
+
+def temperature_rates(
+    df: DataFrame,
+    group_col: str = "source",
+    alpha: float = 0.5,
+) -> dict[str, float]:
+    """Temperature-based mixture rates (the multilingual-LM sampling
+    rule — mBERT/XLM-R style: sample group g with probability
+    ∝ n_g^alpha): returns per-group keep-rates r_g ∝ n_g^(alpha−1),
+    normalized so the best-kept group keeps everything (max r = 1) —
+    feed straight into :func:`mixture_sample`.  alpha < 1 flattens the
+    mixture (big sources downsampled toward small ones), alpha = 1
+    keeps natural proportions, alpha = 0 equalizes expected counts.
+
+    EAGER: collects one row per group (bounded by group cardinality).
+    Rates are quantized to 6 dp with an explicit half-up floor so an
+    external engine can reproduce them; for ``alpha=0.5`` the weight is
+    computed as ``1/sqrt(n)`` — division and square root are IEEE
+    correctly-rounded in every engine, so the rates (and therefore the
+    kept set) are BIT-EXACT cross-engine, which is what the t17 oracle
+    pins.  Other alphas go through ``pow``, whose last-ulp rounding is
+    libm-specific — fine for training mixtures, not for hash-exact
+    oracles (documented trade)."""
+    import math
+
+    counts = {r[0]: r[1] for r in df.groupBy(group_col).count().collect()}
+    if not counts:
+        raise ValueError("empty corpus: no groups to rate")
+    if alpha == 0.5:
+        w = {g: 1.0 / math.sqrt(float(n)) for g, n in counts.items()}
+    else:
+        w = {g: float(n) ** (alpha - 1.0) for g, n in counts.items()}
+    mx = max(w.values())
+    return {g: math.floor(v / mx * 1e6 + 0.5) / 1e6 for g, v in w.items()}

@@ -2462,6 +2462,46 @@ def t16_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t17_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation — TEMPERATURE mixing (round 6,
+    corpus.temperature_rates + mixture_sample): keep-rates ∝
+    n_source^(α−1) with α=0.5 (the mBERT/XLM-R rule), normalized so
+    the smallest source keeps everything, then the salted-hash keep
+    decision of t15.  α=0.5 is the oracle-able case: 1/sqrt(n) and the
+    6-dp half-up quantization are IEEE-exact in both engines, so the
+    kept SET (not just its size) hash-matches; the report aggregates
+    per source (count + exact id/char sums) like t15."""
+    docs = load(spark, sf_dir, "documents")
+    rates = fcorpus.temperature_rates(docs, "source", alpha=0.5)
+    mixed = fcorpus.mixture_sample(
+        docs, rates, group_col="source", id_col="doc_id", default_rate=1.0
+    )
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
+T17_SQL = """
+WITH counts AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+w AS (SELECT source, 1.0 / sqrt(cnt) AS w FROM counts),
+r AS (SELECT source, FLOOR(w / (SELECT MAX(w) FROM w) * 1e6 + 0.5) / 1e6 AS rate FROM w),
+th AS (
+  SELECT source,
+         CASE WHEN rate >= 1.0 THEN 'g'
+              ELSE printf('%08x', CAST(FLOOR(rate * 4294967296) AS BIGINT)) END AS thresh
+  FROM r
+)
+SELECT d.source, COUNT(*) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM documents d JOIN th ON d.source = th.source
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8) < thresh
+GROUP BY d.source
+"""
+
+
 def t05_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B25 — polynomial rolling-hash document fingerprint (the
     cross-engine oracle twin).  Oracle-checked since round 3: the
@@ -4703,6 +4743,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t14_surprisal": t14_surprisal,
     "t15_mixture": t15_mixture,
     "t16_bpe_fertility": t16_bpe_fertility,
+    "t17_temperature_mix": t17_temperature_mix,
     "s06_pca": s06_pca,
     "t13_repetition": t13_repetition,
     "b28_percentile": b28_percentile,
@@ -4866,6 +4907,7 @@ ORACLE_SQL: dict[str, str] = {
     "st11_stream_rollup": ST11_SQL,
     "mm03_audio_neardup": MM03_SQL,
     "b40_table_diff": B40_SQL,
+    "t17_temperature_mix": T17_SQL,
     "t05_fingerprint": T05_SQL,
     "t11_normalize": T11_SQL,
     "t12_pack_shards": T12_SQL,
