@@ -144,15 +144,41 @@ class Engine:
         min-id winner per cluster (full rows never shuffle)."""
         import inspect
 
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import NumericType
+
+        if method not in self._NEAR_DUP:
+            raise ValueError(f"method must be one of {sorted(self._NEAR_DUP)}")
         fn = self._NEAR_DUP[method]
         if "id_col" in inspect.signature(fn).parameters:
             pairs = self.near_dup_pairs(df, method=method, id_col=id_col, **kw)
-        else:
-            # media methods (image/audio) key on key_col=/bytes_col= and
-            # emit stringified pair ids; the winner id is the media key
-            pairs = self.near_dup_pairs(df, method=method, **kw)
-            id_col = kw.get("key_col", id_col)
-        return fdedup.dedup_by_components(df, pairs, id_col=id_col)
+            return fdedup.dedup_by_components(df, pairs, id_col=id_col)
+        # media methods (image/audio) key on key_col=/bytes_col= and emit
+        # STRINGIFIED pair ids; the winner id is the media key
+        pairs = self.near_dup_pairs(df, method=method, **kw)
+        key = kw.get("key_col", id_col)
+        if isinstance(df.schema[key].dataType, NumericType):
+            # numeric keys round-trip connected_components' long cast
+            return fdedup.dedup_by_components(df, pairs, id_col=key)
+        # string/other keys would cast to NULL inside the component
+        # loop and silently dedup NOTHING — run components in xxhash64
+        # space instead, then pick the min-STRING-key winner per
+        # component (same winner rule as everywhere else)
+        hp = pairs.select(
+            F.xxhash64(F.col("id_a")).alias("id_a"),
+            F.xxhash64(F.col("id_b")).alias("id_b"),
+        )
+        comps = fdedup.connected_components(hp)
+        kmap = df.select(
+            F.xxhash64(F.col(key).cast("string")).alias("doc_id"),
+            F.col(key).cast("string").alias("__k"),
+        ).distinct()
+        j = comps.join(kmap, "doc_id")
+        winners = j.groupBy("component_id").agg(F.min("__k").alias("__k"))
+        losers = j.join(winners, ["component_id", "__k"], "left_anti").select(
+            F.col("__k").alias(key)
+        )
+        return df.join(losers, key, "left_anti")
 
     _TOPK = {
         "exact": fsim.cosine_topk,

@@ -252,7 +252,10 @@ def mixture_sample(
     )
     expr = None
     for g, r in rates.items():
-        cond = F.col(group_col) == F.lit(g)
+        # eqNullSafe: a None key (rows with missing group metadata) must
+        # select its computed rate — plain == is never true against NULL
+        # and would silently fall through to default_rate
+        cond = F.col(group_col).eqNullSafe(F.lit(g))
         expr = F.when(cond, F.lit(_thresh_hex(r))) if expr is None else expr.when(
             cond, F.lit(_thresh_hex(r))
         )

@@ -1037,21 +1037,38 @@ def _cell_pairs_vectorized(
         ids = pdf[id_col].to_numpy()
         x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
         norms = np.linalg.norm(x, axis=1)
-        # F.round is BigDecimal HALF_UP (ties away from zero); np.round
-        # is half-to-even — match the expression path exactly so a
-        # cosine on the half-ulp boundary classifies identically
-        scale = 10.0 ** round_to
+        # F.round is BigDecimal HALF_UP over the double's SHORTEST
+        # DECIMAL repr (Double.toString), which binary floor(+0.5) math
+        # cannot reproduce on values like the-double-nearest-0.1234565
+        # (binary sees ...64999…9, decimal repr says …65).  So: a
+        # binary PRE-CUT with half-an-ulp-of-the-quantum slack keeps
+        # every possible boundary case, then the few survivors get the
+        # EXACT decimal rounding (Decimal(repr(x)) == BigDecimal
+        # .valueOf(x): both parse the shortest round-trip repr).
+        import decimal
 
-        def round_half_up(a):
-            return np.sign(a) * np.floor(np.abs(a) * scale + 0.5) / scale
+        scale = 10.0 ** round_to
+        q = decimal.Decimal(1).scaleb(-round_to)
+
+        def dec_round(v):
+            return float(
+                decimal.Decimal(repr(float(v))).quantize(
+                    q, rounding=decimal.ROUND_HALF_UP
+                )
+            )
 
         parts = []
         for lo in range(0, b, block_rows):
             hi = min(lo + block_rows, b)
             sims = (x[lo:hi] @ x.T) / np.outer(norms[lo:hi], norms)
-            rows, cols = np.nonzero(round_half_up(sims) >= threshold)
+            rows, cols = np.nonzero(sims >= threshold - 0.5 / scale)
             keep = (rows + lo) < cols  # upper triangle only, no self
             rows, cols = rows[keep], cols[keep]
+            if not len(rows):
+                continue
+            rounded = np.array([dec_round(v) for v in sims[rows, cols]])
+            keep = rounded >= threshold
+            rows, cols, rounded = rows[keep], cols[keep], rounded[keep]
             if not len(rows):
                 continue
             ia, ib = ids[rows + lo], ids[cols]
@@ -1062,7 +1079,7 @@ def _cell_pairs_vectorized(
                         "id_a": np.where(swap, ib, ia),
                         "id_b": np.where(swap, ia, ib),
                         "cluster": np.full(len(rows), key[0], dtype=np.int32),
-                        "cosine": round_half_up(sims[rows, cols]),
+                        "cosine": rounded,
                     }
                 )
             )

@@ -1034,3 +1034,20 @@ def test_diff_tables_compare_cols_subset_and_validation(spark):
         fmerge.diff_tables(left, right, [])
     with _pytest.raises(ValueError):
         fmerge.diff_tables(left, right.drop("x"), ["k"])
+
+
+def test_mixture_sample_null_group_gets_its_rate(spark):
+    """A None group key must select its computed rate (null-safe
+    compare), not silently fall through to default_rate (review fix)."""
+    from etlbigdata_spark.functions import corpus as fcorpus
+
+    df = spark.createDataFrame(
+        [(i, None if i % 2 == 0 else "src") for i in range(200)],
+        "doc_id long, source string",
+    )
+    kept = fcorpus.mixture_sample(
+        df, {None: 0.0, "src": 1.0}, group_col="source", default_rate=1.0
+    )
+    got = {(r.doc_id, r.source) for r in kept.collect()}
+    assert all(s == "src" for _, s in got), "null-group rows ignored their 0.0 rate"
+    assert len(got) == 100

@@ -499,10 +499,15 @@ def test_cut_spans_iterates_to_spanless_fixed_point(spark, docs):
     )
     total_tokens = sum(len(t.split()) for t in docs)
     for _ in range(total_tokens + 1):  # strict-shrink bound
+        fdedup.release_cached()  # one persisted shingle table per pass
         spans = fdedup.duplicated_spans(cur, n=2, min_tokens=3, min_docs=2)
         if spans.count() == 0:
             break
-        cur = fdedup.cut_spans(cur, spans).select("doc_id", "text")
+        # materialize: cut_spans lineage would otherwise nest per pass
+        cur = spark.createDataFrame(
+            fdedup.cut_spans(cur, spans).select("doc_id", "text").collect(),
+            "doc_id long, text string",
+        )
     else:
         raise AssertionError("find->cut did not converge within the token bound")
     assert fdedup.duplicated_spans(cur, n=2, min_tokens=3, min_docs=2).count() == 0

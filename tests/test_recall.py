@@ -1050,3 +1050,36 @@ def test_engine_dedup_near_works_for_media_methods(spark):
     )
     kept = eng.dedup_near(df, method="audio", key_col="media_key", bytes_col="blob")
     assert {r.media_key for r in kept.collect()} == {1, 3}
+
+
+def test_engine_dedup_near_media_with_string_keys(spark):
+    """String media keys (URIs — the natural key) must actually dedup:
+    connected_components runs in xxhash64 space and the min-string-key
+    winner survives (review fix: the long cast used to null every edge
+    and silently return the full frame)."""
+    import numpy as np
+
+    from etlbigdata_spark.engine import Engine
+    from etlbigdata_spark.functions import codecs
+
+    eng = Engine(spark)
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    far = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [("img/b.bmp", bytearray(codecs.encode_ppm(base))),
+         ("img/a.bmp", bytearray(codecs.encode_ppm(base.copy()))),
+         ("img/z.bmp", bytearray(codecs.encode_ppm(far)))],
+        "uri string, blob binary",
+    )
+    kept = eng.dedup_near(df, method="image", key_col="uri", bytes_col="blob")
+    assert {r.uri for r in kept.collect()} == {"img/a.bmp", "img/z.bmp"}
+
+
+def test_dedup_near_unknown_method_raises_value_error(spark):
+    from etlbigdata_spark.engine import Engine
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="method must be one of"):
+        Engine(spark).dedup_near(df, method="minhsh")
