@@ -345,6 +345,11 @@ class Engine:
 
         return stops.rollup_merge_sink(path, keys, **kw)
 
+    def prune_data(self, corpus: DataFrame, frac: float = 0.25, **kw) -> DataFrame:
+        """Cluster-aware data pruning (drop the most prototypical
+        vectors per cell) — see functions.similarity.prune_prototypes."""
+        return fsim.prune_prototypes(corpus, frac=frac, **kw)
+
     def fit_pca(self, corpus: DataFrame, k: int = 8, **kw) -> dict:
         """One-pass distributed PCA fit (eager) — see
         functions.similarity.pca_fit."""

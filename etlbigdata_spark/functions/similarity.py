@@ -1086,3 +1086,86 @@ def _cell_pairs_vectorized(
         return pd.concat(parts) if parts else pd.DataFrame(empty)
 
     return assigned.groupBy("cluster").applyInPandas(score, out_schema)
+
+
+def prototype_scores(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    round_to: int = 6,
+    centroids: list | None = None,
+) -> DataFrame:
+    """Per-vector PROTOTYPICALITY score — the data-pruning metric of
+    Sorscher et al. 2022 ("Beyond neural scaling laws: beating power
+    law scaling via data pruning"): cosine similarity to the vector's
+    OWN cluster centroid.  High score = prototypical/redundant (the
+    cluster has many like it); low score = informative/outlier.  The
+    score is simply the argmax the cell assignment already computed
+    (``array_max`` over the per-centroid score array — zero extra
+    work), rounded like everything the oracle checks.
+
+    EAGER when ``centroids`` is None (md5 sample — the
+    :func:`semantic_centroids` note applies); feed :func:`kmeans_fit`
+    centroids in production.  Returns the corpus plus ``cluster`` and
+    ``proto_cos`` columns; map-side only, no shuffle."""
+    if centroids is None and n_centroids < 1:
+        raise ValueError(f"need n_centroids >= 1, got {n_centroids}")
+    cents = centroids if centroids is not None else semantic_centroids(
+        corpus, n_centroids, id_col, vec_col
+    )
+    if not cents:
+        raise ValueError("no centroids: corpus is empty (or an empty list was passed)")
+    cents = _norm_centroids(cents)
+    cent_arr = F.array(*[F.array(*[F.lit(x) for x in vec]) for _, vec in cents])
+    v = F.col(vec_col).cast("array<double>")
+    scores = F.transform(
+        cent_arr, lambda cv: F.round(_dot(v, cv) / (_norm(v) * _norm(cv)), round_to)
+    )
+    best = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    return corpus.withColumn("cluster", best).withColumn(
+        "proto_cos", F.array_max(scores)
+    )
+
+
+def prune_prototypes(
+    corpus: DataFrame,
+    frac: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    round_to: int = 6,
+    centroids: list | None = None,
+    keep: str = "hard",
+) -> DataFrame:
+    """Cluster-aware data pruning (Sorscher et al. 2022): drop the
+    ``frac`` most PROTOTYPICAL vectors of each cluster (``keep="hard"``
+    — the paper's rule for large data: easy/redundant examples teach
+    least) or the frac least prototypical (``keep="easy"`` — the
+    small-data regime, where outliers are noise).
+
+    One shuffle on the cluster id (the window), everything else
+    map-side.  Deterministic: ranks order by (rounded score, id), and
+    per-cluster drop counts use ``ceil(frac·n)`` — so an external SQL
+    twin reproduces the exact kept set.  Returns surviving rows with
+    the ``cluster``/``proto_cos`` diagnostics attached."""
+    if not 0.0 <= frac < 1.0:
+        raise ValueError(f"need 0 <= frac < 1, got {frac}")
+    if keep not in ("hard", "easy"):
+        raise ValueError(f'keep must be "hard" or "easy", got {keep!r}')
+    scored = prototype_scores(
+        corpus, id_col, vec_col, n_centroids, round_to, centroids
+    )
+    order = (
+        [F.col("proto_cos").desc(), F.col(id_col).asc()]
+        if keep == "hard"  # drop the TOP of the prototypicality order
+        else [F.col("proto_cos").asc(), F.col(id_col).asc()]
+    )
+    w = Window.partitionBy("cluster").orderBy(*order)
+    wc = Window.partitionBy("cluster")
+    ranked = scored.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(wc)
+    )
+    return ranked.filter(
+        F.col("__rn") > F.ceil(F.col("__n") * F.lit(frac))
+    ).drop("__rn", "__n")

@@ -2434,6 +2434,58 @@ def s06_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s07_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24 — cluster-aware data pruning (round 6,
+    similarity.prune_prototypes; Sorscher et al. 2022): per md5-sampled
+    cell, drop the 25% most prototypical vectors (highest cosine to
+    their own centroid — the argmax score the cell assignment already
+    computed).  Deterministic ranks (rounded score, id tiebreak) and
+    ceil(frac·n) drop counts make the exact kept set SQL-reproducible;
+    returns the dropped-per-cell profile plus exact id sums of the
+    SURVIVORS so the oracle pins both the counts and the membership."""
+    emb = load(spark, sf_dir, "embeddings")
+    kept = fsim.prune_prototypes(
+        emb, frac=0.25, n_centroids=8, round_to=6, keep="hard"
+    )
+    return kept.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("vec_id").alias("sum_ids"),
+        F.min("proto_cos").alias("min_proto"),
+    )
+
+
+S07_SQL = """
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
+         CAST(embedding AS DOUBLE[]) AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8)
+),
+scored AS (
+  SELECT e.vec_id, c.cid,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6) AS s
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, CAST(cid AS INTEGER) AS cluster, s AS proto_cos
+  FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) = 1
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY proto_cos DESC, vec_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY cluster) AS n
+  FROM assigned
+)
+SELECT cluster, COUNT(*) AS n_kept,
+       CAST(SUM(vec_id) AS BIGINT) AS sum_ids,
+       MIN(proto_cos) AS min_proto
+FROM ranked WHERE rn > CEIL(n * 0.25)
+GROUP BY cluster
+"""
+
+
 def t16_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B25 — BPE tokenizer training + application (round 6,
     functions.bpe): distributed word count (the only corpus-sized
@@ -4744,6 +4796,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t15_mixture": t15_mixture,
     "t16_bpe_fertility": t16_bpe_fertility,
     "t17_temperature_mix": t17_temperature_mix,
+    "s07_prototype_prune": s07_prototype_prune,
     "s06_pca": s06_pca,
     "t13_repetition": t13_repetition,
     "b28_percentile": b28_percentile,
@@ -4908,6 +4961,7 @@ ORACLE_SQL: dict[str, str] = {
     "mm03_audio_neardup": MM03_SQL,
     "b40_table_diff": B40_SQL,
     "t17_temperature_mix": T17_SQL,
+    "s07_prototype_prune": S07_SQL,
     "t05_fingerprint": T05_SQL,
     "t11_normalize": T11_SQL,
     "t12_pack_shards": T12_SQL,

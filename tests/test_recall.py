@@ -1083,3 +1083,30 @@ def test_dedup_near_unknown_method_raises_value_error(spark):
     df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     with _pytest.raises(ValueError, match="method must be one of"):
         Engine(spark).dedup_near(df, method="minhsh")
+
+
+def test_prune_prototypes_semantics(emb):
+    """hard keeps the outliers (drops top-scored), easy the opposite;
+    per-cluster drop count is ceil(frac·n); frac=0 keeps everything."""
+    import math
+
+    base = emb.select("vec_id", "embedding").filter(F.col("vec_id") < 200)
+    cents = fsim.semantic_centroids(base, n_centroids=4)
+    scored = fsim.prototype_scores(base, centroids=cents)
+    sizes = {r.cluster: r.n for r in scored.groupBy("cluster").count().withColumnRenamed("count", "n").collect()}
+    kept_hard = fsim.prune_prototypes(base, frac=0.25, centroids=cents, keep="hard")
+    kept_sizes = {r.cluster: r.n for r in kept_hard.groupBy("cluster").count().withColumnRenamed("count", "n").collect()}
+    for c, n in sizes.items():
+        assert kept_sizes.get(c, 0) == n - math.ceil(n * 0.25)
+    # hard drops the TOP of the score order: every kept score <= every dropped score
+    dropped = scored.join(kept_hard.select("vec_id"), "vec_id", "left_anti")
+    per_c_max_kept = {r.cluster: r.m for r in kept_hard.groupBy("cluster").agg(F.max("proto_cos").alias("m")).collect()}
+    per_c_min_drop = {r.cluster: r.m for r in dropped.groupBy("cluster").agg(F.min("proto_cos").alias("m")).collect()}
+    for c in per_c_min_drop:
+        assert per_c_max_kept[c] <= per_c_min_drop[c]
+    assert fsim.prune_prototypes(base, frac=0.0, centroids=cents).count() == base.count()
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        fsim.prune_prototypes(base, frac=1.0, centroids=cents)
+    with _pytest.raises(ValueError):
+        fsim.prune_prototypes(base, keep="weird", centroids=cents)
