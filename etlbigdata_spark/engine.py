@@ -277,6 +277,29 @@ class Engine:
 
         return joins.asof_self_join(df, on, ts, left_pred, right_pred, payload_cols, **kw)
 
+    def mix_corpus(
+        self,
+        df: DataFrame,
+        rates: dict | None = None,
+        alpha: float | None = None,
+        group_col: str = "source",
+        **kw,
+    ) -> DataFrame:
+        """Deterministic source-weighted corpus mixing: pass explicit
+        ``rates`` (corpus.mixture_sample) or ``alpha`` to derive them
+        by temperature sampling (corpus.temperature_rates — EAGER group
+        count).  Exactly one of the two must be given."""
+        if (rates is None) == (alpha is None):
+            raise ValueError("pass exactly one of rates= or alpha=")
+        if alpha is not None:
+            rates = fcorpus.temperature_rates(df, group_col=group_col, alpha=alpha)
+        return fcorpus.mixture_sample(df, rates, group_col=group_col, **kw)
+
+    def split_corpus(self, df: DataFrame, **kw) -> DataFrame:
+        """Content-addressed train/val/test assignment —
+        corpus.hash_split (reshard-stable, RNG-free)."""
+        return fcorpus.hash_split(df, **kw)
+
     def pack_shards(self, df: DataFrame, **kw) -> DataFrame:
         """Token-budget training shards (md5 groups + bounded cumsum)."""
         return fcorpus.pack_shards(df, **kw)
