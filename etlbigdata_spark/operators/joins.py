@@ -256,6 +256,67 @@ def range_join(
     return out.drop(right_b["__bucket"]).drop(left_b["__bucket"]).drop(*[right_b[k] for k in keys])
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_lower: str,
+    left_upper: str,
+    right_lower: str,
+    right_upper: str,
+    bucket_width: int,
+) -> DataFrame:
+    """B9 CUSTOM — interval × interval OVERLAP join: pairs whose ranges
+    intersect (``l.lower ≤ r.upper AND r.lower ≤ l.upper``) within
+    equal keys — the session-vs-outage / reservation-conflict /
+    genomic-interval primitive :func:`range_join` (point-in-interval)
+    cannot express.
+
+    Same bucketing discipline as range_join, applied to BOTH sides:
+    each interval explodes to the ``bucket_width``-wide buckets it
+    touches, the match is an equi-join on (key, bucket) + the residual
+    overlap predicate — never a theta join.  A pair overlapping k
+    common buckets would meet k times, so the join is restricted to the
+    MEETING bucket — the bucket of ``greatest(l.lower, r.lower)``,
+    which both sides cover by construction — making each qualifying
+    pair meet EXACTLY once with no distinct pass.  Pick bucket_width
+    near the typical interval length: the per-row explosion factor is
+    ~len/width + 1 on each side, and cost follows true bucket
+    co-occupancy (document skew: a single giant interval explodes to
+    many buckets — cap or split such outliers upstream)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    lb = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(left_lower) / bucket_width),
+                F.floor(F.col(left_upper) / bucket_width),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lower) / bucket_width),
+                F.floor(F.col(right_upper) / bucket_width),
+            )
+        ),
+    )
+    cond = [lb[k] == rb[k] for k in keys] + [lb["__bucket"] == rb["__bucket"]]
+    joined = lb.join(rb, cond)
+    overlap = (F.col(left_lower) <= F.col(right_upper)) & (
+        F.col(right_lower) <= F.col(left_upper)
+    )
+    meeting = F.floor(
+        F.greatest(F.col(left_lower), F.col(right_lower)) / bucket_width
+    )
+    out = joined.filter(overlap & (lb["__bucket"] == meeting))
+    return (
+        out.drop(rb["__bucket"]).drop(lb["__bucket"]).drop(*[rb[k] for k in keys])
+    )
+
+
 def fuzzy_join(
     left: DataFrame,
     right: DataFrame,

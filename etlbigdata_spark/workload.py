@@ -1620,6 +1620,51 @@ GROUP BY o_orderpriority
 """
 
 
+def b41_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9 — interval × interval OVERLAP join (round 6,
+    joins.interval_overlap_join): both sides bucket-exploded, equi-join
+    on (key, bucket), residual overlap predicate, and the meeting-
+    bucket rule (bucket of greatest(lowers)) so each qualifying pair
+    meets exactly ONCE — never a theta join, no distinct pass.
+    Intervals derive deterministically from orders (length ≤ 97/89 via
+    key-mod arithmetic, both engines identical); keys ≡ 0 mod 35 exist
+    at every SF with equal lowers, so the result is never vacuous.
+    The oracle states the textbook overlap predicate directly."""
+    orders = load(spark, sf_dir, "orders")
+    left = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        (F.col("o_custkey") % 10).alias("k"),
+        F.col("o_orderkey").alias("l_lo"),
+        (F.col("o_orderkey") + F.col("o_orderkey") % 97).alias("l_hi"),
+        F.col("o_orderkey").alias("l_id"),
+    )
+    right = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        (F.col("o_custkey") % 10).alias("k"),
+        F.col("o_orderkey").alias("r_lo"),
+        (F.col("o_orderkey") + F.col("o_orderkey") % 89).alias("r_hi"),
+        F.col("o_orderkey").alias("r_id"),
+    )
+    j = joins.interval_overlap_join(
+        left, right, "k", "l_lo", "l_hi", "r_lo", "r_hi", bucket_width=64
+    )
+    return j.select("k", "l_id", "r_id")
+
+
+B41_SQL = """
+WITH l AS (
+  SELECT o_custkey % 10 AS k, o_orderkey AS l_lo,
+         o_orderkey + o_orderkey % 97 AS l_hi, o_orderkey AS l_id
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+r AS (
+  SELECT o_custkey % 10 AS k, o_orderkey AS r_lo,
+         o_orderkey + o_orderkey % 89 AS r_hi, o_orderkey AS r_id
+  FROM orders WHERE o_orderkey % 5 = 0
+)
+SELECT l.k, l_id, r_id
+FROM l JOIN r ON l.k = r.k AND l_lo <= r_hi AND r_lo <= l_hi
+"""
+
+
 def b40_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff (round 6, operators/merge.diff_tables) — the
     read-side twin of MERGE: after a migration/backfill/CDC sync,
@@ -4743,6 +4788,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st11_stream_rollup": st11_stream_rollup,
     "mm03_audio_neardup": mm03_audio_neardup,
     "b40_table_diff": b40_table_diff,
+    "b41_interval_join": b41_interval_join,
     # round-6: a07/a10/a11/a15 rotated out after five driver-green
     # rounds; still oracle-checked here
     "a07_fill_nulls": a07_fill_nulls,
@@ -4960,6 +5006,7 @@ ORACLE_SQL: dict[str, str] = {
     "st11_stream_rollup": ST11_SQL,
     "mm03_audio_neardup": MM03_SQL,
     "b40_table_diff": B40_SQL,
+    "b41_interval_join": B41_SQL,
     "t17_temperature_mix": T17_SQL,
     "s07_prototype_prune": S07_SQL,
     "t05_fingerprint": T05_SQL,

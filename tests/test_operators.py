@@ -1051,3 +1051,31 @@ def test_mixture_sample_null_group_gets_its_rate(spark):
     got = {(r.doc_id, r.source) for r in kept.collect()}
     assert all(s == "src" for _, s in got), "null-group rows ignored their 0.0 rate"
     assert len(got) == 100
+
+
+def test_interval_overlap_join_each_pair_once_and_correct(spark):
+    """The meeting-bucket rule must make each overlapping pair meet
+    exactly once (even when ranges share many buckets) and miss no
+    overlap (boundary touch counts; disjoint never matches)."""
+    from etlbigdata_spark.operators import joins
+
+    left = spark.createDataFrame(
+        [("a", 0, 200, "L1"),    # spans many 16-wide buckets
+         ("a", 300, 310, "L2"),
+         ("b", 0, 10, "L3")],
+        "k string, lo long, hi long, lid string",
+    )
+    right = spark.createDataFrame(
+        [("a", 150, 400, "R1"),   # overlaps L1 (many shared buckets) and L2
+         ("a", 201, 299, "R2"),   # sits in the L1–L2 gap: no overlap
+         ("a", 200, 200, "R3"),   # boundary touch with L1
+         ("b", 11, 20, "R4")],    # adjacent to L3, no overlap
+        "k string, rlo long, rhi long, rid string",
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in joins.interval_overlap_join(
+            left, right, "k", "lo", "hi", "rlo", "rhi", bucket_width=16
+        ).collect()
+    )
+    assert got == [("L1", "R1"), ("L1", "R3"), ("L2", "R1")]
