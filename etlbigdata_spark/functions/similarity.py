@@ -775,7 +775,12 @@ def _norm_centroids(cents: list) -> list[tuple[int, list[float]]]:
 
 
 def _assign_cosine_argmax(
-    df: DataFrame, cents: list, vec_col: str, round_to: int, out_col: str = "cluster"
+    df: DataFrame,
+    cents: list,
+    vec_col: str,
+    round_to: int,
+    out_col: str = "cluster",
+    score_col: str | None = None,
 ) -> Column | DataFrame:
     """Full-cosine argmax assignment against a fixed centroid list,
     ROUNDED before the argmax so an external engine computing the same
@@ -790,7 +795,12 @@ def _assign_cosine_argmax(
         cent_arr, lambda cv: F.round(_dot(v, cv) / (_norm(v) * _norm(cv)), round_to)
     )
     best = F.array_position(scores, F.array_max(scores)) - 1
-    return df.withColumn(out_col, best.cast("int"))
+    out = df.withColumn(out_col, best.cast("int"))
+    if score_col is not None:
+        # the max score IS the cosine to the assigned centroid — the
+        # prototypicality metric, free from the same scores array
+        out = out.withColumn(score_col, F.array_max(scores))
+    return out
 
 
 def semantic_dedup_pairs(
@@ -1117,14 +1127,10 @@ def prototype_scores(
     if not cents:
         raise ValueError("no centroids: corpus is empty (or an empty list was passed)")
     cents = _norm_centroids(cents)
-    cent_arr = F.array(*[F.array(*[F.lit(x) for x in vec]) for _, vec in cents])
-    v = F.col(vec_col).cast("array<double>")
-    scores = F.transform(
-        cent_arr, lambda cv: F.round(_dot(v, cv) / (_norm(v) * _norm(cv)), round_to)
-    )
-    best = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
-    return corpus.withColumn("cluster", best).withColumn(
-        "proto_cos", F.array_max(scores)
+    # ONE copy of the determinism-critical scoring expression: the
+    # assignment helper emits the argmax cell AND its max score
+    return _assign_cosine_argmax(
+        corpus, cents, vec_col, round_to, out_col="cluster", score_col="proto_cos"
     )
 
 

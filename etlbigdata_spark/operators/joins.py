@@ -216,6 +216,22 @@ def scd2_join(
     )
 
 
+def _explode_buckets(df: DataFrame, lower: str, upper: str, width: int) -> DataFrame:
+    """Explode an interval row to every ``width``-wide bucket it touches
+    — the shared blocking step of :func:`range_join` and
+    :func:`interval_overlap_join`.  Skew caveat lives here once: a
+    single giant interval explodes to ~len/width rows; cap or split
+    such outliers upstream."""
+    return df.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lower) / width), F.floor(F.col(upper) / width)
+            )
+        ),
+    )
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,
@@ -238,15 +254,7 @@ def range_join(
     keys = [on] if isinstance(on, str) else list(on)
     lb = F.floor(F.col(left_point) / bucket_width).alias("__bucket")
     left_b = left.withColumn("__bucket", F.floor(F.col(left_point) / bucket_width))
-    right_b = right.withColumn(
-        "__bucket",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(right_lower) / bucket_width),
-                F.floor(F.col(right_upper) / bucket_width),
-            )
-        ),
-    )
+    right_b = _explode_buckets(right, right_lower, right_upper, bucket_width)
     cond = [left_b[k] == right_b[k] for k in keys] + [left_b["__bucket"] == right_b["__bucket"]]
     joined = left_b.join(right_b, cond)
     out = joined.filter(
@@ -285,31 +293,18 @@ def interval_overlap_join(
     co-occupancy (document skew: a single giant interval explodes to
     many buckets — cap or split such outliers upstream)."""
     keys = [on] if isinstance(on, str) else list(on)
-    lb = left.withColumn(
-        "__bucket",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(left_lower) / bucket_width),
-                F.floor(F.col(left_upper) / bucket_width),
-            )
-        ),
-    )
-    rb = right.withColumn(
-        "__bucket",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(right_lower) / bucket_width),
-                F.floor(F.col(right_upper) / bucket_width),
-            )
-        ),
-    )
+    lb = _explode_buckets(left, left_lower, left_upper, bucket_width)
+    rb = _explode_buckets(right, right_lower, right_upper, bucket_width)
     cond = [lb[k] == rb[k] for k in keys] + [lb["__bucket"] == rb["__bucket"]]
     joined = lb.join(rb, cond)
-    overlap = (F.col(left_lower) <= F.col(right_upper)) & (
-        F.col(right_lower) <= F.col(left_upper)
+    # bounds qualified through the join inputs: both sides may use the
+    # SAME bound names (sessions/outages both say start/end) and
+    # unqualified F.col would be AMBIGUOUS_REFERENCE here
+    overlap = (lb[left_lower] <= rb[right_upper]) & (
+        rb[right_lower] <= lb[left_upper]
     )
     meeting = F.floor(
-        F.greatest(F.col(left_lower), F.col(right_lower)) / bucket_width
+        F.greatest(lb[left_lower], rb[right_lower]) / bucket_width
     )
     out = joined.filter(overlap & (lb["__bucket"] == meeting))
     return (

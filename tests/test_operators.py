@@ -1079,3 +1079,27 @@ def test_interval_overlap_join_each_pair_once_and_correct(spark):
         ).collect()
     )
     assert got == [("L1", "R1"), ("L1", "R3"), ("L2", "R1")]
+
+
+def test_interval_overlap_join_with_same_bound_names(spark):
+    """Both sides naming their bounds identically (sessions/outages both
+    say start/end — the natural naming) must work: the residual
+    predicates qualify through the join inputs (review fix: unqualified
+    F.col raised AMBIGUOUS_REFERENCE)."""
+    from etlbigdata_spark.operators import joins
+
+    sessions = spark.createDataFrame(
+        [("h1", 100, 200, "s1"), ("h1", 500, 600, "s2")],
+        "host string, start long, end long, sid string",
+    )
+    outages = spark.createDataFrame(
+        [("h1", 150, 550, "o1"), ("h1", 700, 800, "o2")],
+        "host string, start long, end long, oid string",
+    )
+    got = sorted(
+        (r.sid, r.oid)
+        for r in joins.interval_overlap_join(
+            sessions, outages, "host", "start", "end", "start", "end", 64
+        ).collect()
+    )
+    assert got == [("s1", "o1"), ("s2", "o1")]
