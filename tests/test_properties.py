@@ -511,3 +511,41 @@ def test_cut_spans_iterates_to_spanless_fixed_point(spark, docs):
     else:
         raise AssertionError("find->cut did not converge within the token bound")
     assert fdedup.duplicated_spans(cur, n=2, min_tokens=3, min_docs=2).count() == 0
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 60), st.integers(0, 40)),
+        min_size=1, max_size=10,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 60), st.integers(0, 40)),
+        min_size=1, max_size=10,
+    ),
+    width=st.sampled_from([1, 7, 16, 64]),
+)
+@settings(**_SETTINGS)
+def test_interval_overlap_join_matches_bruteforce(spark, left, right, width):
+    """Meeting-bucket exactly-once, verified against the quadratic
+    definition for random geometries (nested/containing/touching/
+    disjoint intervals, zero-length, multi-bucket spans) and bucket
+    widths from finer-than-every-interval to coarser-than-the-domain."""
+    from etlbigdata_spark.operators import joins
+
+    lrows = [(k, lo, lo + ln, i) for i, (k, lo, ln) in enumerate(left)]
+    rrows = [(k, lo, lo + ln, i) for i, (k, lo, ln) in enumerate(right)]
+    ldf = spark.createDataFrame(lrows, "k int, llo long, lhi long, lid int")
+    rdf = spark.createDataFrame(rrows, "k int, rlo long, rhi long, rid int")
+    got = sorted(
+        (r.lid, r.rid)
+        for r in joins.interval_overlap_join(
+            ldf, rdf, "k", "llo", "lhi", "rlo", "rhi", bucket_width=width
+        ).collect()
+    )
+    want = sorted(
+        (li, ri)
+        for (lk, llo, lhi, li) in lrows
+        for (rk, rlo, rhi, ri) in rrows
+        if lk == rk and llo <= rhi and rlo <= lhi
+    )
+    assert got == want
