@@ -3255,6 +3255,113 @@ ST09_SQL = (
 )
 
 
+def _embedding_stream(spark: SparkSession, sf_dir: str):
+    """embeddings.parquet through the REAL Structured Streaming file
+    source (same staging pattern as ``_document_stream``)."""
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming import ops as stops
+
+    raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    stage = tempfile.mkdtemp(prefix="st_emb_src_")
+    _PENDING_STAGE_DIRS.append(stage)
+    src, dst = f"{sf_dir}/embeddings.parquet", os.path.join(stage, "embeddings.parquet")
+    try:
+        os.symlink(src, dst)
+    except OSError:
+        shutil.copyfile(src, dst)
+    return stops.read_file_stream(spark, stage, raw.schema)
+
+
+def st12_stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19+B23/B24 — SEMANTIC dedup ON A STREAM against a PERSISTED
+    cell-partitioned index, through the ACTUAL engine: the embedding
+    twin of st09.  The existing corpus (vec_id ≢ 0 mod 3) is assigned
+    to md5-sampled cells and WRITTEN as a parquet index partitioned by
+    ``cluster``; arriving vectors (the ≡ 0 mod 3 slice, self-unioned
+    with a re-ided duplicate slice so true semantic dups exist at every
+    SF) get the same map-side argmax assignment — stream-safe, pure
+    projection — and a stream-static equi-join on the cell id fetches
+    only that cell's index partition (partition pruning at scale).
+    Exact rounded cosine ≥ 0.99 verifies in-stream; the appended output
+    equals the batch within-cell pairs straddling the split, which the
+    oracle states with the d09 machinery."""
+    import tempfile
+
+    from .streaming import ops as stops
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") % 3 != 0)
+    cents = fsim.semantic_centroids(corpus, n_centroids=8)
+    idx_dir = tempfile.mkdtemp(prefix="st12_idx_")
+    _PENDING_STAGE_DIRS.append(idx_dir)
+    fsim._assign_cosine_argmax(corpus, cents, "embedding", 6).select(
+        F.col("vec_id").alias("id_corpus"),
+        F.col("embedding").alias("__vc"),
+        "cluster",
+    ).write.mode("overwrite").partitionBy("cluster").parquet(idx_dir)
+    index = spark.read.parquet(idx_dir)
+
+    stream0 = _embedding_stream(spark, sf_dir).select("vec_id", "embedding")
+    arriving = stream0.filter(F.col("vec_id") % 3 == 0).unionByName(
+        stream0.filter((F.col("vec_id") % 3 != 0) & (F.col("vec_id") % 5 == 0)).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+    s = fsim._assign_cosine_argmax(arriving, cents, "embedding", 6).select(
+        F.col("vec_id").alias("id_stream"), F.col("embedding").alias("__vs"), "cluster"
+    )
+    pairs = (
+        s.join(index, "cluster")  # stream-static, cell-pruned
+        .withColumn("cosine", F.round(fsim.cosine_sim(F.col("__vs"), F.col("__vc")), 6))
+        .filter(F.col("cosine") >= 0.99)
+        .select("id_stream", "id_corpus", "cluster", "cosine")
+    )
+    name = _drain_to_table(stops.write_stream_memory(pairs, "placeholder", "append"))
+    return spark.table(name)
+
+
+ST12_SQL = """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 <> 0
+),
+arriving AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+  WHERE vec_id % 3 <> 0 AND vec_id % 5 = 0
+),
+cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
+         CAST(embedding AS DOUBLE[]) AS cv
+  FROM (SELECT vec_id, embedding FROM corpus
+        ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8)
+),
+assign_c AS (
+  SELECT vec_id AS id_corpus, v, cluster FROM (
+    SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, CAST(c.cid AS INTEGER) AS cluster,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6) AS s,
+           c.cid
+    FROM corpus e CROSS JOIN cents c
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) = 1
+),
+assign_s AS (
+  SELECT vec_id AS id_stream, v, cluster FROM (
+    SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, CAST(c.cid AS INTEGER) AS cluster,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6) AS s,
+           c.cid
+    FROM arriving e CROSS JOIN cents c
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) = 1
+)
+SELECT id_stream, id_corpus, a.cluster,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM assign_s a JOIN assign_c b ON a.cluster = b.cluster
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.99
+"""
+
+
 def st11_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B19+B6 composite — CONTINUOUS-AGGREGATE maintenance through the
     REAL engine (round 6, streaming.ops.rollup_merge_sink): update-mode
@@ -4786,6 +4893,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st08_stream_dedup": st08_stream_dedup,
     "st10_stream_dq_monitor": st10_stream_dq_monitor,
     "st11_stream_rollup": st11_stream_rollup,
+    "st12_stream_semantic_dedup": st12_stream_semantic_dedup,
     "mm03_audio_neardup": mm03_audio_neardup,
     "b40_table_diff": b40_table_diff,
     "b41_interval_join": b41_interval_join,
@@ -5004,6 +5112,7 @@ ORACLE_SQL: dict[str, str] = {
     "st09_stream_incremental_dedup": ST09_SQL,
     "st10_stream_dq_monitor": ST10_SQL,
     "st11_stream_rollup": ST11_SQL,
+    "st12_stream_semantic_dedup": ST12_SQL,
     "mm03_audio_neardup": MM03_SQL,
     "b40_table_diff": B40_SQL,
     "b41_interval_join": B41_SQL,
