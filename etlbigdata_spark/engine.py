@@ -368,6 +368,13 @@ class Engine:
 
         return stops.rollup_merge_sink(path, keys, **kw)
 
+    def mine_hard_negatives(
+        self, corpus: DataFrame, queries: DataFrame, k: int = 10, **kw
+    ) -> DataFrame:
+        """Top-k cross-label neighbors per query (retriever training) —
+        see functions.similarity.hard_negatives."""
+        return fsim.hard_negatives(corpus, queries, k=k, **kw)
+
     def prune_data(self, corpus: DataFrame, frac: float = 0.25, **kw) -> DataFrame:
         """Cluster-aware data pruning (drop the most prototypical
         vectors per cell) — see functions.similarity.prune_prototypes."""

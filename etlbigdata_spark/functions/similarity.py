@@ -1175,3 +1175,50 @@ def prune_prototypes(
     return ranked.filter(
         F.col("__rn") > F.ceil(F.col("__n") * F.lit(frac))
     ).drop("__rn", "__n")
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining for retrieval/contrastive training: for each
+    query, the top-k most cosine-similar corpus vectors with a
+    DIFFERENT label — the negatives that actually move a retriever
+    (random negatives are trivially separable; the hard ones sit next
+    to the decision boundary).  NULL labels never pair with anything
+    (unknown class can't be certified a negative — null-safe inequality
+    keeps them out on either side).
+
+    Same plan discipline as :func:`cosine_topk` (the corpus never
+    shuffles; the query set is small by contract): scored by the
+    codegen expression twin with the label test fused BEFORE the
+    window, so the per-query rank only sees cross-label rows.  Returns
+    ``(query_id, neighbor_id, neighbor_label, cosine, rank)``."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.col(label_col).alias("__qlab"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    joined = c.crossJoin(F.broadcast(q)).filter(
+        F.col("__qlab").isNotNull()
+        & F.col("neighbor_label").isNotNull()
+        & (F.col("neighbor_label") != F.col("__qlab"))
+    )
+    cos = cosine_sim(F.col("__qvec"), F.col("__cvec"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    scored = joined.select("query_id", "neighbor_id", "neighbor_label", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -2479,6 +2479,37 @@ def s06_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s08_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24 — hard-negative mining (round 6, similarity.hard_negatives):
+    for each of 5 query vectors, the top-3 most-similar corpus vectors
+    with a DIFFERENT label — the retriever-training negatives that sit
+    at the decision boundary.  Label test fused before the per-query
+    rank; oracle is s01's machinery plus the label inequality."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return fsim.hard_negatives(emb, queries, k=3, round_to=6)
+
+
+S08_SQL = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS ql
+           FROM embeddings WHERE vec_id < 5),
+     c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
+                  label AS neighbor_label
+           FROM embeddings)
+SELECT query_id, neighbor_id, neighbor_label, cosine, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT query_id, neighbor_id, neighbor_label,
+         round(list_cosine_similarity(qv, cv), 6) AS cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC,
+                                     neighbor_id ASC) AS rank
+  FROM q, c
+  WHERE ql IS NOT NULL AND neighbor_label IS NOT NULL AND neighbor_label <> ql
+)
+WHERE rank <= 3
+"""
+
+
 def s07_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B24 — cluster-aware data pruning (round 6,
     similarity.prune_prototypes; Sorscher et al. 2022): per md5-sampled
@@ -4951,6 +4982,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t16_bpe_fertility": t16_bpe_fertility,
     "t17_temperature_mix": t17_temperature_mix,
     "s07_prototype_prune": s07_prototype_prune,
+    "s08_hard_negatives": s08_hard_negatives,
     "s06_pca": s06_pca,
     "t13_repetition": t13_repetition,
     "b28_percentile": b28_percentile,
@@ -5118,6 +5150,7 @@ ORACLE_SQL: dict[str, str] = {
     "b41_interval_join": B41_SQL,
     "t17_temperature_mix": T17_SQL,
     "s07_prototype_prune": S07_SQL,
+    "s08_hard_negatives": S08_SQL,
     "t05_fingerprint": T05_SQL,
     "t11_normalize": T11_SQL,
     "t12_pack_shards": T12_SQL,

@@ -1110,3 +1110,26 @@ def test_prune_prototypes_semantics(emb):
         fsim.prune_prototypes(base, frac=1.0, centroids=cents)
     with _pytest.raises(ValueError):
         fsim.prune_prototypes(base, keep="weird", centroids=cents)
+
+
+def test_hard_negatives_excludes_same_label_and_nulls(emb, spark):
+    """Every returned negative has a different, non-null label; a
+    null-labeled query returns nothing (unknown class can't certify a
+    negative)."""
+    base = emb.select("vec_id", "embedding", "label").filter(F.col("vec_id") < 100)
+    withnull = base.unionByName(
+        spark.createDataFrame(
+            [(7777, [0.1] * 64, None)], "vec_id long, embedding array<float>, label int"
+        )
+    )
+    qs = withnull.filter((F.col("vec_id") < 3) | (F.col("vec_id") == 7777))
+    out = fsim.hard_negatives(withnull, qs, k=5)
+    rows = out.collect()
+    qlab = {r.vec_id: r.label for r in qs.collect()}
+    assert all(r.neighbor_label is not None and r.neighbor_label != qlab[r.query_id] for r in rows)
+    assert all(r.query_id != 7777 for r in rows), "null-label query produced negatives"
+    # ranks are 1..k per query, hardest (highest cosine) first
+    for qid in {r.query_id for r in rows}:
+        mine = sorted((r.rank, r.cosine) for r in rows if r.query_id == qid)
+        assert [rk for rk, _ in mine] == list(range(1, len(mine) + 1))
+        assert all(mine[i][1] >= mine[i + 1][1] for i in range(len(mine) - 1))
