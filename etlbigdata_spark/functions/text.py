@@ -424,3 +424,57 @@ def unigram_surprisal(
         )
         .select(F.col("__id").alias(id_col), "n_tokens", "mean_surprisal")
     )
+
+
+def ngram_novelty(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> "DataFrame":
+    """Per-document n-gram NOVELTY — the share of a doc's distinct
+    n-grams that appear in NO other document: the corpus-diversity
+    signal complementary to the dedup family (dedup finds what repeats;
+    novelty scores what doesn't).  Low novelty marks template/boiler
+    docs that survived dedup thresholds; a curation pipeline samples or
+    weights by it.
+
+    Plan: distinct shingles per doc hashed to 64 bits (the d02
+    discipline), ONE doc-frequency aggregate (map-side partial), join
+    back, per-doc count ratio — linear in the shingle stream, no pair
+    join.  Docs shorter than ``n`` tokens have no shingles and report
+    NULL novelty (0/0 is unknowable, not 0 or 1).
+
+    Returns ``(id, n_grams, n_unique, novelty)`` — novelty 6-dp rounded
+    for cross-engine hashing.
+    """
+    from pyspark.sql import functions as F
+
+    from .dedup import exploded_shingles
+
+    sh = exploded_shingles(df, id_col, text_col, n).select(
+        "id", F.xxhash64("shingle").alias("h")
+    )
+    dfreq = sh.groupBy("h").agg(F.countDistinct("id").alias("__df"))
+    per_doc = (
+        sh.join(dfreq, "h")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("__df") == 1).cast("long")).alias("n_unique"),
+        )
+    )
+    # docs with zero shingles dropped out at the explode; restore with NULLs
+    all_ids = df.select(F.col(id_col).alias("id")).distinct()
+    return (
+        all_ids.join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+            F.when(
+                F.col("n_grams").isNotNull(),
+                F.round(F.col("n_unique") / F.col("n_grams"), 6),
+            ).alias("novelty"),
+        )
+    )

@@ -2630,6 +2630,53 @@ GROUP BY d.source
 """
 
 
+def t18_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B25 — per-document n-gram novelty (round 6, text.ngram_novelty):
+    share of a doc's distinct 3-grams appearing in NO other doc — the
+    diversity signal complementary to dedup (low novelty = template/
+    boiler that survived thresholds).  Linear: one doc-frequency
+    aggregate over hashed shingles, join back, count ratio.
+    NON-VACUOUS VARIATION at every SF: a duplicated slice (doc_id ≡ 0
+    mod 41 re-ided +100000) plants novelty-0 docs and drags their
+    sources below 1.  Oracle runs the identical algorithm on shingle
+    strings (engines agree because a 64-bit hash collision altering a
+    doc-frequency is ~|shingles|²/2⁶⁴)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 41 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return ftext.ngram_novelty(docs.unionByName(planted), "doc_id", "text", n=3)
+
+
+T18_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 41 = 0
+),
+docs AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        FOR i IN generate_series(1, greatest(len(toks) - 2, 0))]) AS shingles
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM corpus)
+),
+sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM docs),
+dfreq AS (SELECT shingle, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY shingle),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_grams,
+         SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_unique
+  FROM sh JOIN dfreq USING (shingle) GROUP BY doc_id
+)
+SELECT c.doc_id AS id,
+       COALESCE(n_grams, 0) AS n_grams,
+       COALESCE(n_unique, 0) AS n_unique,
+       CASE WHEN n_grams IS NOT NULL
+            THEN round(n_unique / CAST(n_grams AS DOUBLE), 6) END AS novelty
+FROM (SELECT DISTINCT doc_id FROM corpus) c
+LEFT JOIN per_doc ON c.doc_id = per_doc.doc_id
+"""
+
+
 def t05_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B25 — polynomial rolling-hash document fingerprint (the
     cross-engine oracle twin).  Oracle-checked since round 3: the
@@ -4981,6 +5028,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t15_mixture": t15_mixture,
     "t16_bpe_fertility": t16_bpe_fertility,
     "t17_temperature_mix": t17_temperature_mix,
+    "t18_novelty": t18_novelty,
     "s07_prototype_prune": s07_prototype_prune,
     "s08_hard_negatives": s08_hard_negatives,
     "s06_pca": s06_pca,
@@ -5149,6 +5197,7 @@ ORACLE_SQL: dict[str, str] = {
     "b40_table_diff": B40_SQL,
     "b41_interval_join": B41_SQL,
     "t17_temperature_mix": T17_SQL,
+    "t18_novelty": T18_SQL,
     "s07_prototype_prune": S07_SQL,
     "s08_hard_negatives": S08_SQL,
     "t05_fingerprint": T05_SQL,

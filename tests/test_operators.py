@@ -1103,3 +1103,22 @@ def test_interval_overlap_join_with_same_bound_names(spark):
         ).collect()
     )
     assert got == [("s1", "o1"), ("s2", "o1")]
+
+
+def test_ngram_novelty_semantics(spark):
+    """Exact duplicates score 0 (every gram shared), a fully unique doc
+    scores 1, and a doc shorter than n tokens reports NULL novelty with
+    zero counts (0/0 is unknowable, not 0 or 1)."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),   # exact dup of 1
+            (3, "completely different words entirely here"),
+            (4, "too short"),                        # < 3 tokens: no 3-grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in ftext.ngram_novelty(df, n=3).collect()}
+    assert out[1].novelty == 0.0 and out[2].novelty == 0.0
+    assert out[3].novelty == 1.0
+    assert out[4].novelty is None and out[4].n_grams == 0 and out[4].n_unique == 0
