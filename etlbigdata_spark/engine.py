@@ -277,6 +277,11 @@ class Engine:
 
         return joins.asof_self_join(df, on, ts, left_pred, right_pred, payload_cols, **kw)
 
+    def decontaminate(self, corpus: DataFrame, benchmark: DataFrame, **kw) -> DataFrame:
+        """Drop benchmark-contaminated docs (GPT-3-style n-gram
+        decontamination, applied) — see functions.corpus.decontaminate."""
+        return fcorpus.decontaminate(corpus, benchmark, **kw)
+
     def mix_corpus(
         self,
         df: DataFrame,

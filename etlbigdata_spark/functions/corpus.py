@@ -162,6 +162,25 @@ def contamination_report(
     )
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap_ratio: float = 0.05,
+) -> DataFrame:
+    """The actionable twin of :func:`contamination_report` (the
+    cut_spans pattern: the report finds, this acts): DROP every corpus
+    doc whose benchmark n-gram overlap reaches the threshold — the
+    decontamination step a training run actually applies.  One anti-
+    join on the flagged ids; full rows never shuffle into the check."""
+    flagged = contamination_report(
+        corpus, benchmark, id_col, text_col, n, min_overlap_ratio
+    ).select(id_col)
+    return corpus.join(flagged, id_col, "left_anti")
+
+
 # -- PII redaction ----------------------------------------------------
 
 # Patterns restricted to syntax that means the same thing in Java regex

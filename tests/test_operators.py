@@ -1122,3 +1122,34 @@ def test_ngram_novelty_semantics(spark):
     assert out[1].novelty == 0.0 and out[2].novelty == 0.0
     assert out[3].novelty == 1.0
     assert out[4].novelty is None and out[4].n_grams == 0 and out[4].n_unique == 0
+
+
+def test_decontaminate_drops_exactly_the_flagged_docs(spark):
+    """decontaminate(corpus, benchmark) == corpus minus
+    contamination_report's flagged ids — and clean docs pass through
+    untouched."""
+    from etlbigdata_spark.functions import corpus as fcorpus
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high today"),       # contaminated
+            (2, "completely unrelated text about databases"),  # clean
+            (3, "quick brown fox jumps over everything"),      # contaminated
+        ],
+        "doc_id long, text string",
+    )
+    flagged = {
+        r.doc_id
+        for r in fcorpus.contamination_report(
+            corpus, bench, min_overlap_ratio=0.2
+        ).collect()
+    }
+    kept = {
+        r.doc_id
+        for r in fcorpus.decontaminate(corpus, bench, min_overlap_ratio=0.2).collect()
+    }
+    assert flagged and kept == {1, 2, 3} - flagged and 2 in kept
