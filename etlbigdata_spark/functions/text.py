@@ -478,3 +478,52 @@ def ngram_novelty(
             ).alias("novelty"),
         )
     )
+
+
+def source_vocab_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Source×source VOCABULARY overlap matrix — corpus analytics for
+    mixture design: the Jaccard similarity of each source pair's
+    distinct-token vocabularies.  High overlap = redundant domains
+    (downweight one); low overlap = complementary coverage.  The
+    source-granularity sibling of the doc-level dedup family.
+
+    Plan: distinct (source, token-hash) — ONE aggregate that collapses
+    the corpus to vocabulary size per source (bounded by vocabulary ×
+    sources, not corpus) — then a self-equi-join on the hash counts
+    shared tokens per pair.  The join is vocabulary-sized, the output
+    sources²-sized; nothing corpus-sized survives the first aggregate.
+
+    Returns ``(source_a, source_b, shared, size_a, size_b, jaccard)``
+    with source_a < source_b, jaccard 6-dp rounded."""
+    vocab = (
+        df.select(
+            F.col(group_col).alias("src"),
+            F.explode(tokens_col(F.col(text_col))).alias("__tok"),
+        )
+        .select("src", F.xxhash64("__tok").alias("h"))
+        .distinct()
+    )
+    vocab = _persist_scoped(vocab)
+    sizes = vocab.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    a = vocab.select(F.col("src").alias("source_a"), "h")
+    b = vocab.select(F.col("src").alias("source_b"), "h")
+    shared = (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(sizes.select(F.col("src").alias("source_a"), F.col("n").alias("size_a")), "source_a")
+        .join(sizes.select(F.col("src").alias("source_b"), F.col("n").alias("size_b")), "source_b")
+        .select(
+            "source_a", "source_b", "shared", "size_a", "size_b",
+            F.round(
+                F.col("shared") / (F.col("size_a") + F.col("size_b") - F.col("shared")), 6
+            ).alias("jaccard"),
+        )
+    )

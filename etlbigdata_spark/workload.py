@@ -2677,6 +2677,37 @@ LEFT JOIN per_doc ON c.doc_id = per_doc.doc_id
 """
 
 
+def t19_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B25 — source×source vocabulary-overlap matrix (round 6,
+    text.source_vocab_overlap): Jaccard of per-source distinct-token
+    vocabularies — the domain-redundancy signal consulted before
+    choosing mixture rates (t15/t17).  One corpus-collapsing distinct,
+    then a vocabulary-sized self-join; output is sources²-sized.
+    Oracle runs the identical algorithm on token strings."""
+    ftext.release_cached()
+    docs = load(spark, sf_dir, "documents")
+    return ftext.source_vocab_overlap(docs, "source", "text")
+
+
+T19_SQL = f"""
+WITH vocab AS (
+  SELECT DISTINCT source AS src, unnest({_TOKS_SQL}) AS tok FROM documents
+),
+sizes AS (SELECT src, COUNT(*) AS n FROM vocab GROUP BY src),
+shared AS (
+  SELECT a.src AS source_a, b.src AS source_b, COUNT(*) AS shared
+  FROM vocab a JOIN vocab b ON a.tok = b.tok AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, shared,
+       sa.n AS size_a, sb.n AS size_b,
+       round(shared / CAST(sa.n + sb.n - shared AS DOUBLE), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.src = source_a
+JOIN sizes sb ON sb.src = source_b
+"""
+
+
 def t05_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B25 — polynomial rolling-hash document fingerprint (the
     cross-engine oracle twin).  Oracle-checked since round 3: the
@@ -5029,6 +5060,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t16_bpe_fertility": t16_bpe_fertility,
     "t17_temperature_mix": t17_temperature_mix,
     "t18_novelty": t18_novelty,
+    "t19_vocab_overlap": t19_vocab_overlap,
     "s07_prototype_prune": s07_prototype_prune,
     "s08_hard_negatives": s08_hard_negatives,
     "s06_pca": s06_pca,
@@ -5198,6 +5230,7 @@ ORACLE_SQL: dict[str, str] = {
     "b41_interval_join": B41_SQL,
     "t17_temperature_mix": T17_SQL,
     "t18_novelty": T18_SQL,
+    "t19_vocab_overlap": T19_SQL,
     "s07_prototype_prune": S07_SQL,
     "s08_hard_negatives": S08_SQL,
     "t05_fingerprint": T05_SQL,

@@ -1153,3 +1153,27 @@ def test_decontaminate_drops_exactly_the_flagged_docs(spark):
         for r in fcorpus.decontaminate(corpus, bench, min_overlap_ratio=0.2).collect()
     }
     assert flagged and kept == {1, 2, 3} - flagged and 2 in kept
+
+
+def test_source_vocab_overlap_hand_checked(spark):
+    """Known vocabularies: identical sources score 1, disjoint score
+    absent (no shared row), partial overlap computes the exact Jaccard;
+    pairs are oriented source_a < source_b, each pair once."""
+    df = spark.createDataFrame(
+        [
+            ("s1", "apple banana cherry"),
+            ("s2", "apple banana cherry"),          # == s1
+            ("s3", "apple dates elderberry fig"),   # shares 'apple' with s1/s2
+            ("s4", "grape honeydew"),               # disjoint
+        ],
+        "source string, text string",
+    )
+    out = {
+        (r.source_a, r.source_b): (r.shared, r.size_a, r.size_b, r.jaccard)
+        for r in ftext.source_vocab_overlap(df).collect()
+    }
+    assert out[("s1", "s2")] == (3, 3, 3, 1.0)
+    assert out[("s1", "s3")] == (1, 3, 4, round(1 / 6, 6))
+    assert out[("s2", "s3")] == (1, 3, 4, round(1 / 6, 6))
+    assert all("s4" not in k for k in out)
+    assert len(out) == 3
