@@ -11,6 +11,7 @@ without third-party JARs and is small-file by nature.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -136,6 +137,54 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType | None = None
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_json_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = "_corrupt_record",
+    **opts,
+) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter ingestion for semi-structured feeds: PERMISSIVE-mode
+    JSON read split into ``(good, quarantined)`` — the pattern a
+    production pipeline needs instead of FAILFAST (one bad producer
+    kills the load) or silent DROPMALFORMED (records vanish without an
+    audit trail).  ``good`` carries the declared schema; ``quarantined``
+    is one raw-line column for replay/inspection after the producer is
+    fixed.
+
+    Requires an explicit ``schema`` (the corrupt column only exists
+    when the reader cannot infer the row INTO a known shape; with
+    inference a malformed file silently widens the schema instead).
+    Spark caveat handled here: a PERMISSIVE reader may leave non-
+    corrupt columns NULL on a corrupt row, so the split predicate is
+    the corrupt column itself — the one signal Spark defines for this.
+
+    Both frames come from ONE reader definition (same files listing);
+    at scale the split is two filters over one scan, and the
+    quarantine write should go to its own path for reprocessing."""
+    full_schema = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    df = (
+        spark.read.options(**opts)
+        .schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+    # Spark refuses a query referencing ONLY the corrupt column on a raw
+    # scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the sanctioned pattern
+    # is caching the parsed frame, which also makes the two splits read
+    # one parse instead of two.  The cache is corpus-sized: write both
+    # splits promptly and unpersist (good.unpersist() releases it).
+    df = df.cache()
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw")
+    )
+    return good, bad
 
 
 def _xlsx_col_index(ref: str) -> int:

@@ -882,3 +882,32 @@ def test_read_parquet_since_lists_only_new_files(engine, tmp_path):
     assert readers.read_parquet_since(engine.spark, d, future).count() == 0
     # full read still sees both rows — the filter is per-call, not sticky
     assert readers.read_parquet(engine.spark, d).count() == 2
+
+
+def test_read_json_with_quarantine_splits_good_and_bad(engine, tmp_path):
+    """Malformed lines land in the quarantine frame as raw text; good
+    rows parse under the declared schema; nothing is silently dropped
+    (good + bad == input lines)."""
+    import pyspark.sql.types as T
+
+    from etlbigdata_spark.sources import readers
+
+    p = tmp_path / "feed.jsonl"
+    lines = [
+        '{"id": 1, "v": "ok"}',
+        '{"id": 2, "v": "also ok"}',
+        '{"id": broken not json',
+        '[1,2,3]',                       # valid JSON, wrong shape
+        '{"id": 4, "v": "fine"}',
+    ]
+    p.write_text("\n".join(lines))
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    good, bad = readers.read_json_with_quarantine(engine.spark, str(p), schema)
+    good_rows = sorted((r.id, r.v) for r in good.collect())
+    bad_rows = sorted(r.raw for r in bad.collect())
+    assert good_rows == [(1, "ok"), (2, "also ok"), (4, "fine")]
+    assert len(bad_rows) == 2 and any("broken" in b for b in bad_rows)
+    assert "_corrupt_record" not in good.columns
+    assert len(good_rows) + len(bad_rows) == len(lines)
