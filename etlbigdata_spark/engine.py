@@ -247,6 +247,14 @@ class Engine:
 
         return sampling.histogram(df, column, lo, hi, n_bins)
 
+    def drift_report(self, reference: DataFrame, current: DataFrame, column: str,
+                     lo: float, hi: float, **kw) -> DataFrame:
+        """PSI distribution-drift report between two snapshots — see
+        operators.quality.psi_report."""
+        from .operators import quality as dq
+
+        return dq.psi_report(reference, current, column, lo, hi, **kw)
+
     def flag_outliers(self, df: DataFrame, column: str, by: list[str], **kw) -> DataFrame:
         """Per-group Tukey IQR outlier flags (exact percentiles)."""
         from .operators import quality

@@ -154,3 +154,60 @@ def flag_outliers(
         .withColumn("is_outlier", (x < lo) | (x > hi))
         .drop("__q1", "__q3", *[f"__g_{c}" for c in by])
     )
+
+
+def psi_report(
+    reference: DataFrame,
+    current: DataFrame,
+    column: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    epsilon: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the standard data-drift monitor (PSI < 0.1 stable,
+    0.1–0.25 moderate shift, > 0.25 investigate): per equi-width bucket
+    ``(p_cur − p_ref) · ln(p_cur / p_ref)``, epsilon-smoothed so an
+    empty bucket contributes a finite term instead of ±∞.
+
+    Buckets use :func:`operators.sampling.histogram`'s arithmetic
+    (floor((x−lo)/width), out-of-range clamped to sentinel buckets
+    −1/n_bins, NULLs dropped) — IEEE-identical across engines, so an
+    external SQL twin reproduces every term.  Each side is ONE
+    count-aggregate pass (n_bins+2 partials regardless of table size);
+    the bucket join is bins-sized.  Terms and the total are 6-dp
+    rounded: ln's last-ulp libm variance is ~1e-16 per term, orders
+    below the rounding quantum.
+
+    Returns per-bucket rows ``(bucket, p_ref, p_cur, psi_term)`` —
+    total PSI = SUM(psi_term), left to the caller/report so the
+    per-bucket attribution (WHICH range drifted) stays visible."""
+    from .sampling import histogram
+
+    if epsilon <= 0:
+        raise ValueError(f"need epsilon > 0, got {epsilon}")
+    ref_n = reference.filter(F.col(column).isNotNull()).count()
+    cur_n = current.filter(F.col(column).isNotNull()).count()
+    if ref_n == 0 or cur_n == 0:
+        raise ValueError(f"empty side: reference={ref_n}, current={cur_n} non-null rows")
+    h_ref = histogram(reference, column, lo, hi, n_bins).select(
+        "bucket", (F.col("n_rows") / F.lit(float(ref_n))).alias("p_ref")
+    )
+    h_cur = histogram(current, column, lo, hi, n_bins).select(
+        "bucket", (F.col("n_rows") / F.lit(float(cur_n))).alias("p_cur")
+    )
+    joined = h_ref.join(h_cur, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("p_ref", F.lit(0.0)).alias("p_ref"),
+        F.coalesce("p_cur", F.lit(0.0)).alias("p_cur"),
+    )
+    pr = F.greatest(F.col("p_ref"), F.lit(epsilon))
+    pc = F.greatest(F.col("p_cur"), F.lit(epsilon))
+    term = (pc - pr) * F.log(pc / pr)
+    return joined.select(
+        "bucket",
+        F.round("p_ref", 6).alias("p_ref"),
+        F.round("p_cur", 6).alias("p_cur"),
+        F.round(term, 6).alias("psi_term"),
+    )

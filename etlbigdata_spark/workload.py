@@ -1620,6 +1620,55 @@ GROUP BY o_orderpriority
 """
 
 
+def b42_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B27+ — Population Stability Index drift report (round 6,
+    quality.psi_report): per-bucket (p_cur − p_ref)·ln(p_cur/p_ref)
+    with epsilon smoothing — the standard distribution-drift monitor
+    between corpus snapshots.  The 'current' snapshot simulates a new
+    crawler: the doc_id ≡ 0 mod 2 slice with n_chars inflated 1.3× —
+    a real shift, so the report is non-trivially non-zero at every SF.
+    Bucket arithmetic is the b35 histogram's (IEEE-identical floor);
+    the oracle replays every term."""
+    from .operators import quality as dq
+
+    docs = load(spark, sf_dir, "documents")
+    ref = docs.select(F.col("n_chars").cast("double").alias("x"))
+    cur = docs.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("n_chars") * 1.3).alias("x")
+    )
+    return dq.psi_report(ref, cur, "x", lo=0.0, hi=4000.0, n_bins=8)
+
+
+B42_SQL = """
+WITH ref AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents),
+cur AS (SELECT n_chars * 1.3 AS x FROM documents WHERE doc_id % 2 = 0),
+bref AS (
+  SELECT CASE WHEN x < 0.0 THEN -1 WHEN x >= 4000.0 THEN 8
+              ELSE CAST(FLOOR((x - 0.0) / 500.0) AS INTEGER) END AS bucket,
+         COUNT(*) AS n
+  FROM ref WHERE x IS NOT NULL GROUP BY 1
+),
+bcur AS (
+  SELECT CASE WHEN x < 0.0 THEN -1 WHEN x >= 4000.0 THEN 8
+              ELSE CAST(FLOOR((x - 0.0) / 500.0) AS INTEGER) END AS bucket,
+         COUNT(*) AS n
+  FROM cur WHERE x IS NOT NULL GROUP BY 1
+),
+tot AS (SELECT (SELECT SUM(n) FROM bref) AS nr, (SELECT SUM(n) FROM bcur) AS nc),
+j AS (
+  SELECT COALESCE(bref.bucket, bcur.bucket) AS bucket,
+         COALESCE(bref.n / (SELECT CAST(nr AS DOUBLE) FROM tot), 0.0) AS p_ref,
+         COALESCE(bcur.n / (SELECT CAST(nc AS DOUBLE) FROM tot), 0.0) AS p_cur
+  FROM bref FULL OUTER JOIN bcur ON bref.bucket = bcur.bucket
+)
+SELECT CAST(bucket AS INTEGER) AS bucket,
+       round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur,
+       round((greatest(p_cur, 1e-6) - greatest(p_ref, 1e-6))
+             * ln(greatest(p_cur, 1e-6) / greatest(p_ref, 1e-6)), 6) AS psi_term
+FROM j
+"""
+
+
 def b41_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B9 — interval × interval OVERLAP join (round 6,
     joins.interval_overlap_join): both sides bucket-exploded, equi-join
@@ -5006,6 +5055,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm03_audio_neardup": mm03_audio_neardup,
     "b40_table_diff": b40_table_diff,
     "b41_interval_join": b41_interval_join,
+    "b42_drift_psi": b42_drift_psi,
     # round-6: a07/a10/a11/a15 rotated out after five driver-green
     # rounds; still oracle-checked here
     "a07_fill_nulls": a07_fill_nulls,
@@ -5228,6 +5278,7 @@ ORACLE_SQL: dict[str, str] = {
     "mm03_audio_neardup": MM03_SQL,
     "b40_table_diff": B40_SQL,
     "b41_interval_join": B41_SQL,
+    "b42_drift_psi": B42_SQL,
     "t17_temperature_mix": T17_SQL,
     "t18_novelty": T18_SQL,
     "t19_vocab_overlap": T19_SQL,

@@ -1177,3 +1177,27 @@ def test_source_vocab_overlap_hand_checked(spark):
     assert out[("s2", "s3")] == (1, 3, 4, round(1 / 6, 6))
     assert all("s4" not in k for k in out)
     assert len(out) == 3
+
+
+def test_psi_report_detects_planted_shift_and_validates(spark):
+    """Identical snapshots give ~zero PSI everywhere; a shifted current
+    snapshot concentrates positive terms where mass ARRIVED and the
+    total crosses the 0.1 'moderate shift' line; empty sides and bad
+    epsilon raise."""
+    from etlbigdata_spark.operators import quality as dq
+
+    ref = spark.createDataFrame([(float(100 + i % 200),) for i in range(400)], "x double")
+    same = dq.psi_report(ref, ref, "x", lo=0.0, hi=400.0, n_bins=4)
+    assert all(abs(r.psi_term) < 1e-9 for r in same.collect())
+
+    cur = spark.createDataFrame([(float(250 + i % 100),) for i in range(300)], "x double")
+    shifted = dq.psi_report(ref, cur, "x", lo=0.0, hi=400.0, n_bins=4).collect()
+    total = sum(r.psi_term for r in shifted)
+    assert total > 0.1, f"planted shift not detected: PSI={total}"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty side"):
+        dq.psi_report(ref, cur.filter("x < 0"), "x", 0.0, 400.0)
+    with _pytest.raises(ValueError, match="epsilon"):
+        dq.psi_report(ref, cur, "x", 0.0, 400.0, epsilon=0.0)
