@@ -452,8 +452,13 @@ def ngram_novelty(
 
     from .dedup import exploded_shingles
 
-    sh = exploded_shingles(df, id_col, text_col, n).select(
-        "id", F.xxhash64("shingle").alias("h")
+    # the shingle stream feeds the doc-freq agg AND the join-back —
+    # scoped-persist so the highest-expansion stage runs once (the
+    # unigram_surprisal / source_vocab_overlap convention)
+    sh = _persist_scoped(
+        exploded_shingles(df, id_col, text_col, n).select(
+            "id", F.xxhash64("shingle").alias("h")
+        )
     )
     dfreq = sh.groupBy("h").agg(F.countDistinct("id").alias("__df"))
     per_doc = (

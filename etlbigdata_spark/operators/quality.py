@@ -183,31 +183,35 @@ def psi_report(
     Returns per-bucket rows ``(bucket, p_ref, p_cur, psi_term)`` —
     total PSI = SUM(psi_term), left to the caller/report so the
     per-bucket attribution (WHICH range drifted) stays visible."""
+    import math
+
     from .sampling import histogram
 
     if epsilon <= 0:
         raise ValueError(f"need epsilon > 0, got {epsilon}")
-    ref_n = reference.filter(F.col(column).isNotNull()).count()
-    cur_n = current.filter(F.col(column).isNotNull()).count()
+    # ONE scan per side: the histogram aggregate IS the only corpus-
+    # sized work, and its (n_bins+2)-row result is driver-sized by
+    # construction — totals, proportions and the PSI terms are plain
+    # arithmetic over it (a separate count() per side would double the
+    # scans for numbers the buckets already carry)
+    h_ref = {r["bucket"]: r["n_rows"] for r in histogram(reference, column, lo, hi, n_bins).collect()}
+    h_cur = {r["bucket"]: r["n_rows"] for r in histogram(current, column, lo, hi, n_bins).collect()}
+    ref_n, cur_n = sum(h_ref.values()), sum(h_cur.values())
     if ref_n == 0 or cur_n == 0:
         raise ValueError(f"empty side: reference={ref_n}, current={cur_n} non-null rows")
-    h_ref = histogram(reference, column, lo, hi, n_bins).select(
-        "bucket", (F.col("n_rows") / F.lit(float(ref_n))).alias("p_ref")
-    )
-    h_cur = histogram(current, column, lo, hi, n_bins).select(
-        "bucket", (F.col("n_rows") / F.lit(float(cur_n))).alias("p_cur")
-    )
-    joined = h_ref.join(h_cur, "bucket", "full_outer").select(
-        "bucket",
-        F.coalesce("p_ref", F.lit(0.0)).alias("p_ref"),
-        F.coalesce("p_cur", F.lit(0.0)).alias("p_cur"),
-    )
-    pr = F.greatest(F.col("p_ref"), F.lit(epsilon))
-    pc = F.greatest(F.col("p_cur"), F.lit(epsilon))
-    term = (pc - pr) * F.log(pc / pr)
-    return joined.select(
-        "bucket",
-        F.round("p_ref", 6).alias("p_ref"),
-        F.round("p_cur", 6).alias("p_cur"),
-        F.round(term, 6).alias("psi_term"),
+    def _r6(x: float) -> float:
+        # half-AWAY-from-zero like SQL round() — Python's round is
+        # half-even and would diverge from the oracle on exact ties
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+    rows = []
+    for b in sorted(set(h_ref) | set(h_cur)):
+        p_ref = h_ref.get(b, 0) / float(ref_n)
+        p_cur = h_cur.get(b, 0) / float(cur_n)
+        pr, pc = max(p_ref, epsilon), max(p_cur, epsilon)
+        rows.append(
+            (int(b), _r6(p_ref), _r6(p_cur), _r6((pc - pr) * math.log(pc / pr)))
+        )
+    return reference.sparkSession.createDataFrame(
+        rows, "bucket int, p_ref double, p_cur double, psi_term double"
     )

@@ -139,6 +139,20 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType | None = None
     return reader.json(path)
 
 
+# Cached parses registered by read_json_with_quarantine (the corrupt-
+# column-only restriction forces a cache); released by
+# release_quarantine_caches() — the dedup/text module convention.
+_QUARANTINE_CACHE: list[DataFrame] = []
+
+
+def release_quarantine_caches() -> None:
+    """Unpersist every frame cached by :func:`read_json_with_quarantine`
+    (unpersisting the returned splits is a no-op: Spark's uncache only
+    matches the exact cached plan, not filters over it)."""
+    while _QUARANTINE_CACHE:
+        _QUARANTINE_CACHE.pop().unpersist()
+
+
 def read_json_with_quarantine(
     spark: SparkSession,
     path: str,
@@ -177,9 +191,12 @@ def read_json_with_quarantine(
     # Spark refuses a query referencing ONLY the corrupt column on a raw
     # scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the sanctioned pattern
     # is caching the parsed frame, which also makes the two splits read
-    # one parse instead of two.  The cache is corpus-sized: write both
-    # splits promptly and unpersist (good.unpersist() releases it).
+    # one parse instead of two.  The cache is corpus-sized and
+    # unpersisting the RETURNED frames cannot release it (uncache
+    # matches the exact cached plan only): write both splits promptly,
+    # then call release_quarantine_caches().
     df = df.cache()
+    _QUARANTINE_CACHE.append(df)
     good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
     bad = df.filter(F.col(corrupt_col).isNotNull()).select(
         F.col(corrupt_col).alias("raw")

@@ -3251,27 +3251,9 @@ def _event_stream(spark: SparkSession, sf_dir: str):
     the batch ``load`` does. One file + availableNow → one deterministic
     micro-batch, so streaming results are hashable against a batch
     oracle."""
-    import os
-    import shutil
-    import tempfile
-
-    from .streaming import ops as stops
-
     load(spark, sf_dir, "events")  # side effect: nanosAsLong conf for the raw read
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # the file source requires a DIRECTORY; stage the (read-only) table
-    # file into a temp dir via symlink (copy fallback). Registered in
-    # _PENDING_STAGE_DIRS and removed by _drain_to_table after the
-    # availableNow run has consumed it — repeated query calls on a
-    # long-lived session must not accumulate temp dirs.
-    stage = tempfile.mkdtemp(prefix="st_replay_src_")
-    _PENDING_STAGE_DIRS.append(stage)
-    src, dst = f"{sf_dir}/events.parquet", os.path.join(stage, "events.parquet")
-    try:
-        os.symlink(src, dst)
-    except OSError:
-        shutil.copyfile(src, dst)
-    stream = stops.read_file_stream(spark, stage, raw.schema)
+    stream = _table_stream(spark, sf_dir, "events")
     ts_type = dict(raw.dtypes).get("ts")
     if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -3308,24 +3290,31 @@ def _drain_to_table(writer) -> str:
     return name
 
 
-def _document_stream(spark: SparkSession, sf_dir: str):
-    """documents.parquet through the REAL Structured Streaming file
-    source (same staging pattern as ``_event_stream``)."""
+def _table_stream(spark: SparkSession, sf_dir: str, table: str):
+    """A testdata table through the REAL Structured Streaming file
+    source: the file source needs a DIRECTORY, so the (read-only)
+    parquet file is staged via symlink (copy fallback) into a temp dir
+    registered in ``_PENDING_STAGE_DIRS`` and removed after the drain —
+    the one staging helper behind every st* streaming query."""
     import os
     import shutil
     import tempfile
 
     from .streaming import ops as stops
 
-    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    stage = tempfile.mkdtemp(prefix="st_docs_src_")
+    raw = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    stage = tempfile.mkdtemp(prefix=f"st_{table}_src_")
     _PENDING_STAGE_DIRS.append(stage)
-    src, dst = f"{sf_dir}/documents.parquet", os.path.join(stage, "documents.parquet")
+    src, dst = f"{sf_dir}/{table}.parquet", os.path.join(stage, f"{table}.parquet")
     try:
         os.symlink(src, dst)
     except OSError:
         shutil.copyfile(src, dst)
     return stops.read_file_stream(spark, stage, raw.schema)
+
+
+def _document_stream(spark: SparkSession, sf_dir: str):
+    return _table_stream(spark, sf_dir, "documents")
 
 
 def st09_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3414,23 +3403,7 @@ ST09_SQL = (
 
 
 def _embedding_stream(spark: SparkSession, sf_dir: str):
-    """embeddings.parquet through the REAL Structured Streaming file
-    source (same staging pattern as ``_document_stream``)."""
-    import os
-    import shutil
-    import tempfile
-
-    from .streaming import ops as stops
-
-    raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    stage = tempfile.mkdtemp(prefix="st_emb_src_")
-    _PENDING_STAGE_DIRS.append(stage)
-    src, dst = f"{sf_dir}/embeddings.parquet", os.path.join(stage, "embeddings.parquet")
-    try:
-        os.symlink(src, dst)
-    except OSError:
-        shutil.copyfile(src, dst)
-    return stops.read_file_stream(spark, stage, raw.schema)
+    return _table_stream(spark, sf_dir, "embeddings")
 
 
 def st12_stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
