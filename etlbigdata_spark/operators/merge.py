@@ -32,6 +32,7 @@ def merge_upsert(
     keys: list[str],
     update_cols: list[str] | None = None,
     delete_condition: Column | None = None,
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """Upsert ``source`` into ``target`` on ``keys``.
 
@@ -48,8 +49,20 @@ def merge_upsert(
     join must — MERGE would reject them; deduplicate upstream. Keys are
     matched null-safely (``eqNullSafe``, = DuckDB's IS NOT DISTINCT
     FROM), so both engines agree on null-key rows.
+
+    ``evolve_schema=True`` is the table-format "automatic schema
+    evolution" mode: SOURCE-ONLY columns are appended to the output
+    (after the target schema, in source order) — matched and inserted
+    rows take the source value, target-only rows get NULL.  Off by
+    default because widening the table is a contract change the caller
+    should opt into; without it, source-only columns are silently
+    ignored (the plain-MERGE contract: output follows the target
+    schema).
     """
     cols = target.columns
+    new_cols = (
+        [c for c in source.columns if c not in cols] if evolve_schema else []
+    )
     missing = sorted({k for k in keys if k not in cols} | {k for k in keys if k not in source.columns})
     if missing:
         raise ValueError(f"merge keys {missing} absent from one side")
@@ -84,6 +97,10 @@ def merge_upsert(
         else:
             fallback = F.col(f"s.{c}") if c in source.columns else F.lit(None)
             out.append(F.when(tgt_present, F.col(f"t.{c}")).otherwise(fallback).alias(c))
+    for c in new_cols:
+        # evolved column: source value where a source row exists
+        # (matched or inserted), NULL for kept target-only rows
+        out.append(F.when(src_present, F.col(f"s.{c}")).alias(c))
     return j.select(*out)
 
 

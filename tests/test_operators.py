@@ -1201,3 +1201,22 @@ def test_psi_report_detects_planted_shift_and_validates(spark):
         dq.psi_report(ref, cur.filter("x < 0"), "x", 0.0, 400.0)
     with _pytest.raises(ValueError, match="epsilon"):
         dq.psi_report(ref, cur, "x", 0.0, 400.0, epsilon=0.0)
+
+
+def test_merge_upsert_schema_evolution(spark):
+    """evolve_schema=True appends source-only columns: matched and
+    inserted rows carry the source value, kept target-only rows NULL;
+    the default still ignores source-only columns (target contract)."""
+    from etlbigdata_spark.operators import merge as fmerge
+
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    source = spark.createDataFrame(
+        [(2, "B", 2.5), (3, "c", 3.5)], "k int, v string, score double"
+    )
+    plain = fmerge.merge_upsert(target, source, ["k"])
+    assert plain.columns == ["k", "v"]
+
+    evolved = fmerge.merge_upsert(target, source, ["k"], evolve_schema=True)
+    assert evolved.columns == ["k", "v", "score"]
+    got = {r.k: (r.v, r.score) for r in evolved.collect()}
+    assert got == {1: ("a", None), 2: ("B", 2.5), 3: ("c", 3.5)}
