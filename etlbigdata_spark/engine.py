@@ -145,7 +145,7 @@ class Engine:
         import inspect
 
         from pyspark.sql import functions as F
-        from pyspark.sql.types import NumericType
+        from pyspark.sql.types import IntegralType
 
         if method not in self._NEAR_DUP:
             raise ValueError(f"method must be one of {sorted(self._NEAR_DUP)}")
@@ -157,8 +157,10 @@ class Engine:
         # STRINGIFIED pair ids; the winner id is the media key
         pairs = self.near_dup_pairs(df, method=method, **kw)
         key = kw.get("key_col", id_col)
-        if isinstance(df.schema[key].dataType, NumericType):
-            # numeric keys round-trip connected_components' long cast
+        if isinstance(df.schema[key].dataType, IntegralType):
+            # only INTEGRAL keys round-trip connected_components' long
+            # cast; fractional numerics stringify to '1.5' which the
+            # ANSI long cast rejects — they take the hash path below
             return fdedup.dedup_by_components(df, pairs, id_col=key)
         # string/other keys would cast to NULL inside the component
         # loop and silently dedup NOTHING — run components in xxhash64

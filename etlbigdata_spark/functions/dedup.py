@@ -1141,12 +1141,17 @@ def cut_spans(
     doc are few by construction), broadcast-or-shuffle join back to the
     docs, then the rebuild is pure codegen: tokenize, keep tokens whose
     1-based position falls in no span (``exists`` over the bounded span
-    array), re-join with single spaces.  Docs with no spans pass
-    through unchanged (left join + coalesce).
+    array), re-join with single spaces.  Docs with no spans keep all
+    their tokens (the left join + coalesce defaults their span array
+    to empty) — but EVERY row, spanned or not, is rebuilt through the
+    tokenizer, so all output text is in canonical token-stream form.
 
     NOTE the tokenizer normalization: output text is the space-joined
     token stream (lowercased, whitespace collapsed) — the same
-    canonical form every shingle op in this module scores.
+    canonical form every shingle op in this module scores.  There is
+    deliberately no raw-text pass-through: mixing raw and canonical
+    text in one output column would make iterated find → cut unstable
+    (a doc's spans are positions in the CANONICAL stream).
 
     Cutting is NOT idempotent in general: removing a span splices its
     neighbors together, and the new adjacencies can themselves form

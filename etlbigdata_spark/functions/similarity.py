@@ -928,7 +928,10 @@ def pca_fit(
     """
     import numpy as np
 
-    first = [float(x) for x in corpus.select(vec_col).first()[0]]
+    head = corpus.select(vec_col).first()
+    if head is None:
+        raise ValueError("need >= 2 vectors to fit PCA, got 0")
+    first = [float(x) for x in head[0]]
     d = len(first)
     if not 1 <= k <= d:
         raise ValueError(f"need 1 <= k <= dim, got k={k}, dim={d}")

@@ -501,6 +501,11 @@ def source_vocab_overlap(
     sources, not corpus) — then a self-equi-join on the hash counts
     shared tokens per pair.  The join is vocabulary-sized, the output
     sources²-sized; nothing corpus-sized survives the first aggregate.
+    The FULL pair matrix is emitted: pairs whose vocabularies are
+    disjoint appear with ``shared=0, jaccard=0.0`` (the pair frame is
+    built from the tiny per-source size table — sources² rows — and
+    the shared counts left-join onto it), so a matrix consumer can
+    distinguish "no overlap" from "source absent".
 
     Returns ``(source_a, source_b, shared, size_a, size_b, jaccard)``
     with source_a < source_b, jaccard 6-dp rounded."""
@@ -522,13 +527,25 @@ def source_vocab_overlap(
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
+    # sources²-sized pair frame (tiny): every a<b pair exists even when
+    # the vocabularies share nothing
+    pairs = (
+        sizes.select(F.col("src").alias("source_a"), F.col("n").alias("size_a"))
+        .crossJoin(
+            sizes.select(F.col("src").alias("source_b"), F.col("n").alias("size_b"))
+        )
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
     return (
-        shared.join(sizes.select(F.col("src").alias("source_a"), F.col("n").alias("size_a")), "source_a")
-        .join(sizes.select(F.col("src").alias("source_b"), F.col("n").alias("size_b")), "source_b")
+        pairs.join(shared, ["source_a", "source_b"], "left")
         .select(
-            "source_a", "source_b", "shared", "size_a", "size_b",
+            "source_a", "source_b",
+            F.coalesce(F.col("shared"), F.lit(0)).alias("shared"),
+            "size_a", "size_b",
             F.round(
-                F.col("shared") / (F.col("size_a") + F.col("size_b") - F.col("shared")), 6
+                F.coalesce(F.col("shared"), F.lit(0))
+                / (F.col("size_a") + F.col("size_b") - F.coalesce(F.col("shared"), F.lit(0))),
+                6,
             ).alias("jaccard"),
         )
     )

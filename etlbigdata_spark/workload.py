@@ -2748,12 +2748,13 @@ shared AS (
   FROM vocab a JOIN vocab b ON a.tok = b.tok AND a.src < b.src
   GROUP BY 1, 2
 )
-SELECT source_a, source_b, shared,
+SELECT sa.src AS source_a, sb.src AS source_b,
+       COALESCE(shared, 0) AS shared,
        sa.n AS size_a, sb.n AS size_b,
-       round(shared / CAST(sa.n + sb.n - shared AS DOUBLE), 6) AS jaccard
-FROM shared
-JOIN sizes sa ON sa.src = source_a
-JOIN sizes sb ON sb.src = source_b
+       round(COALESCE(shared, 0) / CAST(sa.n + sb.n - COALESCE(shared, 0) AS DOUBLE), 6) AS jaccard
+FROM sizes sa
+JOIN sizes sb ON sa.src < sb.src
+LEFT JOIN shared ON source_a = sa.src AND source_b = sb.src
 """
 
 

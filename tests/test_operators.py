@@ -1156,9 +1156,11 @@ def test_decontaminate_drops_exactly_the_flagged_docs(spark):
 
 
 def test_source_vocab_overlap_hand_checked(spark):
-    """Known vocabularies: identical sources score 1, disjoint score
-    absent (no shared row), partial overlap computes the exact Jaccard;
-    pairs are oriented source_a < source_b, each pair once."""
+    """Known vocabularies: identical sources score 1, DISJOINT pairs
+    appear with shared=0 / jaccard=0 (full matrix — a consumer can
+    tell 'no overlap' from 'source absent'), partial overlap computes
+    the exact Jaccard; pairs are oriented source_a < source_b, each
+    pair once, C(n,2) rows total."""
     df = spark.createDataFrame(
         [
             ("s1", "apple banana cherry"),
@@ -1175,8 +1177,10 @@ def test_source_vocab_overlap_hand_checked(spark):
     assert out[("s1", "s2")] == (3, 3, 3, 1.0)
     assert out[("s1", "s3")] == (1, 3, 4, round(1 / 6, 6))
     assert out[("s2", "s3")] == (1, 3, 4, round(1 / 6, 6))
-    assert all("s4" not in k for k in out)
-    assert len(out) == 3
+    assert out[("s1", "s4")] == (0, 3, 2, 0.0)
+    assert out[("s2", "s4")] == (0, 3, 2, 0.0)
+    assert out[("s3", "s4")] == (0, 4, 2, 0.0)
+    assert len(out) == 6
 
 
 def test_psi_report_detects_planted_shift_and_validates(spark):

@@ -1076,6 +1076,42 @@ def test_engine_dedup_near_media_with_string_keys(spark):
     assert {r.uri for r in kept.collect()} == {"img/a.bmp", "img/z.bmp"}
 
 
+def test_engine_dedup_near_media_with_double_keys(spark):
+    """FRACTIONAL numeric media keys must take the hash-space fallback:
+    a double key stringifies to '1.5' which connected_components' ANSI
+    long cast rejects (advice fix: the gate is IntegralType, not
+    NumericType — with NumericType this crashed under ANSI and silently
+    deduped nothing without it)."""
+    import numpy as np
+
+    from etlbigdata_spark.engine import Engine
+    from etlbigdata_spark.functions import codecs
+
+    eng = Engine(spark)
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    far = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(2.5, bytearray(codecs.encode_ppm(base))),
+         (1.5, bytearray(codecs.encode_ppm(base.copy()))),
+         (9.5, bytearray(codecs.encode_ppm(far)))],
+        "media_key double, blob binary",
+    )
+    kept = eng.dedup_near(df, method="image", key_col="media_key", bytes_col="blob")
+    # min-STRING-key winner: '1.5' < '2.5'
+    assert {r.media_key for r in kept.collect()} == {1.5, 9.5}
+
+
+def test_pca_fit_empty_corpus_raises_descriptive_error(spark):
+    """An empty corpus must fail with the clear need->=2-vectors
+    ValueError, not an opaque NoneType TypeError (advice fix)."""
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], "embedding array<double>")
+    with _pytest.raises(ValueError, match="got 0"):
+        fsim.pca_fit(empty, k=2)
+
+
 def test_dedup_near_unknown_method_raises_value_error(spark):
     from etlbigdata_spark.engine import Engine
     import pytest as _pytest
