@@ -103,10 +103,45 @@ def bpe_learn(
     text_col: str = "text",
     num_merges: int = 100,
     min_freq: int = 1,
+    max_vocab: int | None = 1_000_000,
 ) -> list[tuple[str, str]]:
     """Train BPE merges on a corpus: distributed word count →
-    driver-side merge loop over the bounded frequency table."""
-    counts = [(r.word, r.freq) for r in word_counts(df, text_col, min_freq).collect()]
+    driver-side merge loop over the bounded frequency table.
+
+    ``max_vocab`` hard-bounds the driver collect: the word table comes
+    back through a distributed top-N (``TakeOrderedAndProject`` — freq
+    desc, word asc, fully deterministic), so at 100 TB a permissive
+    ``min_freq`` can no longer swamp the driver.  If the cap BINDS
+    (the corpus has more distinct words than ``max_vocab``):
+
+    - with ``min_freq`` left at 1 this raises a loud ``ValueError`` —
+      the caller never chose a bound, and silently training on a
+      truncated vocabulary would be a correctness surprise;
+    - with an explicit ``min_freq > 1`` the top-``max_vocab`` most
+      frequent words are kept (the standard trainer behavior — rare
+      tail words contribute ~nothing to pair frequencies).
+
+    ``max_vocab=None`` removes the cap (small-corpus/test escape
+    hatch)."""
+    wc = word_counts(df, text_col, min_freq)
+    if max_vocab is None:
+        counts = [(r.word, r.freq) for r in wc.collect()]
+        return learn_merges_from_counts(counts, num_merges)
+    if max_vocab < 1:
+        raise ValueError(f"max_vocab must be >= 1 or None, got {max_vocab}")
+    # +1 sentinel row: detects that the cap binds without a second
+    # count() job; the orderBy+limit lowers to a distributed top-N
+    top = wc.orderBy(F.col("freq").desc(), F.col("word")).limit(max_vocab + 1)
+    counts = [(r.word, r.freq) for r in top.collect()]
+    if len(counts) > max_vocab:
+        if min_freq <= 1:
+            raise ValueError(
+                f"corpus has more than max_vocab={max_vocab} distinct words and "
+                "min_freq is 1 — refusing to silently truncate the training "
+                "vocabulary; set min_freq > 1 (drops the rare tail explicitly) "
+                "or raise max_vocab"
+            )
+        counts = counts[:max_vocab]
     return learn_merges_from_counts(counts, num_merges)
 
 

@@ -204,6 +204,54 @@ def read_json_with_quarantine(
     return good, bad
 
 
+def read_csv_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = "_corrupt_record",
+    header: bool = True,
+    **opts,
+) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter ingestion for CSV — the twin of
+    :func:`read_json_with_quarantine` for the reference's CSV-first
+    surface (its dirty fixture ``data_penjualan.csv`` motivates this:
+    blank fields, duplicate rows, and the all-strings rescue at
+    ``simple_etl.py:168-169`` were its only answer to malformed input).
+    PERMISSIVE-mode read split into ``(good, quarantined)``: ``good``
+    carries the declared schema, ``quarantined`` one raw-line column
+    (``raw``) for replay once the producer is fixed.
+
+    A CSV row quarantines when it cannot be parsed INTO the declared
+    schema — wrong field count, or a value that fails its declared
+    type (e.g. text in an int column).  Blank fields are valid NULLs,
+    not corruption (they parse; whether NULL is acceptable is a data-
+    QUALITY rule — ``operators.quality.check`` — not a parse failure).
+
+    Same Spark caveats as the JSON twin, handled identically: the
+    corrupt column must be part of an EXPLICIT schema; a corrupt-
+    column-only query on a raw scan is refused by Spark, so the parsed
+    frame is cached (release via :func:`release_quarantine_caches`
+    after writing both splits).  Both frames are two filters over one
+    cached parse — one scan at scale, never two."""
+    full_schema = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    df = (
+        spark.read.options(header=header, **opts)
+        .schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .csv(path)
+    )
+    df = df.cache()
+    _QUARANTINE_CACHE.append(df)
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw")
+    )
+    return good, bad
+
+
 def _xlsx_col_index(ref: str) -> int:
     """'B7' → 1 (0-based column from an A1-style cell reference)."""
     idx = 0

@@ -18,6 +18,8 @@ def write_parquet(
     partition_by: list[str] | None = None,
     cluster_by: list[str] | None = None,
     cluster_partitions: int | None = None,
+    bloom_filter_cols: list[str] | None = None,
+    bloom_filter_ndv: int | dict[str, int] | None = None,
     **opts,
 ) -> None:
     """Parquet sink (A18). ``partition_by`` enables partition pruning for
@@ -26,7 +28,33 @@ def write_parquet(
     disjoint key range — parquet min/max row-group stats then prune
     whole files for selective predicates on those keys (the data-layout
     lever for 100 TB scans; orthogonal to ``partition_by``, which prunes
-    by directory)."""
+    by directory).
+
+    ``bloom_filter_cols`` writes a parquet BLOOM FILTER per listed
+    column (parquet-mr ``parquet.bloom.filter.enabled#<col>``) — the
+    point-lookup complement to the two range levers above: min/max
+    stats and z-order only skip when the file/row-group key RANGE
+    excludes the predicate, which high-cardinality unsorted keys
+    (ids, hashes, UUIDs) never satisfy; a bloom filter answers
+    "definitely not in this row group" probabilistically regardless of
+    ordering, so Spark's reader (parquet-mr row-group filtering, on by
+    default with ``spark.sql.parquet.filterPushdown``) drops whole row
+    groups on ``key = literal`` lookups.  Size the filter with
+    ``bloom_filter_ndv`` (int for all columns or ``{col: ndv}``) —
+    expected distinct values per ROW GROUP; unset, parquet-mr defaults
+    to 1M NDV ≈ 1.2 MB per column per row group, usually oversized.
+    Dictionary-encoded columns already skip via dictionary pages;
+    blooms pay off exactly when cardinality forces plain encoding."""
+    if bloom_filter_cols:
+        for c in bloom_filter_cols:
+            opts[f"parquet.bloom.filter.enabled#{c}"] = "true"
+            ndv = (
+                bloom_filter_ndv.get(c)
+                if isinstance(bloom_filter_ndv, dict)
+                else bloom_filter_ndv
+            )
+            if ndv:
+                opts[f"parquet.bloom.filter.expected.ndv#{c}"] = str(int(ndv))
     if cluster_by:
         # explicit n pins the output file count (size files for the target
         # row-group budget); default lets AQE pick from data volume

@@ -378,6 +378,95 @@ def test_parquet_clustered_write_has_disjoint_file_ranges(spark, sf_dir, tmp_pat
     assert spark.read.parquet(out).count() == li.count()
 
 
+def _parquet_bloom_offsets(spark, file_path):
+    """Per-column bloom-filter footer offsets via parquet-mr (pyarrow
+    16 doesn't expose them): {col_dotstring: offset}, -1 = no bloom."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(file_path)
+    inp = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        jpath, spark._jsc.hadoopConfiguration()
+    )
+    rdr = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(inp)
+    try:
+        out = {}
+        blocks = rdr.getFooter().getBlocks()
+        for bi in range(blocks.size()):
+            cols = blocks.get(bi).getColumns()
+            for ci in range(cols.size()):
+                cc = cols.get(ci)
+                name = cc.getPath().toDotString()
+                out[name] = max(out.get(name, -1), cc.getBloomFilterOffset())
+        return out
+    finally:
+        rdr.close()
+
+
+def _scan_output_rows(df):
+    """Rows EMITTED by the file scan (post row-group/page skipping,
+    pre-Filter) — runs the query, then reads the scan node's
+    numOutputRows SQL metric off the executed plan."""
+    df.collect()
+    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        m = leaf.metrics()
+        if "Scan" in leaf.nodeName() and m.contains("numOutputRows"):
+            return m.apply("numOutputRows").value()
+    raise AssertionError("no scan leaf with numOutputRows found")
+
+
+def test_parquet_bloom_filter_written_and_skips_row_groups(spark, tmp_path):
+    """A18 bloom filters — the POINT-LOOKUP complement to cluster_by/
+    z-order: on a high-cardinality unsorted key where min/max stats
+    can't skip (probe value inside every range), the bloom-enabled file
+    answers an absent-key equality lookup without the scan emitting a
+    single row, while the control file scans everything.  Footer
+    evidence: bloom offset present for exactly the requested column."""
+    n = 200_000
+    # bijective UNSORTED scatter over the evens (77777 coprime to n):
+    # sorted keys would let the page-level column index skip most pages
+    # in the control too, hiding what the bloom contributes
+    df = (
+        spark.range(n)
+        .selectExpr(f"(id * 77777) % {n} * 2 as k", "id % 7 as v")
+        .repartition(1)
+    )
+    control = str(tmp_path / "control")
+    bloomed = str(tmp_path / "bloomed")
+    # dictionary off in BOTH: dictionary pages would themselves skip,
+    # masking what the bloom contributes
+    writers.write_parquet(df, control, **{"parquet.enable.dictionary": "false"})
+    writers.write_parquet(
+        df,
+        bloomed,
+        bloom_filter_cols=["k"],
+        bloom_filter_ndv=n,
+        **{"parquet.enable.dictionary": "false"},
+    )
+
+    import glob
+
+    cfile = glob.glob(f"{control}/part-*.parquet")[0]
+    bfile = glob.glob(f"{bloomed}/part-*.parquet")[0]
+    assert _parquet_bloom_offsets(spark, cfile)["k"] == -1
+    boffs = _parquet_bloom_offsets(spark, bfile)
+    assert boffs["k"] > 0, "requested column must carry a bloom filter"
+    assert boffs["v"] == -1, "unrequested column must not"
+
+    # absent odd key, strictly inside [0, 2n) so stats can never skip
+    probe = n + 1
+    scanned_control = _scan_output_rows(
+        spark.read.parquet(control).filter(F.col("k") == probe)
+    )
+    scanned_bloom = _scan_output_rows(
+        spark.read.parquet(bloomed).filter(F.col("k") == probe)
+    )
+    assert scanned_control == n, "control: stats can't skip, full scan expected"
+    assert scanned_bloom == 0, "bloom: every row group skipped for the absent key"
+    # present key still found (no false negatives by construction)
+    assert spark.read.parquet(bloomed).filter(F.col("k") == 4).count() == 1
+
+
 def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
     """A3/A18 sibling: ORC roundtrip preserves data, and a selective
     filter reaches the ORC scan as a pushed search argument."""
@@ -911,3 +1000,70 @@ def test_read_json_with_quarantine_splits_good_and_bad(engine, tmp_path):
     assert len(bad_rows) == 2 and any("broken" in b for b in bad_rows)
     assert "_corrupt_record" not in good.columns
     assert len(good_rows) + len(bad_rows) == len(lines)
+
+def test_read_csv_with_quarantine_splits_good_and_bad(engine, tmp_path):
+    """CSV dead-letter twin: rows that cannot parse into the declared
+    schema (type violation, wrong field count) quarantine as raw text;
+    blank fields are valid NULLs, not corruption; nothing is silently
+    dropped (good + bad == data lines)."""
+    import pyspark.sql.types as T
+
+    from etlbigdata_spark.sources import readers
+
+    p = tmp_path / "feed.csv"
+    lines = [
+        "id,qty,name",
+        "1,10,alpha",
+        "2,,beta",            # blank qty -> NULL, still good
+        "3,not_a_number,gamma",  # type violation -> quarantine
+        "4,40",               # missing field -> quarantine
+        "5,50,epsilon",
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("qty", T.IntegerType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    good, bad = readers.read_csv_with_quarantine(engine.spark, str(p), schema)
+    good_rows = sorted((r.id, r.qty, r.name) for r in good.collect())
+    bad_rows = sorted(r.raw for r in bad.collect())
+    assert good_rows == [(1, 10, "alpha"), (2, None, "beta"), (5, 50, "epsilon")]
+    assert len(bad_rows) == 2 and any("not_a_number" in b for b in bad_rows)
+    assert "_corrupt_record" not in good.columns
+    assert len(good_rows) + len(bad_rows) == len(lines) - 1  # minus header
+    readers.release_quarantine_caches()
+
+
+def test_read_csv_with_quarantine_reference_fixture_is_clean(engine):
+    """Reference parity: the ref's own dirty fixture (data_penjualan.csv
+    - blank fields, duplicate rows) parses CLEAN under its natural
+    schema - its dirt is data-quality dirt (NULLs, dups), not parse
+    corruption, so the quarantine stays empty and no row is lost."""
+    import pyspark.sql.types as T
+
+    from etlbigdata_spark.sources import readers
+
+    schema = T.StructType(
+        [
+            T.StructField("Transaction_ID", T.StringType()),
+            T.StructField("Date", T.DateType()),
+            T.StructField("Customer_Name", T.StringType()),
+            T.StructField("Product_ID", T.StringType()),
+            T.StructField("Region", T.StringType()),
+            T.StructField("Quantity", T.IntegerType()),
+            T.StructField("Total_Price", T.LongType()),
+            T.StructField("Status", T.StringType()),
+        ]
+    )
+    good, bad = readers.read_csv_with_quarantine(
+        engine.spark, "/root/reference/data_penjualan.csv", schema
+    )
+    assert bad.count() == 0
+    rows = good.collect()
+    assert len(rows) > 0
+    # the fixture's known dirt arrives as NULLs, ready for A7 fill_nulls
+    assert any(r.Quantity is None or r.Region is None for r in rows)
+    readers.release_quarantine_caches()

@@ -984,6 +984,32 @@ def test_bpe_learn_partitioning_invariant(spark):
     assert m1 == m2
 
 
+def test_bpe_learn_max_vocab_guard(spark):
+    """The driver collect is hard-bounded: when the distinct-word count
+    exceeds max_vocab with min_freq=1 the trainer refuses loudly; with
+    an explicit min_freq>1 it keeps the top-N most frequent words and
+    the merges it learns equal the unbounded run on the same head
+    (frequency-desc truncation cannot change which pairs dominate)."""
+    import pytest as _pytest
+
+    from etlbigdata_spark.functions import bpe
+
+    # 40 distinct words; 'aa ab' pair-rich head, long singleton tail
+    text = "aa ab " * 50 + " ".join(f"w{i:02d}x" for i in range(38))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="max_vocab"):
+        bpe.bpe_learn(df, num_merges=5, max_vocab=10)
+    with _pytest.raises(ValueError, match="max_vocab must be"):
+        bpe.bpe_learn(df, num_merges=5, max_vocab=0)
+    capped = bpe.bpe_learn(df, num_merges=5, min_freq=2, max_vocab=10)
+    uncapped = bpe.bpe_learn(df, num_merges=5, min_freq=2, max_vocab=None)
+    assert capped == uncapped  # min_freq=2 leaves only {aa, ab}
+    # cap roomier than vocab: identical to uncapped even at min_freq=1
+    assert bpe.bpe_learn(df, num_merges=5, max_vocab=100) == bpe.bpe_learn(
+        df, num_merges=5, max_vocab=None
+    )
+
+
 def test_bpe_merges_roundtrip_parquet(spark, tmp_path):
     """A trained tokenizer persists and reloads unchanged (the
     index-persistence discipline: train once, apply to later batches)."""
