@@ -154,33 +154,19 @@ class Engine:
             pairs = self.near_dup_pairs(df, method=method, id_col=id_col, **kw)
             return fdedup.dedup_by_components(df, pairs, id_col=id_col)
         # media methods (image/audio) key on key_col=/bytes_col= and emit
-        # STRINGIFIED pair ids; the winner id is the media key
+        # STRINGIFIED pair ids; the winner id is the media key.
+        # connected_components runs natively on the stringified keys
+        # (any orderable type) — integral keys are cast back to long
+        # first so their winner stays the NUMERIC min ('10' < '9'
+        # lexicographically would otherwise flip it)
         pairs = self.near_dup_pairs(df, method=method, **kw)
         key = kw.get("key_col", id_col)
         if isinstance(df.schema[key].dataType, IntegralType):
-            # only INTEGRAL keys round-trip connected_components' long
-            # cast; fractional numerics stringify to '1.5' which the
-            # ANSI long cast rejects — they take the hash path below
-            return fdedup.dedup_by_components(df, pairs, id_col=key)
-        # string/other keys would cast to NULL inside the component
-        # loop and silently dedup NOTHING — run components in xxhash64
-        # space instead, then pick the min-STRING-key winner per
-        # component (same winner rule as everywhere else)
-        hp = pairs.select(
-            F.xxhash64(F.col("id_a")).alias("id_a"),
-            F.xxhash64(F.col("id_b")).alias("id_b"),
-        )
-        comps = fdedup.connected_components(hp)
-        kmap = df.select(
-            F.xxhash64(F.col(key).cast("string")).alias("doc_id"),
-            F.col(key).cast("string").alias("__k"),
-        ).distinct()
-        j = comps.join(kmap, "doc_id")
-        winners = j.groupBy("component_id").agg(F.min("__k").alias("__k"))
-        losers = j.join(winners, ["component_id", "__k"], "left_anti").select(
-            F.col("__k").alias(key)
-        )
-        return df.join(losers, key, "left_anti")
+            pairs = pairs.select(
+                F.col("id_a").cast("long").alias("id_a"),
+                F.col("id_b").cast("long").alias("id_b"),
+            )
+        return fdedup.dedup_by_components(df, pairs, id_col=key)
 
     _TOPK = {
         "exact": fsim.cosine_topk,

@@ -898,6 +898,14 @@ def connected_components(
     This is the step a real dedup pipeline needs after any pair finder
     (d02/d03/d04): "keep one winner per CLUSTER", not per pair.
 
+    Ids keep their NATIVE type: min-label propagation needs only an
+    ordering, which every Spark atomic type has — long ids get the
+    numeric min, string ids (URIs, UUIDs — the natural media keys) the
+    lexicographic min, with no lossy cast anywhere (the previous
+    ``cast('long')`` crashed on non-numeric strings under ANSI and
+    nulled every edge without it).  Mixed a/b column types resolve
+    through union's standard widening.
+
     Algorithm: min-label propagation — every node starts labeled with
     itself; each round every node takes the min of its own label and its
     neighbors' labels; converges in O(graph diameter) rounds.  Each
@@ -922,8 +930,8 @@ def connected_components(
     than the bound.
     """
     edges = (
-        pairs.select(F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst"))
-        .union(pairs.select(F.col(id_b).cast("long").alias("src"), F.col(id_a).cast("long").alias("dst")))
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
     )
     edges = _persist_scoped(edges)

@@ -173,6 +173,27 @@ def test_connected_components_on_known_graph(spark):
     assert comps == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
 
 
+def test_connected_components_native_string_ids(spark):
+    """String vertex ids (URIs, UUIDs) resolve natively — no long cast,
+    no hash space: component_id is the LEXICOGRAPHIC min reachable id,
+    and a chain + isolated pair resolve exactly as the long-id graph
+    does (round-7 fix: the old cast('long') made string graphs crash
+    under ANSI or silently lose every edge without it)."""
+    pairs = spark.createDataFrame(
+        [("img/b", "img/c"), ("img/a", "img/b"), ("x/q", "x/p")],
+        "id_a string, id_b string",
+    )
+    comps = {
+        r["doc_id"]: r["component_id"]
+        for r in fdedup.connected_components(pairs).collect()
+    }
+    fdedup.release_cached()
+    assert comps == {
+        "img/a": "img/a", "img/b": "img/a", "img/c": "img/a",
+        "x/p": "x/p", "x/q": "x/p",
+    }
+
+
 def test_connected_components_bounded_cache_and_flat_plans(spark):
     """Round-4 fix: the propagation loop localCheckpoints each round's
     label table (lineage truncation — O(1) plan depth per round instead
