@@ -391,6 +391,7 @@ def ivf_write_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quantize: bool = False,
+    centroids: list | None = None,
 ) -> dict:
     """B24 — build and PERSIST the IVF index (round 6): the similarity
     twin of the dedup family's ``minhash_signatures`` parquet index.
@@ -408,8 +409,19 @@ def ivf_write_index(
     cosine's scale invariance cancels the per-vector corpus scale
     exactly, so only corpus-side quantization error remains (recall
     bound pinned in tests).  The layout is self-describing — the probe
-    detects the code column in the index schema; no flag travels."""
-    assigned, cents = ivf_assign(corpus, n_centroids, id_col, vec_col)
+    detects the code column in the index schema; no flag travels.
+
+    ``centroids`` (``[(cell_id, [floats]), ...]``) overrides the default
+    xxhash64 sample — pass :func:`kmeans_fit` centers for data-adaptive
+    cells (the web-scale regime) or :func:`semantic_centroids` for an
+    engine-portable sample; ``n_centroids`` is ignored when given.  The
+    sidecar records whatever was used, so :func:`ivf_append_index` and
+    :func:`ivf_probe_index` stay consistent with the build either way."""
+    if centroids is not None:
+        cents = [(int(i), [float(x) for x in v]) for i, v in centroids]
+        assigned = _assign_to_cents(corpus, cents, vec_col)
+    else:
+        assigned, cents = ivf_assign(corpus, n_centroids, id_col, vec_col)
     if quantize:
         assigned = quantize_embeddings(assigned, vec_col=vec_col)
     assigned.write.mode("overwrite").partitionBy("centroid").parquet(f"{path}/vectors")

@@ -112,6 +112,16 @@ def test_driver_window_covers_expected_components():
         # redundant family rows, five driver-green rounds)
         "d09_semantic_dedup",
         "d10_duplicated_spans",
+        # round-7 rotation (VERDICT r6 item 8): never-windowed
+        # oracle-proven rows promoted, plus the new st13 append-
+        # visibility proof in its first round
+        "b41_interval_join",
+        "b42_drift_psi",
+        "evt09_scd2_join",
+        "s07_prototype_prune",
+        "mm03_audio_neardup",
+        "st12_stream_semantic_dedup",
+        "st13_stream_probe_appended_index",
     ):
         assert required in DRIVER_WINDOW
     # rotations: rows demoted after multiple driver-green rounds stay
@@ -121,6 +131,9 @@ def test_driver_window_covers_expected_components():
         "a09_count", "a12_transpose", "a13_split_merge",
         "a07_fill_nulls", "a10_replace", "a11_filter_contains", "a15_cast",
         "b27_profile", "b09_anti", "b15_json",
+        # r7: the scalar-function family (5+ driver-green rounds each)
+        "b11_strings", "b12_dates", "b13_math", "b14_arrays",
+        "b15_from_json", "b16_pivot", "b18_pandas_udf",
     ):
         assert rotated_out not in DRIVER_WINDOW
         assert rotated_out in workload.QUERIES and rotated_out in workload.ORACLE_SQL
@@ -133,8 +146,8 @@ def test_driver_window_covers_expected_components():
 def test_registry_counts_match_documentation():
     """README/COVERAGE cite these exact counts (round-3 verdict flagged
     drift); changing the registry must update the docs with it."""
-    assert len(workload.QUERIES) == 148
-    assert len(workload.ORACLE_SQL) == 135
+    assert len(workload.QUERIES) == 149
+    assert len(workload.ORACLE_SQL) == 136
 
 
 NO_ORACLE = sorted(set(workload.QUERIES) - set(workload.ORACLE_SQL))
