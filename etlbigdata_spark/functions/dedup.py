@@ -903,8 +903,10 @@ def connected_components(
     numeric min, string ids (URIs, UUIDs — the natural media keys) the
     lexicographic min, with no lossy cast anywhere (the previous
     ``cast('long')`` crashed on non-numeric strings under ANSI and
-    nulled every edge without it).  Mixed a/b column types resolve
-    through union's standard widening.
+    nulled every edge without it).  Mismatched a/b column types raise
+    loudly (union would otherwise fail or silently widen — the caller
+    should pick the cast), and null-id edges are dropped before the
+    label loop (a null can't carry a label and would poison the min).
 
     Algorithm: min-label propagation — every node starts labeled with
     itself; each round every node takes the min of its own label and its
@@ -929,9 +931,17 @@ def connected_components(
     truncation would return WRONG component ids for any chain longer
     than the bound.
     """
+    ta, tb = pairs.schema[id_a].dataType, pairs.schema[id_b].dataType
+    if ta != tb:
+        raise TypeError(
+            f"connected_components: id columns must share one type for "
+            f"min-label ordering; got {id_a}:{ta.simpleString()} vs "
+            f"{id_b}:{tb.simpleString()} — cast one side explicitly"
+        )
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
     )
     edges = _persist_scoped(edges)

@@ -299,13 +299,19 @@ def _assign_to_cents(df: DataFrame, cents: list, vec_col: str) -> DataFrame:
     """Cosine argmax assignment against a FIXED centroid list (the IVF
     metric — distinct from kmeans' Euclidean :func:`_assign_nearest`):
     shared by the initial build and every incremental append so one
-    index only ever carries one assignment rule."""
+    index only ever carries one assignment rule.  The assigned
+    ``centroid`` is the CALLER-SUPPLIED cell id from ``cents`` (the
+    argmax position is mapped through an id lookup array), so
+    non-contiguous or out-of-order cell ids land in partitions that
+    match the sidecar — the round-7 position-vs-id mismatch is closed
+    here, at the single assignment site."""
     cent_arr = F.array(*[F.array(*[F.lit(x) for x in vec]) for _, vec in cents])
+    id_arr = F.array(*[F.lit(int(i)) for i, _ in cents])
     scores = F.transform(
         cent_arr, lambda cv: _dot(F.col(vec_col).cast("array<double>"), cv) / (_norm(cv) + F.lit(1e-12))
     )
-    best = F.array_position(scores, F.array_max(scores)) - 1
-    return df.withColumn("centroid", best.cast("int"))
+    best_pos = F.array_position(scores, F.array_max(scores)).cast("int")
+    return df.withColumn("centroid", F.element_at(id_arr, best_pos).cast("int"))
 
 
 def ivf_topk(
@@ -342,8 +348,12 @@ def _query_probes(
     """(query_id, __qvec, centroid) — each query exploded to its
     ``n_probe`` nearest centroids, ranked driver-free: score each
     centroid, sort (score desc, idx asc) via array_sort comparator,
-    slice the probe list."""
+    slice the probe list.  Emitted ``centroid`` values are the
+    caller-supplied cell ids from ``cents`` (positions mapped through
+    an id lookup array) so probes line up with partitions written by
+    :func:`_assign_to_cents` for any id scheme."""
     cent_arr = F.array(*[F.array(*[F.lit(x) for x in vec]) for _, vec in cents])
+    id_arr = F.array(*[F.lit(int(i)) for i, _ in cents])
     qv = F.col(vec_col).cast("array<double>")
     scored_cents = F.transform(
         cent_arr, lambda cv: _dot(qv, cv) / (_norm(cv) + F.lit(1e-12))
@@ -358,7 +368,10 @@ def _query_probes(
         .when(l["score"] < r["score"], F.lit(1))
         .otherwise(l["idx"].cast("int") - r["idx"].cast("int")),
     )
-    probes = F.transform(F.slice(ranked, 1, n_probe), lambda p: p["idx"].cast("int"))
+    probes = F.transform(
+        F.slice(ranked, 1, n_probe),
+        lambda p: F.element_at(id_arr, p["idx"].cast("int") + 1),
+    )
     return queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
@@ -368,8 +381,13 @@ def _query_probes(
 
 def _probe_score_topk(
     assigned: DataFrame, q: DataFrame, k: int, id_col: str, vec_col: str,
-    round_to: int | None,
+    round_to: int | None, threshold: float | None = None,
 ) -> DataFrame:
+    """Score probe pairs within shared cells; ``threshold=None`` ranks
+    top-k per query (one window shuffle), a float threshold instead
+    emits every pair with ``cosine >= threshold`` MAP-SIDE — no window,
+    no shuffle at all after the broadcast probe join, which is the
+    shape a streaming dedup probe wants per micro-batch."""
     c = assigned.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"), "centroid"
     )
@@ -379,7 +397,10 @@ def _probe_score_topk(
     cos = cosine_sim(F.col("__qvec"), F.col("__cvec"))
     if round_to is not None:
         cos = F.round(cos, round_to)
-    scored = joined.select("query_id", "neighbor_id", cos.alias("cosine"))
+    scored = joined.select("query_id", "neighbor_id", "centroid", cos.alias("cosine"))
+    if threshold is not None:
+        return scored.filter(F.col("cosine") >= threshold)
+    scored = scored.drop("centroid")
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -411,14 +432,20 @@ def ivf_write_index(
     bound pinned in tests).  The layout is self-describing — the probe
     detects the code column in the index schema; no flag travels.
 
-    ``centroids`` (``[(cell_id, [floats]), ...]``) overrides the default
-    xxhash64 sample — pass :func:`kmeans_fit` centers for data-adaptive
-    cells (the web-scale regime) or :func:`semantic_centroids` for an
-    engine-portable sample; ``n_centroids`` is ignored when given.  The
-    sidecar records whatever was used, so :func:`ivf_append_index` and
-    :func:`ivf_probe_index` stay consistent with the build either way."""
+    ``centroids`` overrides the default xxhash64 sample — pass
+    :func:`kmeans_fit` centers (a bare k×d vector list) for
+    data-adaptive cells (the web-scale regime) or
+    :func:`semantic_centroids`' ``[(cell_id, [floats]), ...]`` pairs
+    for an engine-portable sample; ``n_centroids`` is ignored when
+    given.  Both shapes go through :func:`_norm_centroids`, and the
+    assignment honors the supplied cell ids (gapped/out-of-order ids
+    included), so the partition values, the sidecar, and every later
+    :func:`ivf_append_index` / :func:`ivf_probe_index` agree on one id
+    scheme."""
     if centroids is not None:
-        cents = [(int(i), [float(x) for x in v]) for i, v in centroids]
+        cents = _norm_centroids(centroids)
+        if len({i for i, _ in cents}) != len(cents):
+            raise ValueError("ivf_write_index: duplicate centroid cell ids")
         assigned = _assign_to_cents(corpus, cents, vec_col)
     else:
         assigned, cents = ivf_assign(corpus, n_centroids, id_col, vec_col)
@@ -443,6 +470,7 @@ def ivf_probe_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int | None = None,
+    threshold: float | None = None,
 ) -> DataFrame:
     """B24 — probe a persisted :func:`ivf_write_index` index.  Same
     semantics as :func:`ivf_topk` with the same centroid sample (so the
@@ -452,7 +480,13 @@ def ivf_probe_index(
     driver collect here is bounded by that contract, not by data size)
     becomes a static partition filter, so the scan reads only the
     probed directories — verified by a PartitionFilters plan assertion
-    in tests."""
+    in tests.
+
+    ``threshold`` switches from per-query top-k to PAIR emission:
+    every (query, neighbor) in a probed cell with ``cosine >=
+    threshold`` comes back (columns ``query_id, neighbor_id, centroid,
+    cosine``), with NO window shuffle — the streaming-dedup probe shape
+    used by :func:`etlbigdata_spark.streaming.ops.foreach_batch_ann_probe`."""
     cents_rows = spark.read.parquet(f"{path}/centroids").orderBy("centroid").collect()
     cents = [(r["centroid"], list(r["vec"])) for r in cents_rows]
     q = _query_probes(queries, cents, n_probe, id_col, vec_col)
@@ -465,7 +499,7 @@ def ivf_probe_index(
     # self-describing layout: an SQ8 index carries codes, not floats —
     # score the codes directly (corpus-side scale cancels out of cosine)
     corpus_vec = vec_col if vec_col in assigned.columns else "emb_q"
-    return _probe_score_topk(assigned, q, k, id_col, corpus_vec, round_to)
+    return _probe_score_topk(assigned, q, k, id_col, corpus_vec, round_to, threshold)
 
 
 def _assign_nearest(

@@ -809,6 +809,54 @@ def foreach_batch_enriched(
     return fn
 
 
+def foreach_batch_ann_probe(
+    sink_fn: Callable[[DataFrame, int], None],
+    spark: SparkSession,
+    index_path: str,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+    threshold: float | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """The PRODUCTION streaming ANN loop (round 8, VERDICT item 7):
+    wrap a foreachBatch sink so every micro-batch of query vectors
+    probes a persisted :func:`~etlbigdata_spark.functions.similarity.
+    ivf_write_index` index through the partition-PRUNED path —
+    ``ivf_probe_index`` turns each batch's probed-centroid set into a
+    static partition filter, so the scan reads ≤ the probed cells'
+    directories (plan-asserted in tests), NOT the whole index.  This
+    replaces the st13 oracle face's full-index re-read join, which is
+    correct but scans every cell per batch; at a 100 TB index the
+    difference is n_probe/n_centroids of the files versus all of them.
+
+    Because the index path is re-resolved INSIDE foreachBatch, rows
+    landed by ``ivf_append_index`` between micro-batches are visible to
+    the next batch without a restart — the same re-list discipline as
+    :func:`foreach_batch_enriched`, and the property the st13 oracle
+    pins (chunk 1 probes A, chunk 2 probes A∪B).  The centroid sidecar
+    is frozen by the append contract, so per-batch cost is one sidecar
+    read (n_centroids rows) + a pruned scan of the probed cells.
+
+    ``threshold`` switches the per-batch result from per-query top-k
+    (columns ``query_id, neighbor_id, cosine, rank``) to map-side pair
+    emission of every match with ``cosine >= threshold`` (columns
+    ``query_id, neighbor_id, centroid, cosine``, no window shuffle) —
+    the streaming near-dup shape.  ``sink_fn`` receives the probe
+    RESULT, not the raw batch."""
+    from ..functions import similarity as fsim
+
+    def fn(df: DataFrame, epoch_id: int) -> None:
+        res = fsim.ivf_probe_index(
+            spark, index_path, df, k=k, n_probe=n_probe, id_col=id_col,
+            vec_col=vec_col, round_to=round_to, threshold=threshold,
+        )
+        sink_fn(res, epoch_id)
+
+    return fn
+
+
 def write_stream_files(df: DataFrame, path: str, fmt: str = "parquet", **opts):
     """File sink (parquet/orc/json/csv) — the durable append-only lake
     sink: exactly-once per micro-batch via the sink's transaction log

@@ -1098,11 +1098,12 @@ def test_engine_dedup_near_media_with_string_keys(spark):
 
 
 def test_engine_dedup_near_media_with_double_keys(spark):
-    """FRACTIONAL numeric media keys must take the hash-space fallback:
-    a double key stringifies to '1.5' which connected_components' ANSI
-    long cast rejects (advice fix: the gate is IntegralType, not
-    NumericType — with NumericType this crashed under ANSI and silently
-    deduped nothing without it)."""
+    """FRACTIONAL numeric media keys go through the native-string
+    components path: dedup_near stringifies non-integral keys and runs
+    connected_components directly on the strings (round 7 removed the
+    old hash-space fallback), so the cluster winner is the min STRING
+    key — '1.5' < '2.5' lexicographically here.  Integral keys keep
+    their numeric min (the IntegralType gate from the round-6 fix)."""
     import numpy as np
 
     from etlbigdata_spark.engine import Engine
@@ -1190,3 +1191,68 @@ def test_hard_negatives_excludes_same_label_and_nulls(emb, spark):
         mine = sorted((r.rank, r.cosine) for r in rows if r.query_id == qid)
         assert [rk for rk, _ in mine] == list(range(1, len(mine) + 1))
         assert all(mine[i][1] >= mine[i + 1][1] for i in range(len(mine) - 1))
+
+
+def test_ivf_write_index_accepts_kmeans_and_gapped_ids(emb, spark, tmp_path):
+    """Round-8 advice fix: ivf_write_index(centroids=...) must accept
+    BOTH centroid shapes and keep partitions/sidecar/probe on ONE id
+    scheme.  (a) bare kmeans_fit centers (k×d vector list) used to
+    raise on the `(i, v)` unpack; (b) gapped/out-of-order cell ids used
+    to write partitions keyed by LIST POSITION while the sidecar held
+    the supplied ids, so write→append→probe silently probed the wrong
+    (or empty) partitions."""
+    corpus = emb.select("vec_id", "embedding").filter(F.col("vec_id") < 400)
+    queries = corpus.orderBy("vec_id").limit(5)
+
+    # (a) bare kmeans centers drop straight in
+    cents, _, _ = fsim.kmeans_fit(corpus, k=4, iters=1)
+    kpath = str(tmp_path / "ivf_kmeans")
+    stats = fsim.ivf_write_index(corpus, kpath, centroids=cents)
+    assert stats["n_centroids"] == 4
+    full_k = fsim.ivf_probe_index(spark, kpath, queries, k=5, n_probe=4, round_to=6)
+    exact = fsim.cosine_topk(corpus, queries, k=5, round_to=6)
+    want = {(r.query_id, r.rank): r.neighbor_id for r in exact.collect()}
+    assert {(r.query_id, r.rank): r.neighbor_id for r in full_k.collect()} == want
+
+    # (b) gapped, out-of-order cell ids: write → append → probe must agree
+    base = fsim.semantic_centroids(corpus, n_centroids=4)
+    gapped = [(17, base[0][1]), (3, base[1][1]), (99, base[2][1]), (40, base[3][1])]
+    gpath = str(tmp_path / "ivf_gapped")
+    half_a = corpus.filter(F.col("vec_id") % 2 == 0)
+    half_b = corpus.filter(F.col("vec_id") % 2 == 1)
+    fsim.ivf_write_index(half_a, gpath, centroids=gapped)
+    side = {r.centroid for r in spark.read.parquet(f"{gpath}/centroids").collect()}
+    parts = {r.centroid for r in
+             spark.read.parquet(f"{gpath}/vectors").select("centroid").distinct().collect()}
+    assert side == {17, 3, 99, 40} and parts <= side
+    fsim.ivf_append_index(half_b, gpath)
+    full_g = fsim.ivf_probe_index(spark, gpath, queries, k=5, n_probe=4, round_to=6)
+    assert {(r.query_id, r.rank): r.neighbor_id for r in full_g.collect()} == want
+    # narrow probe returns real (non-empty) results from the right cells
+    narrow = fsim.ivf_probe_index(spark, gpath, queries, k=5, n_probe=1, round_to=6)
+    assert narrow.count() > 0
+
+    # duplicate cell ids are a loud error, not silent partition overwrite
+    with pytest.raises(ValueError, match="duplicate centroid"):
+        fsim.ivf_write_index(corpus, str(tmp_path / "dup"),
+                             centroids=[(1, base[0][1]), (1, base[1][1])])
+
+
+def test_connected_components_type_mismatch_and_null_edges(spark):
+    """Round-8 advice fix: mismatched id_a/id_b types raise a clear
+    TypeError (union would silently widen), and null-id edges are
+    dropped instead of flowing into the label loop."""
+    mixed = spark.createDataFrame(
+        [("a", 1)], "id_a string, id_b long"
+    )
+    with pytest.raises(TypeError, match="must share one type"):
+        fdedup.connected_components(mixed)
+
+    withnull = spark.createDataFrame(
+        [(1, 2), (2, None), (None, 5), (7, 8)], "id_a long, id_b long"
+    )
+    comp = {r.doc_id: r.component_id
+            for r in fdedup.connected_components(withnull).collect()}
+    # node 5's only edge was null-paired → it leaves the graph entirely
+    # (absent = untouched survivor downstream in dedup_by_components)
+    assert comp == {1: 1, 2: 1, 7: 7, 8: 7}

@@ -1331,3 +1331,94 @@ def test_rollup_merge_sink_null_partition_values_survive(spark, tmp_path):
     assert got == {(None, 1): 10, ("d1", 2): 20, (None, 3): 5}, (
         "user 1's null-partition row was lost in the merge"
     )
+
+
+def test_foreach_batch_ann_probe_partition_pruned_and_matches_st13(
+    spark, sf_dir, tmp_path
+):
+    """Round-8 VERDICT item 7 — the PRODUCTION streaming ANN probe:
+    foreach_batch_ann_probe must (a) reproduce the st13 oracle face's
+    output exactly on the same grow-mid-stream dataset (chunk 1 × A,
+    chunk 2 × (A∪B)), while (b) reading the on-disk index through a
+    centroid PARTITION FILTER — the st13 face re-reads and joins the
+    WHOLE index per batch, which is the thing this API replaces."""
+    import re
+
+    from etlbigdata_spark import workload
+    from etlbigdata_spark.functions import similarity as fsim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    part_a = emb.filter(F.col("vec_id") % 3 == 1)
+    part_b = emb.filter(F.col("vec_id") % 3 == 2)
+    chunk1 = emb.filter(F.col("vec_id") % 6 == 0).unionByName(
+        part_a.filter(F.col("vec_id") % 5 == 0).select(
+            (F.col("vec_id") + 200000).alias("vec_id"), "embedding"
+        )
+    )
+    chunk2 = emb.filter(F.col("vec_id") % 6 == 3).unionByName(
+        part_b.filter(F.col("vec_id") % 5 == 0).select(
+            (F.col("vec_id") + 300000).alias("vec_id"), "embedding"
+        )
+    )
+    cents = fsim.semantic_centroids(part_a, n_centroids=8)
+    idx = str(tmp_path / "idx")
+    stage = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    fsim.ivf_write_index(part_a, idx, centroids=cents)
+    chunk1.coalesce(1).write.mode("append").parquet(stage)
+
+    collected: list = []
+    plans: list[str] = []
+
+    def sink(res, epoch_id):
+        collected.extend(res.collect())
+        plans.append(res._jdf.queryExecution().executedPlan().toString())
+
+    fn = ops.foreach_batch_ann_probe(
+        sink, spark, idx, n_probe=1, round_to=6, threshold=0.99
+    )
+    stream = ops.read_file_stream(spark, stage, chunk1.schema)
+    ops.run_available_now(
+        ops.write_stream_foreach_batch(stream, fn, "append").queryName("annp_d1"),
+        ckpt,
+    )
+    fsim.ivf_append_index(part_b, idx)
+    chunk2.coalesce(1).write.mode("append").parquet(stage)
+    ops.run_available_now(
+        ops.write_stream_foreach_batch(stream, fn, "append").queryName("annp_d2"),
+        ckpt,
+    )
+
+    # (a) exact equivalence with the st13 oracle face
+    want = {
+        (r.id_stream, r.id_corpus, r.centroid, r.cosine)
+        for r in workload.st13_stream_probe_appended_index(spark, sf_dir).collect()
+    }
+    got = {(r.query_id, r.neighbor_id, r.centroid, r.cosine) for r in collected}
+    assert got == want and len(got) > 0
+
+    # (b) every batch's index scan carries a centroid partition filter
+    assert len(plans) >= 2
+    for plan in plans:
+        assert re.search(r"PartitionFilters: \[[^\]]*centroid[^\]]*\]", plan), plan
+
+    # (c) a small batch reads EXACTLY its queries' probed cells: 3 query
+    # vectors at n_probe=1 → the isin list is those ≤3 cells, not all 8
+    mini = chunk1.orderBy("vec_id").limit(3)
+    expect_cells = {
+        r.centroid
+        for r in fsim._assign_to_cents(mini, cents, "embedding")
+        .select("centroid")
+        .collect()
+    }
+    probe = fsim.ivf_probe_index(
+        spark, idx, mini, n_probe=1, round_to=6, threshold=0.99
+    )
+    probe.collect()
+    mplan = probe._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*centroid#\d+ IN \(([^)]*)\)", mplan)
+    assert m, mplan
+    seen_cells = {int(x) for x in m.group(1).split(",")}
+    assert seen_cells == expect_cells and len(seen_cells) <= 3 < 8
