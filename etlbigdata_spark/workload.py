@@ -1669,6 +1669,61 @@ FROM j
 """
 
 
+def b43_bloom_needle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18 — the parquet BLOOM-FILTER lever as a query face (round 8,
+    VERDICT item 5): write lineitem with a bloom filter on
+    ``l_orderkey`` (``write_parquet(bloom_filter_cols=...)``,
+    writers.py) and answer point needle lookups against the bloomed
+    copy — two present keys (min and max orderkey, valid at every SF)
+    plus one provably-absent key.  The bloom is a storage-layout lever,
+    so the RESULT must equal the same lookup on the raw table — which
+    is exactly what the oracle states; the row-group-skipping evidence
+    (scan emits 0 rows for the absent key where a plain file scans
+    everything) is pinned by ``test_io.py`` and measured at sf0.1 in
+    ``scripts/bloom_evidence.py``.  At 100 TB this is the difference
+    between a point lookup touching one row group per file (bloom
+    answers "absent" from the footer) and scanning every
+    high-cardinality row group min/max stats can't rule out."""
+    import shutil
+    import tempfile
+
+    from .sources import writers
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    mm = li.agg(
+        F.min("l_orderkey").alias("lo"), F.max("l_orderkey").alias("hi")
+    ).first()
+    keys = [int(mm["lo"]), int(mm["hi"]), int(mm["hi"]) + 1000001]
+    base = tempfile.mkdtemp(prefix="b43_")
+    try:
+        writers.write_parquet(
+            li, f"{base}/bloomed",
+            bloom_filter_cols=["l_orderkey"],
+            bloom_filter_ndv=200_000,
+        )
+        out = spark.read.parquet(f"{base}/bloomed").filter(
+            F.col("l_orderkey").isin(keys)
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+B43_SQL = """
+WITH needles AS (
+  SELECT min(l_orderkey) AS k FROM lineitem
+  UNION ALL SELECT max(l_orderkey) FROM lineitem
+  UNION ALL SELECT max(l_orderkey) + 1000001 FROM lineitem
+)
+SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, l.l_extendedprice
+FROM lineitem l JOIN needles n ON l.l_orderkey = n.k
+"""
+
+
 def b41_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B9 — interval × interval OVERLAP join (round 6,
     joins.interval_overlap_join): both sides bucket-exploded, equi-join
@@ -5090,9 +5145,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver window (first 50): one proving query per component ---
     # Part A
     "a01_csv_scan": a01_csv_scan,
-    "a06_union_all": a06_union_all,
-    "a08_dedup": a08_dedup,
-    "a16_join": a16_join,
+    # round-8 window rotation (VERDICT r7 item 6): a06_union_all,
+    # a08_dedup, a16_join (driver-green since round 1) and
+    # st01_tumbling/st02_sessions/st03_watermark (green since round 3)
+    # and b08_intersect (green since round 1) rotate out after 5-7
+    # driver-green rounds — all stay oracle-checked by
+    # tests/test_oracle.py past the window; their slots promote seven
+    # rows that never held a driver slot: b40 (table diff), b43 (NEW:
+    # bloom-filter needle lookup, this round's A18 lever face),
+    # t17 (temperature mixture), t18 (novelty vs reference corpus),
+    # t19 (vocab-overlap matrix), s08 (hard-negative mining),
+    # st11 (streaming rollup MERGE sink through the real engine).
+    "b40_table_diff": b40_table_diff,
+    "b43_bloom_needle": b43_bloom_needle,
+    "t17_temperature_mix": t17_temperature_mix,
     # round-6 window rotation (VERDICT r5 item 4): a07_fill_nulls,
     # a10_replace, a11_filter_contains, a15_cast rotate out after 5
     # driver-green rounds (still oracle-checked by tests/test_oracle.py
@@ -5123,7 +5189,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "b05_count_distinct": b05_count_distinct,
     "b06_grouping_sets": b06_grouping_sets,
     "b07_topk_group": b07_topk_group,
-    "b08_intersect": b08_intersect,
+    "t18_novelty": t18_novelty,
     "b09_asof": b09_asof,
     # b09_anti (3rd B9 row) and b15_json (2nd B15 row) rotated past the
     # window late in round 6 after five driver-green rounds — their
@@ -5165,9 +5231,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # REAL-engine replay rows (B19 source/sink, B22 custom state run
     # through readStream/availableNow inside the query callable); the
     # engine also has replay goldens in tests
-    "st01_tumbling": st01_tumbling,
-    "st02_sessions": st02_sessions,
-    "st03_watermark": st03_watermark,
+    "t19_vocab_overlap": t19_vocab_overlap,
+    "s08_hard_negatives": s08_hard_negatives,
+    "st11_stream_rollup": st11_stream_rollup,
     "st05_stream_replay": st05_stream_replay,
     "st06_stateful": st06_stateful,
     # LLM-pipeline: dedup / similarity / text / multimodal / profiling
@@ -5201,8 +5267,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st07_stream_join": st07_stream_join,
     "st08_stream_dedup": st08_stream_dedup,
     "st10_stream_dq_monitor": st10_stream_dq_monitor,
-    "st11_stream_rollup": st11_stream_rollup,
-    "b40_table_diff": b40_table_diff,
+    # round-8: a06/a08/a16/b08_intersect/st01/st02/st03 rotated out
+    # after 5-7 driver-green rounds; still oracle-checked here
+    "a06_union_all": a06_union_all,
+    "a08_dedup": a08_dedup,
+    "a16_join": a16_join,
+    "b08_intersect": b08_intersect,
+    "st01_tumbling": st01_tumbling,
+    "st02_sessions": st02_sessions,
+    "st03_watermark": st03_watermark,
     # round-7: the scalar-function family rows rotated out after 5+
     # driver-green rounds; still oracle-checked here
     "b11_strings": b11_strings,
@@ -5264,10 +5337,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t14_surprisal": t14_surprisal,
     "t15_mixture": t15_mixture,
     "t16_bpe_fertility": t16_bpe_fertility,
-    "t17_temperature_mix": t17_temperature_mix,
-    "t18_novelty": t18_novelty,
-    "t19_vocab_overlap": t19_vocab_overlap,
-    "s08_hard_negatives": s08_hard_negatives,
     "s06_pca": s06_pca,
     "b28_percentile": b28_percentile,
     "b28a_approx_percentile": b28a_approx_percentile,
@@ -5431,6 +5500,7 @@ ORACLE_SQL: dict[str, str] = {
     "b40_table_diff": B40_SQL,
     "b41_interval_join": B41_SQL,
     "b42_drift_psi": B42_SQL,
+    "b43_bloom_needle": B43_SQL,
     "t17_temperature_mix": T17_SQL,
     "t18_novelty": T18_SQL,
     "t19_vocab_overlap": T19_SQL,

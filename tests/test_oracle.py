@@ -88,7 +88,6 @@ def test_driver_window_covers_expected_components():
     inside it."""
     assert len(DRIVER_WINDOW) == workload.DRIVER_WINDOW_SIZE
     for required in (
-        "st03_watermark",
         "s02v_lsh_verified",
         "d01_dup_groups",
         "st05_stream_replay",
@@ -122,6 +121,16 @@ def test_driver_window_covers_expected_components():
         "mm03_audio_neardup",
         "st12_stream_semantic_dedup",
         "st13_stream_probe_appended_index",
+        # round-8 rotation (VERDICT r7 item 6): never-windowed
+        # oracle-proven rows promoted, plus the new b43 bloom-filter
+        # needle-lookup face in its first round
+        "b40_table_diff",
+        "b43_bloom_needle",
+        "t17_temperature_mix",
+        "t18_novelty",
+        "t19_vocab_overlap",
+        "s08_hard_negatives",
+        "st11_stream_rollup",
     ):
         assert required in DRIVER_WINDOW
     # rotations: rows demoted after multiple driver-green rounds stay
@@ -134,6 +143,9 @@ def test_driver_window_covers_expected_components():
         # r7: the scalar-function family (5+ driver-green rounds each)
         "b11_strings", "b12_dates", "b13_math", "b14_arrays",
         "b15_from_json", "b16_pivot", "b18_pandas_udf",
+        # r8: a-series/streaming long-green rows (5-7 rounds each)
+        "a06_union_all", "a08_dedup", "a16_join", "b08_intersect",
+        "st01_tumbling", "st02_sessions", "st03_watermark",
     ):
         assert rotated_out not in DRIVER_WINDOW
         assert rotated_out in workload.QUERIES and rotated_out in workload.ORACLE_SQL
@@ -146,8 +158,8 @@ def test_driver_window_covers_expected_components():
 def test_registry_counts_match_documentation():
     """README/COVERAGE cite these exact counts (round-3 verdict flagged
     drift); changing the registry must update the docs with it."""
-    assert len(workload.QUERIES) == 149
-    assert len(workload.ORACLE_SQL) == 136
+    assert len(workload.QUERIES) == 150
+    assert len(workload.ORACLE_SQL) == 137
 
 
 NO_ORACLE = sorted(set(workload.QUERIES) - set(workload.ORACLE_SQL))
