@@ -118,24 +118,53 @@ def _dec1() -> F.Column:
 # TPC-H-style core (SURVEY §7 M0/M2; B1-B7)
 # ---------------------------------------------------------------------
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B4 hash aggregate — TPC-H Q1-like pricing summary."""
+    """B4 hash aggregate — TPC-H Q1-like pricing summary.
+
+    Round 8: the money arithmetic runs on SCALED LONGS
+    (operators/fixedpoint.py) instead of decimal(18,4) expressions —
+    decimal products above 18 digits of precision leave whole-stage
+    codegen and cost ~80% of this query at sf10 (2.1 s vs 5.4 s
+    paired, AB_SF10_r08.json).  Bit-exact vs the decimal formulation
+    (and the unchanged decimal DuckDB oracle): the charge term is
+    decomposed as ``100·Σ(price2·(100−disc2)) + Σ(price2·(100−disc2)
+    ·tax2)`` so every partial sum keeps ≥10× long headroom at sf100;
+    final conversion happens in decimal on the 6 output rows.  The avg
+    columns divide the SAME double values the oracle divides
+    (``CAST(SUM(..) AS DOUBLE)/COUNT(*)``), preserving bit equality."""
+    from .operators import fixedpoint as fx
+
     li = load(spark, sf_dir, "lineitem")
     cutoff = F.lit("1998-09-02").cast("timestamp")
-    return (
+    term4 = fx.money_times_pct("l_extendedprice", "l_discount", negate_pct=True)
+    t2 = fx.scaled_long("l_tax")
+    g = (
         li.filter(F.col("l_shipdate") <= cutoff)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(D("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(D("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(D("l_extendedprice") * (_dec1() - D("l_discount"))).cast("double").alias("sum_disc_price"),
-            F.sum(D("l_extendedprice") * (_dec1() - D("l_discount")) * (_dec1() + D("l_tax")))
-            .cast("double")
-            .alias("sum_charge"),
-            (F.sum(D("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
-            (F.sum(D("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
-            (F.sum(D("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.sum(F.col("l_quantity").cast("long")).alias("__sq"),
+            F.sum(fx.scaled_long("l_extendedprice")).alias("__sp2"),
+            F.sum(term4).alias("__st4"),
+            F.sum(term4 * t2).alias("__st4t"),
+            F.sum(fx.scaled_long("l_discount")).alias("__sd2"),
             F.count(F.lit(1)).alias("count_order"),
         )
+    )
+    sum_qty = F.col("__sq").cast("double")
+    sum_base = fx.unscale_to_double(F.col("__sp2"), 2)
+    sum_disc = fx.unscale_to_double(F.col("__sd2"), 2)
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        sum_qty.alias("sum_qty"),
+        sum_base.alias("sum_base_price"),
+        fx.unscale_to_double(F.col("__st4"), 4).alias("sum_disc_price"),
+        fx.unscale_to_double(
+            F.col("__st4").cast("decimal(38,0)") * 100 + F.col("__st4t"), 6
+        ).alias("sum_charge"),
+        (sum_qty / F.col("count_order")).alias("avg_qty"),
+        (sum_base / F.col("count_order")).alias("avg_price"),
+        (sum_disc / F.col("count_order")).alias("avg_disc"),
+        "count_order",
     )
 
 
@@ -156,16 +185,24 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B4+B7+B9 — join3 + agg + deterministic top-10 (TPC-H Q3-like)."""
+    """B4+B7+B9 — join3 + agg + deterministic top-10 (TPC-H Q3-like).
+    Revenue runs on scaled longs (round 8, see q01/fixedpoint.py) —
+    bit-exact vs the decimal oracle, one long multiply per row."""
+    from .operators import fixedpoint as fx
+
     cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
-    revenue = F.sum(D("l_extendedprice") * (_dec1() - D("l_discount"))).cast("double").alias("revenue")
+    rev4 = fx.money_times_pct("l_extendedprice", "l_discount", negate_pct=True)
     return (
         joins.join(cust, orders, "c_custkey", "o_custkey")
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("o_date"))
-        .agg(revenue)
+        .agg(F.sum(rev4).alias("__r4"))
+        .select(
+            "o_orderkey", "o_date",
+            fx.unscale_to_double(F.col("__r4"), 4).alias("revenue"),
+        )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
     )
@@ -191,14 +228,19 @@ def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region")
-    revenue = F.sum(D("l_extendedprice") * (_dec1() - D("l_discount"))).cast("double").alias("revenue")
+    # round 8: revenue on scaled longs (see q01/fixedpoint.py) —
+    # bit-exact vs the decimal oracle, measured 1.5× at sf10
+    from .operators import fixedpoint as fx
+
+    rev4 = fx.money_times_pct("l_extendedprice", "l_discount", negate_pct=True)
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name")
-        .agg(revenue)
+        .agg(F.sum(rev4).alias("__r4"))
+        .select("r_name", fx.unscale_to_double(F.col("__r4"), 4).alias("revenue"))
         .orderBy(F.col("revenue").desc())
     )
 

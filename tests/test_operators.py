@@ -1250,3 +1250,66 @@ def test_merge_upsert_schema_evolution(spark):
     assert evolved.columns == ["k", "v", "score"]
     got = {r.k: (r.v, r.score) for r in evolved.collect()}
     assert got == {1: ("a", None), 2: ("B", 2.5), 3: ("c", 3.5)}
+
+
+def test_fixedpoint_money_agg_bit_exact_vs_decimal(spark):
+    """Round-8 fixedpoint.py contract: the scaled-long money pipeline
+    (q01/q03/q05's round-8 rewrite) is BIT-exact vs the decimal(18,4)
+    formulation at sf0.1 — every output double identical, not just
+    close.  This is the guard that lets the fast path carry the same
+    DuckDB decimal oracle."""
+    from etlbigdata_spark.operators import fixedpoint as fx
+    from etlbigdata_spark.workload import D, _dec1, load
+
+    sf = "/root/testdata/sf0.1"
+    li = load(spark, sf, "lineitem")
+    term4 = fx.money_times_pct("l_extendedprice", "l_discount", negate_pct=True)
+    t2 = fx.scaled_long("l_tax")
+    fixed = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(fx.scaled_long("l_extendedprice")).alias("sp2"),
+            F.sum(term4).alias("st4"),
+            F.sum(term4 * t2).alias("st4t"),
+        )
+        .select(
+            "l_returnflag",
+            fx.unscale_to_double(F.col("sp2"), 2).alias("sum_base"),
+            fx.unscale_to_double(F.col("st4"), 4).alias("sum_disc_price"),
+            fx.unscale_to_double(
+                F.col("st4").cast("decimal(38,0)") * 100 + F.col("st4t"), 6
+            ).alias("sum_charge"),
+        )
+    )
+    dec = li.groupBy("l_returnflag").agg(
+        F.sum(D("l_extendedprice")).cast("double").alias("sum_base"),
+        F.sum(D("l_extendedprice") * (_dec1() - D("l_discount")))
+        .cast("double").alias("sum_disc_price"),
+        F.sum(
+            D("l_extendedprice") * (_dec1() - D("l_discount")) * (_dec1() + D("l_tax"))
+        ).cast("double").alias("sum_charge"),
+    )
+    got = {r.l_returnflag: (r.sum_base, r.sum_disc_price, r.sum_charge)
+           for r in fixed.collect()}
+    want = {r.l_returnflag: (r.sum_base, r.sum_disc_price, r.sum_charge)
+            for r in dec.collect()}
+    assert got == want and len(got) >= 2  # dict equality == bit equality
+
+
+def test_fixedpoint_scaled_long_absorbs_binary_error(spark):
+    """scaled_long must recover the exact scaled integer from doubles
+    that carry binary representation error (the 123.45*100 =
+    12344.999... case), and unscale_to_double must match the decimal
+    cast on the way back."""
+    from etlbigdata_spark.operators import fixedpoint as fx
+
+    df = spark.createDataFrame(
+        [(123.45,), (0.07,), (104999.91,), (0.0,)], "x double"
+    )
+    got = [r.v for r in df.select(fx.scaled_long("x").alias("v")).collect()]
+    assert got == [12345, 7, 10499991, 0]
+    back = df.select(
+        fx.unscale_to_double(fx.scaled_long("x"), 2).alias("b"),
+        F.col("x").cast("decimal(18,4)").cast("double").alias("d"),
+    )
+    assert all(r.b == r.d for r in back.collect())

@@ -104,6 +104,29 @@ def test_d09_within_cell_equi_join_only(plans):
     )
 
 
+def test_d09_production_path_one_shuffle_on_cell_id(spark, sf_dir):
+    """Round-8 brief item 3 — the PRODUCTION semantic-dedup composition
+    (kmeans_fit centroids, cell count scaled with the corpus,
+    vectorized=True BLAS scoring) must move the corpus exactly ONCE:
+    a single Exchange hashpartitioning(cluster) feeding the
+    FlatMapGroupsInPandas scorer, assignment map-side (no join, no
+    second exchange anywhere in the plan).  This is the plan the sf1
+    bench row (scripts/bench_semantic_sf1.py) measures; the 8-cell
+    oracle face keeps its own pin above."""
+    from etlbigdata_spark.functions import similarity as fsim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents, _, _ = fsim.kmeans_fit(emb, k=8, iters=1)
+    pairs = fsim.semantic_dedup_pairs(
+        emb, centroids=cents, vectorized=True, threshold=0.99
+    )
+    plan = _final_plan(pairs).split("== Initial Plan ==")[0]  # AQE echo
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^,)]*)", plan)
+    assert len(exchanges) == 1 and exchanges[0].startswith("cluster"), exchanges
+    assert "FlatMapGroupsInPandas [cluster" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
 def test_d10_no_pair_join_and_hashed_stream(plans):
     """Span dedup is linear in the token stream: the only join is the
     LeftSemi hit-marking join on the 64-bit shingle hash — no pair join,
