@@ -849,6 +849,40 @@ def _assign_cosine_argmax(
     return out
 
 
+def _assign_cosine_argmax_blas(
+    df: DataFrame, cents: list, vec_col: str, out_col: str = "cluster"
+) -> DataFrame:
+    """BLAS twin of :func:`_assign_cosine_argmax` for the PRODUCTION
+    cell counts (round 8): the expression face evaluates k interpreted
+    HOF dot products PER ROW, which is fine at the 8-cell oracle scale
+    and dominates wall-clock at SemDeDup's √n-scaled counts (measured
+    at sf1/141 cells: 35 s expression vs ~2 s BLAS for the identical
+    assignment).  One (batch × k) matmul + argmax per Arrow batch, the
+    k×d matrix ships in the closure — map-side, no shuffle, same
+    lowest-index tie-break (np.argmax).  UNROUNDED scores: this face
+    skips the cross-engine rounding (no external engine replays it),
+    so a score exactly at a rounding boundary may pick a different —
+    equally valid — cell than the oracle face; identical vectors still
+    always share a cell, which is the dedup invariant that matters.
+    The assigned cell id is the CALLER-SUPPLIED id from ``cents``."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    ids = np.array([int(i) for i, _ in cents], dtype=np.int32)
+    C = np.ascontiguousarray(np.array([v for _, v in cents], dtype=np.float64))
+    Cn = C / (np.linalg.norm(C, axis=1)[:, None] + 1e-12)
+
+    def _assign(v):  # pd.Series -> pd.Series; no hints (see b18 note)
+        X = np.array(v.tolist(), dtype=np.float64)
+        # row norm is constant across cells -> argmax of X @ Cn.T
+        return pd.Series(ids[(X @ Cn.T).argmax(axis=1)])
+
+    assign = pandas_udf(_assign, returnType="int")
+    return df.withColumn(out_col, assign(F.col(vec_col)))
+
+
 def semantic_dedup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -858,6 +892,7 @@ def semantic_dedup_pairs(
     round_to: int = 6,
     centroids: list | None = None,
     vectorized: bool = False,
+    assign: str = "expression",
 ) -> DataFrame:
     """B23/B24 — SemDeDup-style semantic near-dup pairs (Abbas et al.
     2023, "SemDeDup: Data-efficient learning at web-scale through
@@ -896,7 +931,17 @@ def semantic_dedup_pairs(
     use it when cells are 10³+ vectors.  The expression path stays the
     default because it is the cross-engine oracle face (JVM-side
     HALF_UP rounding, no Python workers).
+
+    ``assign="blas"`` swaps the ASSIGNMENT to the Arrow-batched matmul
+    twin (:func:`_assign_cosine_argmax_blas`) — required at production
+    cell counts, where the expression face's k-per-row interpreted HOF
+    dots dominate (35 s vs ~2 s at sf1/141 cells, GROWTH_r08.json).
+    Unrounded scores: boundary vectors may land in a different (equally
+    valid) cell than the oracle face, so keep ``"expression"`` wherever
+    a DuckDB twin replays the assignment.
     """
+    if assign not in ("expression", "blas"):
+        raise ValueError(f"assign must be 'expression' or 'blas', got {assign!r}")
     if centroids is None and n_centroids < 1:
         raise ValueError(f"need n_centroids >= 1, got {n_centroids}")
     cents = centroids if centroids is not None else semantic_centroids(
@@ -905,7 +950,10 @@ def semantic_dedup_pairs(
     if not cents:
         raise ValueError("no centroids: corpus is empty (or an empty list was passed)")
     cents = _norm_centroids(cents)
-    assigned = _assign_cosine_argmax(corpus, cents, vec_col, round_to)
+    if assign == "blas":
+        assigned = _assign_cosine_argmax_blas(corpus, cents, vec_col)
+    else:
+        assigned = _assign_cosine_argmax(corpus, cents, vec_col, round_to)
     if vectorized:
         return _cell_pairs_vectorized(assigned, id_col, vec_col, threshold, round_to)
     a = assigned.select(

@@ -1256,3 +1256,49 @@ def test_connected_components_type_mismatch_and_null_edges(spark):
     # node 5's only edge was null-paired → it leaves the graph entirely
     # (absent = untouched survivor downstream in dedup_by_components)
     assert comp == {1: 1, 2: 1, 7: 7, 8: 7}
+
+
+def test_semantic_dedup_blas_assignment(emb, spark):
+    """Round-8 production assignment face: assign='blas' (Arrow matmul
+    argmax) must (a) recover every planted exact duplicate (identical
+    vectors share an argmax under ANY assignment rule), (b) honor
+    caller-supplied gapped cell ids, and (c) agree with the expression
+    face on the overwhelming majority of assignments (boundary vectors
+    may legitimately differ — the blas face skips the cross-engine
+    rounding)."""
+    base = emb.select("vec_id", "embedding").filter(F.col("vec_id") < 300)
+    planted = base.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 9000).alias("vec_id"), "embedding"
+    )
+    corpus = base.unionByName(planted)
+    cents, _, _ = fsim.kmeans_fit(corpus, k=6, iters=2)
+    pairs = fsim.semantic_dedup_pairs(
+        corpus, threshold=0.99, centroids=cents, vectorized=True, assign="blas"
+    )
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert all((i, i + 9000) in found for i in range(8))
+
+    # gapped ids flow through to the cluster column
+    gapped = [(11, cents[0]), (42, cents[1]), (7, cents[2])]
+    got = fsim._assign_cosine_argmax_blas(base, gapped, "embedding")
+    cells = {r.cluster for r in got.select("cluster").distinct().collect()}
+    assert cells <= {11, 42, 7} and len(cells) >= 2
+
+    # near-total agreement with the expression face (same centroids)
+    from etlbigdata_spark.functions.similarity import (
+        _assign_cosine_argmax,
+        _norm_centroids,
+    )
+
+    nc = _norm_centroids(cents)
+    e = _assign_cosine_argmax(base, nc, "embedding", 6).select("vec_id", "cluster")
+    b = fsim._assign_cosine_argmax_blas(base, nc, "embedding").select(
+        "vec_id", F.col("cluster").alias("bcluster")
+    )
+    j = e.join(b, "vec_id")
+    n = j.count()
+    agree = j.filter(F.col("cluster") == F.col("bcluster")).count()
+    assert agree / n >= 0.99, f"{agree}/{n}"
+
+    with pytest.raises(ValueError, match="assign must be"):
+        fsim.semantic_dedup_pairs(base, centroids=cents, assign="bogus")
