@@ -808,13 +808,17 @@ def _norm_centroids(cents: list) -> list[tuple[int, list[float]]]:
     sample produces AND the bare k×d vector list :func:`kmeans_fit`
     returns — so k-means centroids drop straight into the semantic
     dedup faces."""
+    import numbers
+
     out = []
     for i, c in enumerate(cents):
         if (
             isinstance(c, (tuple, list)) and len(c) == 2
-            and isinstance(c[0], int) and isinstance(c[1], (list, tuple))
+            and not isinstance(c[0], bool)
+            and isinstance(c[0], numbers.Integral)  # incl. numpy ints
+            and hasattr(c[1], "__iter__")
         ):
-            out.append((c[0], [float(x) for x in c[1]]))
+            out.append((int(c[0]), [float(x) for x in c[1]]))
         else:
             out.append((i, [float(x) for x in c]))
     return out
@@ -834,14 +838,18 @@ def _assign_cosine_argmax(
     centroid index (``array_position`` returns the first maximum).
     Distinct from ``_assign_to_cents`` (IVF), which skips the constant
     query norm and never needs cross-engine determinism.  Map-side
-    codegen: the centroid matrix is a literal array, no shuffle."""
+    codegen: the centroid matrix is a literal array, no shuffle.
+    Emits the CALLER-SUPPLIED cell id (argmax position mapped through
+    an id lookup array — round-8 review fix: previously positions,
+    which silently disagreed with the BLAS twin on gapped ids)."""
     cent_arr = F.array(*[F.array(*[F.lit(x) for x in vec]) for _, vec in cents])
+    id_arr = F.array(*[F.lit(int(i)) for i, _ in cents])
     v = F.col(vec_col).cast("array<double>")
     scores = F.transform(
         cent_arr, lambda cv: F.round(_dot(v, cv) / (_norm(v) * _norm(cv)), round_to)
     )
-    best = F.array_position(scores, F.array_max(scores)) - 1
-    out = df.withColumn(out_col, best.cast("int"))
+    best_pos = F.array_position(scores, F.array_max(scores)).cast("int")
+    out = df.withColumn(out_col, F.element_at(id_arr, best_pos).cast("int"))
     if score_col is not None:
         # the max score IS the cosine to the assigned centroid — the
         # prototypicality metric, free from the same scores array
@@ -978,14 +986,20 @@ def semantic_dedup(
     threshold: float = 0.99,
     round_to: int = 6,
     centroids: list | None = None,
+    vectorized: bool = False,
+    assign: str = "expression",
 ) -> DataFrame:
     """Keep-one-per-neighborhood face of :func:`semantic_dedup_pairs`:
     a vector is dropped iff some LOWER-id vector in its cell is within
     ``threshold`` — the single-pass keep-lowest rule (deterministic, no
     iterative closure), matching the winner-pick discipline of
-    ``dedup.exact_dedup``.  Returns the surviving rows of ``corpus``."""
+    ``dedup.exact_dedup``.  Returns the surviving rows of ``corpus``.
+    ``vectorized``/``assign`` forward to the pair finder (round-8
+    review fix: the production fast paths were unreachable from the
+    keep-one face)."""
     pairs = semantic_dedup_pairs(
-        corpus, id_col, vec_col, n_centroids, threshold, round_to, centroids
+        corpus, id_col, vec_col, n_centroids, threshold, round_to, centroids,
+        vectorized=vectorized, assign=assign,
     )
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return corpus.join(dropped, id_col, "left_anti")

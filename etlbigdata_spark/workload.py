@@ -137,6 +137,10 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = F.lit("1998-09-02").cast("timestamp")
     term4 = fx.money_times_pct("l_extendedprice", "l_discount", negate_pct=True)
     t2 = fx.scaled_long("l_tax")
+    # review fix: the decimal face's price·(1−disc)·(1+tax) is NULL —
+    # excluded from SUM — when tax is NULL, so the charge's BASE partial
+    # (Σterm4·100) must skip null-tax rows too, not just the tax partial
+    charge_base4 = F.when(t2.isNotNull(), term4)
     g = (
         li.filter(F.col("l_shipdate") <= cutoff)
         .groupBy("l_returnflag", "l_linestatus")
@@ -144,6 +148,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast("long")).alias("__sq"),
             F.sum(fx.scaled_long("l_extendedprice")).alias("__sp2"),
             F.sum(term4).alias("__st4"),
+            F.sum(charge_base4).alias("__st4c"),
             F.sum(term4 * t2).alias("__st4t"),
             F.sum(fx.scaled_long("l_discount")).alias("__sd2"),
             F.count(F.lit(1)).alias("count_order"),
@@ -159,7 +164,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_base.alias("sum_base_price"),
         fx.unscale_to_double(F.col("__st4"), 4).alias("sum_disc_price"),
         fx.unscale_to_double(
-            F.col("__st4").cast("decimal(38,0)") * 100 + F.col("__st4t"), 6
+            F.col("__st4c").cast("decimal(38,0)") * 100 + F.col("__st4t"), 6
         ).alias("sum_charge"),
         (sum_qty / F.col("count_order")).alias("avg_qty"),
         (sum_base / F.col("count_order")).alias("avg_price"),
@@ -1757,9 +1762,11 @@ def b43_bloom_needle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 B43_SQL = """
 WITH needles AS (
-  SELECT min(l_orderkey) AS k FROM lineitem
-  UNION ALL SELECT max(l_orderkey) FROM lineitem
-  UNION ALL SELECT max(l_orderkey) + 1000001 FROM lineitem
+  SELECT DISTINCT k FROM (
+    SELECT min(l_orderkey) AS k FROM lineitem
+    UNION ALL SELECT max(l_orderkey) FROM lineitem
+    UNION ALL SELECT max(l_orderkey) + 1000001 FROM lineitem
+  )
 )
 SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, l.l_extendedprice
 FROM lineitem l JOIN needles n ON l.l_orderkey = n.k

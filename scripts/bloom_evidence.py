@@ -77,7 +77,16 @@ def main() -> None:
     # absent ODD-offset key strictly inside the domain: lineitem
     # orderkeys are sparse (TPC-H-ish 1 in 4 density), pick a gap key
     present = {r[0] for r in li.select("l_orderkey").distinct().collect()}
-    probe = next(k for k in range((lo + hi) // 2, hi) if k not in present)
+    probe = next(
+        (k for k in range((lo + hi) // 2, hi) if k not in present),
+        next((k for k in range(lo + 1, hi) if k not in present), None),
+    )
+    if probe is None:
+        raise SystemExit(
+            "no absent key strictly inside [min,max] — the key domain is "
+            "dense, so min/max stats alone could skip and the bloom A/B "
+            "would be meaningless on this data"
+        )
 
     base = tempfile.mkdtemp(prefix="bloom_ev_")
     out: dict = {"sf_dir": sf_dir, "n_rows": n_rows, "probe_key": probe}

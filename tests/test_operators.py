@@ -1313,3 +1313,44 @@ def test_fixedpoint_scaled_long_absorbs_binary_error(spark):
         F.col("x").cast("decimal(18,4)").cast("double").alias("d"),
     )
     assert all(r.b == r.d for r in back.collect())
+
+
+def test_fixedpoint_charge_decomposition_null_tax(spark):
+    """Round-8 review fix: the decimal face's price·(1−disc)·(1+tax) is
+    NULL (excluded from SUM) when tax is NULL — the decomposed
+    fixed-point charge must skip those rows in BOTH partial sums, and
+    an all-null-tax group must yield NULL charge, exactly like the
+    decimal formulation."""
+    from etlbigdata_spark.operators import fixedpoint as fx
+
+    df = spark.createDataFrame(
+        [("a", 100.00, 0.10, 0.05), ("a", 200.00, 0.00, None),
+         ("b", 50.00, 0.02, None)],
+        "g string, price double, disc double, tax double",
+    )
+    term4 = fx.money_times_pct("price", "disc", negate_pct=True)
+    t2 = fx.scaled_long("tax")
+    fixed = (
+        df.groupBy("g")
+        .agg(
+            F.sum(F.when(t2.isNotNull(), term4)).alias("st4c"),
+            F.sum(term4 * t2).alias("st4t"),
+        )
+        .select(
+            "g",
+            fx.unscale_to_double(
+                F.col("st4c").cast("decimal(38,0)") * 100 + F.col("st4t"), 6
+            ).alias("sum_charge"),
+        )
+    )
+    dec = df.groupBy("g").agg(
+        F.sum(
+            F.col("price").cast("decimal(18,4)")
+            * (F.lit(1).cast("decimal(18,4)") - F.col("disc").cast("decimal(18,4)"))
+            * (F.lit(1).cast("decimal(18,4)") + F.col("tax").cast("decimal(18,4)"))
+        ).cast("double").alias("sum_charge")
+    )
+    got = {r.g: r.sum_charge for r in fixed.collect()}
+    want = {r.g: r.sum_charge for r in dec.collect()}
+    assert got == want  # group a: only the tax-bearing row; group b: NULL
+    assert want["b"] is None and want["a"] == 94.5

@@ -1302,3 +1302,36 @@ def test_semantic_dedup_blas_assignment(emb, spark):
 
     with pytest.raises(ValueError, match="assign must be"):
         fsim.semantic_dedup_pairs(base, centroids=cents, assign="bogus")
+
+
+def test_semantic_assignment_faces_agree_on_gapped_ids(emb, spark):
+    """Round-8 review fix: the expression face must emit the
+    CALLER-SUPPLIED cell ids (it emitted list positions while the BLAS
+    face emitted ids — the cluster column silently changed meaning when
+    switching assign modes); numpy-integer ids normalize cleanly."""
+    import numpy as np
+
+    base = emb.select("vec_id", "embedding").filter(F.col("vec_id") < 200)
+    sample = fsim.semantic_centroids(base, n_centroids=3)
+    gapped = [(np.int64(17), sample[0][1]), (3, sample[1][1]), (99, sample[2][1])]
+    nc = fsim._norm_centroids(gapped)
+    assert [i for i, _ in nc] == [17, 3, 99]
+
+    e = fsim._assign_cosine_argmax(base, nc, "embedding", 6).select(
+        "vec_id", "cluster"
+    )
+    b = fsim._assign_cosine_argmax_blas(base, nc, "embedding").select(
+        "vec_id", F.col("cluster").alias("bcluster")
+    )
+    e_cells = {r.cluster for r in e.select("cluster").distinct().collect()}
+    assert e_cells <= {17, 3, 99}
+    j = e.join(b, "vec_id")
+    n = j.count()
+    agree = j.filter(F.col("cluster") == F.col("bcluster")).count()
+    assert agree / n >= 0.99
+
+    # keep-one face forwards the production options
+    kept = fsim.semantic_dedup(
+        base, centroids=[v for _, v in nc], vectorized=True, assign="blas"
+    )
+    assert 0 < kept.count() <= base.count()
