@@ -446,6 +446,11 @@ def ivf_write_index(
         cents = _norm_centroids(centroids)
         if len({i for i, _ in cents}) != len(cents):
             raise ValueError("ivf_write_index: duplicate centroid cell ids")
+        # id-sorted BEFORE assignment (review fix): probe/append read the
+        # sidecar orderBy(centroid), so the build must tie-break score
+        # ties (e.g. duplicate centroid vectors) in the SAME order or
+        # tied vectors land in a partition the probe never reads
+        cents = sorted(cents, key=lambda c: c[0])
         assigned = _assign_to_cents(corpus, cents, vec_col)
     else:
         assigned, cents = ivf_assign(corpus, n_centroids, id_col, vec_col)

@@ -145,7 +145,10 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= cutoff)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("long")).alias("__sq"),
+            # scaled_long(dp=0), not cast('long'): cast truncates toward
+            # zero; round matches the decimal face on any non-integral
+            # or downward-binary-error quantity (review fix)
+            F.sum(fx.scaled_long("l_quantity", dp=0)).alias("__sq"),
             F.sum(fx.scaled_long("l_extendedprice")).alias("__sp2"),
             F.sum(term4).alias("__st4"),
             F.sum(charge_base4).alias("__st4c"),

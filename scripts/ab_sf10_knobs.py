@@ -69,15 +69,19 @@ def main() -> None:
         )
         best_mpb[q] = best
 
-    # phase 2: shuffle-width sweep at each query's best split
+    # phase 2: shuffle-width sweep at each query's best split.  sp=32
+    # is NOT re-run — its phase-1 samples at the same mpb are the
+    # comparison point, keeping every combo at the same sample count
+    # (review fix: re-running it made sp=32 a min-of-6 vs min-of-3)
     for q in QUERIES:
         spark.conf.set("spark.sql.files.maxPartitionBytes", best_mpb[q])
         for _ in range(RUNS):
-            for sp in ("32", "64", "128"):
+            for sp in ("64", "128"):
                 spark.conf.set("spark.sql.shuffle.partitions", sp)
                 key = f"{q}|mpb={int(best_mpb[q])//(1<<20)}m|sp={sp}"
                 t = time_once(spark, q)
                 results["combos"].setdefault(key, []).append(round(t, 3))
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
 
     results["min_per_combo"] = {k: min(v) for k, v in results["combos"].items()}
     results["best_mpb"] = {q: f"{int(m)//(1<<20)}m" for q, m in best_mpb.items()}

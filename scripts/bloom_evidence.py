@@ -39,7 +39,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from etlbigdata_spark.sources import writers
@@ -60,14 +59,11 @@ def scan_output_rows(df):
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
-    )
+    # the repo's tuned session (review fix: ad-hoc confs drifted from
+    # every other BASELINE.md measurement)
+    from etlbigdata_spark.session import build_session
+
+    spark = build_session(app_name="bloom_evidence", master=f"local[{cpus}]")
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
     )
@@ -77,10 +73,9 @@ def main() -> None:
     # absent ODD-offset key strictly inside the domain: lineitem
     # orderkeys are sparse (TPC-H-ish 1 in 4 density), pick a gap key
     present = {r[0] for r in li.select("l_orderkey").distinct().collect()}
-    probe = next(
-        (k for k in range((lo + hi) // 2, hi) if k not in present),
-        next((k for k in range(lo + 1, hi) if k not in present), None),
-    )
+    probe = next((k for k in range((lo + hi) // 2, hi) if k not in present), None)
+    if probe is None:  # lazily fall back to the lower half
+        probe = next((k for k in range(lo + 1, hi) if k not in present), None)
     if probe is None:
         raise SystemExit(
             "no absent key strictly inside [min,max] — the key domain is "

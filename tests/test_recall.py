@@ -1335,3 +1335,44 @@ def test_semantic_assignment_faces_agree_on_gapped_ids(emb, spark):
         base, centroids=[v for _, v in nc], vectorized=True, assign="blas"
     )
     assert 0 < kept.count() <= base.count()
+
+
+def test_ivf_duplicate_centroid_vectors_tie_break_consistent(emb, spark, tmp_path):
+    """Round-8 review fix: duplicate centroid VECTORS with out-of-order
+    ids (kmeans can converge two centers) must tie-break identically at
+    build, append, and probe — the build now sorts cells by id to match
+    the sidecar's orderBy(centroid), so tied vectors land in the cell
+    the probe actually reads."""
+    corpus = emb.select("vec_id", "embedding").filter(F.col("vec_id") < 200)
+    base = fsim.semantic_centroids(corpus, n_centroids=2)
+    v_dup = base[0][1]
+    cents = [(17, v_dup), (3, v_dup), (40, base[1][1])]  # 17/3 tie on scores
+    path = str(tmp_path / "ivf_tie")
+    half_a = corpus.filter(F.col("vec_id") % 2 == 0)
+    half_b = corpus.filter(F.col("vec_id") % 2 == 1)
+    fsim.ivf_write_index(half_a, path, centroids=cents)
+    fsim.ivf_append_index(half_b, path)
+    vecs = spark.read.parquet(f"{path}/vectors")
+    # every vector tied between cells 17 and 3 must be in cell 3 (min id,
+    # the sidecar order) — cell 17 stays EMPTY at build and append alike
+    assert vecs.filter(F.col("centroid") == 17).count() == 0
+    # and a full probe equals brute force (nothing stranded)
+    queries = corpus.orderBy("vec_id").limit(4)
+    full = fsim.ivf_probe_index(spark, path, queries, k=3, n_probe=3, round_to=6)
+    exact = fsim.cosine_topk(corpus, queries, k=3, round_to=6)
+    g = {(r.query_id, r.rank): r.neighbor_id for r in full.collect()}
+    e = {(r.query_id, r.rank): r.neighbor_id for r in exact.collect()}
+    assert g == e and len(g) > 0
+
+
+def test_scaled_long_validation_raises_on_fine_grained_money(spark):
+    """Round-8 review fix: fixedpoint's 2dp precondition is LOUD — a
+    3dp discount raises at scan time instead of silently rounding
+    revenue; validate=False opts out for pre-proven pipelines."""
+    from etlbigdata_spark.operators import fixedpoint as fx
+
+    df = spark.createDataFrame([(0.125,), (0.05,)], "d double")
+    with pytest.raises(Exception, match="not 2dp money"):
+        df.select(fx.scaled_long("d").alias("v")).collect()
+    ok = df.select(fx.scaled_long("d", validate=False).alias("v")).collect()
+    assert sorted(r.v for r in ok) == [5, 13]  # HALF_UP, documented loss
