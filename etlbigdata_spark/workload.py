@@ -3701,6 +3701,79 @@ def st13_stream_probe_appended_index(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def st14_stream_probe_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19+B24 — the PRODUCTION partition-pruned streaming ANN probe
+    (round 8, VERDICT item 7): the SAME grow-mid-stream dataset and
+    oracle as st13, but the per-batch probe goes through
+    ``streaming.ops.foreach_batch_ann_probe`` → ``ivf_probe_index``:
+    the batch's probed-centroid set becomes a static PARTITION filter,
+    so each micro-batch reads only its probed cells' files — st13's
+    full-index re-read join is the correctness face, THIS is the plan
+    you run against a 100 TB index (pruning plan-asserted per batch in
+    tests/test_streaming.py).  ``threshold`` mode emits matching pairs
+    map-side with no window shuffle.  The shared oracle states the
+    chunk1×A / chunk2×(A∪B) asymmetry, so hash equality proves both
+    the pruned probe's scoring AND mid-stream append visibility."""
+    import shutil
+    import tempfile
+
+    from .streaming import ops as stops
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    part_a = emb.filter(F.col("vec_id") % 3 == 1)
+    part_b = emb.filter(F.col("vec_id") % 3 == 2)
+    chunk1 = emb.filter(F.col("vec_id") % 6 == 0).unionByName(
+        part_a.filter(F.col("vec_id") % 5 == 0).select(
+            (F.col("vec_id") + 200000).alias("vec_id"), "embedding"
+        )
+    )
+    chunk2 = emb.filter(F.col("vec_id") % 6 == 3).unionByName(
+        part_b.filter(F.col("vec_id") % 5 == 0).select(
+            (F.col("vec_id") + 300000).alias("vec_id"), "embedding"
+        )
+    )
+    cents = fsim.semantic_centroids(part_a, n_centroids=8)
+    base = tempfile.mkdtemp(prefix="st14_")
+    idx, stage, results, ckpt = (f"{base}/{d}" for d in ("idx", "src", "out", "ckpt"))
+    try:
+        fsim.ivf_write_index(part_a, idx, centroids=cents)
+        chunk1.coalesce(1).write.mode("append").parquet(stage)
+
+        def sink(res, epoch_id):
+            res.select(
+                F.col("query_id").alias("id_stream"),
+                F.col("neighbor_id").alias("id_corpus"),
+                "centroid", "cosine",
+            ).write.mode("append").parquet(results)
+
+        fn = stops.foreach_batch_ann_probe(
+            sink, spark, idx, n_probe=1, round_to=6, threshold=0.99
+        )
+        stream = stops.read_file_stream(spark, stage, chunk1.schema)
+        stops.run_available_now(
+            stops.write_stream_foreach_batch(stream, fn, "append").queryName(
+                "st14_d1"
+            ),
+            ckpt,
+        )
+        fsim.ivf_append_index(part_b, idx)
+        chunk2.coalesce(1).write.mode("append").parquet(stage)
+        stops.run_available_now(
+            stops.write_stream_foreach_batch(stream, fn, "append").queryName(
+                "st14_d2"
+            ),
+            ckpt,
+        )
+        rows = spark.read.parquet(results).collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        while _PENDING_STAGE_DIRS:
+            shutil.rmtree(_PENDING_STAGE_DIRS.pop(), ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "id_stream long, id_corpus long, centroid int, cosine double"
+    )
+
+
 ST13_SQL = """
 WITH corpus_a AS (
   SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 1
@@ -5319,6 +5392,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st07_stream_join": st07_stream_join,
     "st08_stream_dedup": st08_stream_dedup,
     "st10_stream_dq_monitor": st10_stream_dq_monitor,
+    # round-8: the partition-pruned production probe twin of st13
+    "st14_stream_probe_partition_pruned": st14_stream_probe_partition_pruned,
     # round-8: a06/a08/a16/b08_intersect/st01/st02/st03 rotated out
     # after 5-7 driver-green rounds; still oracle-checked here
     "a06_union_all": a06_union_all,
@@ -5548,6 +5623,9 @@ ORACLE_SQL: dict[str, str] = {
     "st11_stream_rollup": ST11_SQL,
     "st12_stream_semantic_dedup": ST12_SQL,
     "st13_stream_probe_appended_index": ST13_SQL,
+    # st14 shares st13's oracle: same dataset, same chunk1/A chunk2/A∪B
+    # asymmetry — only the probe PLAN differs (partition-pruned)
+    "st14_stream_probe_partition_pruned": ST13_SQL,
     "mm03_audio_neardup": MM03_SQL,
     "b40_table_diff": B40_SQL,
     "b41_interval_join": B41_SQL,

@@ -158,8 +158,8 @@ def test_driver_window_covers_expected_components():
 def test_registry_counts_match_documentation():
     """README/COVERAGE cite these exact counts (round-3 verdict flagged
     drift); changing the registry must update the docs with it."""
-    assert len(workload.QUERIES) == 150
-    assert len(workload.ORACLE_SQL) == 137
+    assert len(workload.QUERIES) == 151
+    assert len(workload.ORACLE_SQL) == 138
 
 
 NO_ORACLE = sorted(set(workload.QUERIES) - set(workload.ORACLE_SQL))
