@@ -31,6 +31,7 @@ from .functions import dedup as fdedup
 from .functions import similarity as fsim
 from .functions import text as ftext
 from .operators import aggregates, cleaning, joins, pivot, sampling, scale, setops
+from .operators import fixedpoint as fx
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -112,6 +113,15 @@ def D(c) -> F.Column:
 
 def _dec1() -> F.Column:
     return F.lit(1).cast("decimal(18,4)")
+
+
+def _rev4() -> F.Column:
+    """TPC-H revenue ``price·(1−disc)`` as a scale-4 unscaled LONG
+    (operators/fixedpoint.py, round 8) — one codegen multiply per row
+    instead of a decimal(37,8) allocation; bit-exact vs the decimal
+    face, which every oracle still states.  Pair with
+    ``fx.unscale_to_double(F.sum(_rev4()), 4)``."""
+    return fx.money_times_pct("l_extendedprice", "l_discount", negate_pct=True)
 
 
 # ---------------------------------------------------------------------
@@ -275,7 +285,11 @@ def q06_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") >= 0.05)
             & (F.col("l_discount") <= 0.07)
         )
-        .agg(F.sum(D("l_extendedprice") * D("l_discount")).cast("double").alias("promo_revenue"))
+        .agg(
+            fx.unscale_to_double(
+                F.sum(fx.scaled_long("l_extendedprice") * fx.scaled_long("l_discount")), 4
+            ).alias("promo_revenue")
+        )
     )
 
 
@@ -4072,7 +4086,7 @@ def q07_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.sum(D("l_extendedprice") * (_dec1() - D("l_discount"))).cast("double").alias("volume"))
+        .agg(fx.unscale_to_double(F.sum(_rev4()), 4).alias("volume"))
     )
 
 
@@ -4114,9 +4128,9 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n1 = nation.select(F.col("n_nationkey").alias("c_nkey"), "n_regionkey")
     n2 = nation.select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
-    vol = D("l_extendedprice") * (_dec1() - D("l_discount"))
+    vol = _rev4()
     target_vol = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
-        F.lit(0).cast("decimal(18,4)")
+        F.lit(0).cast("long")
     )
     return (
         # nation/region are fixed-size → hinted broadcasts; part/supplier
@@ -4131,7 +4145,8 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            (F.sum(target_vol).cast("double") / F.sum(vol).cast("double")).alias("mkt_share")
+            (fx.unscale_to_double(F.sum(target_vol), 4)
+             / fx.unscale_to_double(F.sum(vol), 4)).alias("mkt_share")
         )
         .orderBy("o_year")
     )
@@ -4230,7 +4245,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name")
-        .agg(F.sum(D("l_extendedprice") * (_dec1() - D("l_discount"))).cast("double").alias("revenue"))
+        .agg(fx.unscale_to_double(F.sum(_rev4()), 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
@@ -4608,12 +4623,13 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B4+B9 — broadcast dim join + conditional share-of-total (Q14-like)."""
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
-    rev = D("l_extendedprice") * (_dec1() - D("l_discount"))
-    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0).cast("decimal(18,4)"))
+    rev = _rev4()
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0).cast("long"))
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            (F.sum(promo).cast("double") * 100.0 / F.sum(rev).cast("double")).alias("promo_pct")
+            (fx.unscale_to_double(F.sum(promo), 4) * 100.0
+             / fx.unscale_to_double(F.sum(rev), 4)).alias("promo_pct")
         )
     )
 
@@ -4814,7 +4830,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30))
     )
     return li.join(F.broadcast(part), cond).agg(
-        F.sum(D("l_extendedprice") * (_dec1() - D("l_discount"))).cast("double").alias("revenue")
+        fx.unscale_to_double(F.sum(_rev4()), 4).alias("revenue")
     )
 
 
@@ -4943,7 +4959,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     rev = li.groupBy("l_suppkey").agg(
-        F.sum(D("l_extendedprice") * (_dec1() - D("l_discount"))).alias("total_rev_dec")
+        F.sum(_rev4()).alias("total_rev_dec")  # scale-4 long: same order
     )
     max_rev = rev.agg(F.max("total_rev_dec").alias("max_rev"))
     supp = load(spark, sf_dir, "supplier")
@@ -4951,7 +4967,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev.crossJoin(F.broadcast(max_rev))
         .filter(F.col("total_rev_dec") == F.col("max_rev"))
         .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", F.col("total_rev_dec").cast("double").alias("total_rev"))
+        .select(
+            "s_suppkey", "s_name",
+            fx.unscale_to_double(F.col("total_rev_dec"), 4).alias("total_rev"),
+        )
     )
 
 
@@ -5092,7 +5111,10 @@ def q09_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load(spark, sf_dir, "supplier")
     orders = load(spark, sf_dir, "orders")
     nation = load(spark, sf_dir, "nation")
-    half = F.lit("0.5").cast("decimal(18,4)")
+    cost3 = (
+        fx.scaled_long("p_retailprice")
+        * fx.scaled_long("l_quantity", dp=0) * 5
+    )  # 0.5·retail·qty at scale 3 — exact, Σ ≤ 1.6e17 at sf10
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
@@ -5101,8 +5123,8 @@ def q09_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
         .agg(
             (
-                F.sum(D("l_extendedprice") * (_dec1() - D("l_discount"))).cast("double")
-                - F.sum(half * D("p_retailprice") * D("l_quantity")).cast("double")
+                fx.unscale_to_double(F.sum(_rev4()), 4)
+                - fx.unscale_to_double(F.sum(cost3), 3)
             ).alias("profit")
         )
     )
@@ -5134,17 +5156,25 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     grand total (AQE shuffle reuse)."""
     li = load(spark, sf_dir, "lineitem")
     supp = load(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 7)
-    frac = F.lit("0.0001").cast("decimal(8,4)")
     value = (
         li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .groupBy("l_partkey")
-        .agg(F.sum(D("l_extendedprice") * (_dec1() - D("l_discount"))).alias("value_dec"))
+        .agg(F.sum(_rev4()).alias("value_dec"))  # scale-4 long
     )
     total = value.agg(F.sum("value_dec").alias("total_dec"))
     return (
         value.crossJoin(F.broadcast(total))
-        .filter(F.col("value_dec") > F.col("total_dec") * frac)
-        .select("l_partkey", F.col("value_dec").cast("double").alias("part_value"))
+        # value > total·0.0001 ⟺ value4·10^4 > total4, exact integers;
+        # the ·10^4 product runs in decimal (post-agg rows only) so the
+        # long never overflows
+        .filter(
+            F.col("value_dec").cast("decimal(38,0)") * 10000
+            > F.col("total_dec").cast("decimal(38,0)")
+        )
+        .select(
+            "l_partkey",
+            fx.unscale_to_double(F.col("value_dec"), 4).alias("part_value"),
+        )
     )
 
 
