@@ -382,18 +382,23 @@ def _query_probes(
 def _probe_score_topk(
     assigned: DataFrame, q: DataFrame, k: int, id_col: str, vec_col: str,
     round_to: int | None, threshold: float | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Score probe pairs within shared cells; ``threshold=None`` ranks
     top-k per query (one window shuffle), a float threshold instead
     emits every pair with ``cosine >= threshold`` MAP-SIDE — no window,
     no shuffle at all after the broadcast probe join, which is the
-    shape a streaming dedup probe wants per micro-batch."""
+    shape a streaming dedup probe wants per micro-batch.
+    ``exclude_self=False`` keeps pairs whose query and neighbor ids
+    collide — required when the stream's id space legitimately overlaps
+    the corpus's (round-8 review: the st13/st14 oracle emits such pairs
+    once the scaled corpus reaches the planted +300000 offsets)."""
     c = assigned.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"), "centroid"
     )
-    joined = c.join(F.broadcast(q), "centroid").filter(
-        F.col("neighbor_id") != F.col("query_id")
-    )
+    joined = c.join(F.broadcast(q), "centroid")
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
     cos = cosine_sim(F.col("__qvec"), F.col("__cvec"))
     if round_to is not None:
         cos = F.round(cos, round_to)
@@ -476,6 +481,7 @@ def ivf_probe_index(
     vec_col: str = "embedding",
     round_to: int | None = None,
     threshold: float | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """B24 — probe a persisted :func:`ivf_write_index` index.  Same
     semantics as :func:`ivf_topk` with the same centroid sample (so the
@@ -504,7 +510,9 @@ def ivf_probe_index(
     # self-describing layout: an SQ8 index carries codes, not floats —
     # score the codes directly (corpus-side scale cancels out of cosine)
     corpus_vec = vec_col if vec_col in assigned.columns else "emb_q"
-    return _probe_score_topk(assigned, q, k, id_col, corpus_vec, round_to, threshold)
+    return _probe_score_topk(
+        assigned, q, k, id_col, corpus_vec, round_to, threshold, exclude_self
+    )
 
 
 def _assign_nearest(

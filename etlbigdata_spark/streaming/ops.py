@@ -819,6 +819,7 @@ def foreach_batch_ann_probe(
     vec_col: str = "embedding",
     round_to: int | None = None,
     threshold: float | None = None,
+    exclude_self: bool = True,
 ) -> Callable[[DataFrame, int], None]:
     """The PRODUCTION streaming ANN loop (round 8, VERDICT item 7):
     wrap a foreachBatch sink so every micro-batch of query vectors
@@ -851,6 +852,7 @@ def foreach_batch_ann_probe(
         res = fsim.ivf_probe_index(
             spark, index_path, df, k=k, n_probe=n_probe, id_col=id_col,
             vec_col=vec_col, round_to=round_to, threshold=threshold,
+            exclude_self=exclude_self,
         )
         sink_fn(res, epoch_id)
 

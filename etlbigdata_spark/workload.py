@@ -3615,6 +3615,29 @@ WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.99
 """
 
 
+def _st13_dataset(spark: SparkSession, sf_dir: str):
+    """The grow-mid-stream ANN dataset st13/st14 AND their shared SQL
+    oracle all restate: corpus slices A (vec_id ≡ 1 mod 3) and B
+    (≡ 2 mod 3), query chunks 1/2 with planted re-ided dups (+200000
+    from A, +300000 from B) that make each drain non-vacuous.  ONE
+    definition (round-8 review fix: st14 had copy-pasted it), because
+    the %3/%6/%5/+offset arithmetic IS the oracle contract."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    part_a = emb.filter(F.col("vec_id") % 3 == 1)
+    part_b = emb.filter(F.col("vec_id") % 3 == 2)
+    chunk1 = emb.filter(F.col("vec_id") % 6 == 0).unionByName(
+        part_a.filter(F.col("vec_id") % 5 == 0).select(
+            (F.col("vec_id") + 200000).alias("vec_id"), "embedding"
+        )
+    )
+    chunk2 = emb.filter(F.col("vec_id") % 6 == 3).unionByName(
+        part_b.filter(F.col("vec_id") % 5 == 0).select(
+            (F.col("vec_id") + 300000).alias("vec_id"), "embedding"
+        )
+    )
+    return part_a, part_b, chunk1, chunk2
+
+
 def st13_stream_probe_appended_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B19+B24 — the PRODUCTION ANN loop: the index GROWS while a
     stream probes it (round 7, VERDICT item 7).  A persisted IVF index
@@ -3637,19 +3660,7 @@ def st13_stream_probe_appended_index(spark: SparkSession, sf_dir: str) -> DataFr
 
     from .streaming import ops as stops
 
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    part_a = emb.filter(F.col("vec_id") % 3 == 1)
-    part_b = emb.filter(F.col("vec_id") % 3 == 2)
-    chunk1 = emb.filter(F.col("vec_id") % 6 == 0).unionByName(
-        part_a.filter(F.col("vec_id") % 5 == 0).select(
-            (F.col("vec_id") + 200000).alias("vec_id"), "embedding"
-        )
-    )
-    chunk2 = emb.filter(F.col("vec_id") % 6 == 3).unionByName(
-        part_b.filter(F.col("vec_id") % 5 == 0).select(
-            (F.col("vec_id") + 300000).alias("vec_id"), "embedding"
-        )
-    )
+    part_a, part_b, chunk1, chunk2 = _st13_dataset(spark, sf_dir)
 
     cents = fsim.semantic_centroids(part_a, n_centroids=8)
     import shutil
@@ -3733,19 +3744,7 @@ def st14_stream_probe_partition_pruned(spark: SparkSession, sf_dir: str) -> Data
 
     from .streaming import ops as stops
 
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    part_a = emb.filter(F.col("vec_id") % 3 == 1)
-    part_b = emb.filter(F.col("vec_id") % 3 == 2)
-    chunk1 = emb.filter(F.col("vec_id") % 6 == 0).unionByName(
-        part_a.filter(F.col("vec_id") % 5 == 0).select(
-            (F.col("vec_id") + 200000).alias("vec_id"), "embedding"
-        )
-    )
-    chunk2 = emb.filter(F.col("vec_id") % 6 == 3).unionByName(
-        part_b.filter(F.col("vec_id") % 5 == 0).select(
-            (F.col("vec_id") + 300000).alias("vec_id"), "embedding"
-        )
-    )
+    part_a, part_b, chunk1, chunk2 = _st13_dataset(spark, sf_dir)
     cents = fsim.semantic_centroids(part_a, n_centroids=8)
     base = tempfile.mkdtemp(prefix="st14_")
     idx, stage, results, ckpt = (f"{base}/{d}" for d in ("idx", "src", "out", "ckpt"))
@@ -3761,7 +3760,10 @@ def st14_stream_probe_partition_pruned(spark: SparkSession, sf_dir: str) -> Data
             ).write.mode("append").parquet(results)
 
         fn = stops.foreach_batch_ann_probe(
-            sink, spark, idx, n_probe=1, round_to=6, threshold=0.99
+            sink, spark, idx, n_probe=1, round_to=6, threshold=0.99,
+            # the oracle emits id-colliding pairs once the scaled corpus
+            # reaches the +300000 planted offsets — keep them (review fix)
+            exclude_self=False,
         )
         stream = stops.read_file_stream(spark, stage, chunk1.schema)
         stops.run_available_now(

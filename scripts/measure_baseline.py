@@ -133,7 +133,7 @@ if __name__ == "__main__":
         # SKIP_PANDAS=1 skips the pandas anchors (at sf10 the q05 anchor
         # alone is ~9 min x runs; pandas numbers don't change round to
         # round - carry the last measured artifact's values instead)
-        "pandas": {} if os.environ.get("SKIP_PANDAS") else pandas_times(),
+        "pandas": {} if os.environ.get("SKIP_PANDAS", "").lower() in ("1", "true", "yes") else pandas_times(),
         "sf": SF_DIR,
         "runs": RUNS,
     }))
