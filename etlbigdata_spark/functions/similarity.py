@@ -370,7 +370,10 @@ def _query_probes(
     )
     probes = F.transform(
         F.slice(ranked, 1, n_probe),
-        lambda p: F.element_at(id_arr, p["idx"].cast("int") + 1),
+        # .cast('int') for symmetry with _assign_to_cents: without it the
+        # emitted type depends on literal widening of the id array and can
+        # diverge (bigint) from the index's int partition column
+        lambda p: F.element_at(id_arr, p["idx"].cast("int") + 1).cast("int"),
     )
     return queries.select(
         F.col(id_col).alias("query_id"),
@@ -862,11 +865,21 @@ def _assign_cosine_argmax(
         cent_arr, lambda cv: F.round(_dot(v, cv) / (_norm(v) * _norm(cv)), round_to)
     )
     best_pos = F.array_position(scores, F.array_max(scores)).cast("int")
-    out = df.withColumn(out_col, F.element_at(id_arr, best_pos).cast("int"))
+    # null embedding -> null assignment (round-9: a null vector belongs
+    # to NO cell; the raw argmax chain otherwise lands it in an
+    # arbitrary one via null/NaN score comparison quirks, diverging
+    # from the blas face which also emits null)
+    assigned = F.when(
+        F.col(vec_col).isNotNull(), F.element_at(id_arr, best_pos).cast("int")
+    )
+    out = df.withColumn(out_col, assigned)
     if score_col is not None:
         # the max score IS the cosine to the assigned centroid — the
         # prototypicality metric, free from the same scores array
-        out = out.withColumn(score_col, F.array_max(scores))
+        # (null-gated like the assignment)
+        out = out.withColumn(
+            score_col, F.when(F.col(vec_col).isNotNull(), F.array_max(scores))
+        )
     return out
 
 
@@ -896,9 +909,18 @@ def _assign_cosine_argmax_blas(
     Cn = C / (np.linalg.norm(C, axis=1)[:, None] + 1e-12)
 
     def _assign(v):  # pd.Series -> pd.Series; no hints (see b18 note)
-        X = np.array(v.tolist(), dtype=np.float64)
-        # row norm is constant across cells -> argmax of X @ Cn.T
-        return pd.Series(ids[(X @ Cn.T).argmax(axis=1)])
+        # Null embeddings get a NULL assignment, matching the expression
+        # face (round-8 advice: an object array from None entries would
+        # otherwise crash the matmul — a task failure where the other
+        # face silently skips the row).
+        vals = v.tolist()
+        ok = np.flatnonzero(np.array([x is not None for x in vals]))
+        out = pd.Series([None] * len(vals), dtype="Int32")
+        if len(ok):
+            X = np.array([vals[i] for i in ok], dtype=np.float64)
+            # row norm is constant across cells -> argmax of X @ Cn.T
+            out.iloc[ok] = ids[(X @ Cn.T).argmax(axis=1)]
+        return out
 
     assign = pandas_udf(_assign, returnType="int")
     return df.withColumn(out_col, assign(F.col(vec_col)))

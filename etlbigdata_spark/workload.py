@@ -1757,7 +1757,14 @@ def b43_bloom_needle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
     )
     mm = li.agg(
-        F.min("l_orderkey").alias("lo"), F.max("l_orderkey").alias("hi")
+        F.min("l_orderkey").alias("lo"),
+        F.max("l_orderkey").alias("hi"),
+        # size the bloom from the data, not a constant (round-9 advice):
+        # a hard-coded 200k ndv saturates at sf10+ (~15M distinct
+        # orderkeys -> false-positive rate near 1) and the row-group
+        # skipping this face showcases silently stops skipping.  approx
+        # is fine — ndv only sizes the filter, never affects results.
+        F.approx_count_distinct("l_orderkey").alias("ndv"),
     ).first()
     keys = [int(mm["lo"]), int(mm["hi"]), int(mm["hi"]) + 1000001]
     base = tempfile.mkdtemp(prefix="b43_")
@@ -1765,7 +1772,7 @@ def b43_bloom_needle(spark: SparkSession, sf_dir: str) -> DataFrame:
         writers.write_parquet(
             li, f"{base}/bloomed",
             bloom_filter_cols=["l_orderkey"],
-            bloom_filter_ndv=200_000,
+            bloom_filter_ndv=max(int(mm["ndv"]), 1024),
         )
         out = spark.read.parquet(f"{base}/bloomed").filter(
             F.col("l_orderkey").isin(keys)
@@ -2834,12 +2841,12 @@ sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM docs),
 dfreq AS (SELECT shingle, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY shingle),
 per_doc AS (
   SELECT doc_id, COUNT(*) AS n_grams,
-         SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_unique
+         CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
   FROM sh JOIN dfreq USING (shingle) GROUP BY doc_id
 )
 SELECT c.doc_id AS id,
        COALESCE(n_grams, 0) AS n_grams,
-       COALESCE(n_unique, 0) AS n_unique,
+       COALESCE(CAST(n_unique AS BIGINT), 0) AS n_unique,
        CASE WHEN n_grams IS NOT NULL
             THEN round(n_unique / CAST(n_grams AS DOUBLE), 6) END AS novelty
 FROM (SELECT DISTINCT doc_id FROM corpus) c

@@ -162,6 +162,40 @@ def test_registry_counts_match_documentation():
     assert len(workload.ORACLE_SQL) == 138
 
 
+# DuckDB types the driver's canonicalization maps differently from the
+# Spark types they would be compared against.  The round-8 failure mode:
+# DuckDB types SUM(<integer>) as HUGEINT; the driver fetch path renders
+# it differently from Spark's BIGINT (e.g. 110.0 vs 110), so rows_match
+# and schema_match pass but the value hash fails (t18_novelty, r8's only
+# red row).  Our own suite never caught it because fetchall() converts
+# HUGEINT to Python int, masking the type.  This lint keeps the count of
+# offending output columns at zero across ALL oracles.
+_DRIVER_UNSAFE_DUCK_TYPES = (
+    "HUGEINT",  # covers UHUGEINT too via substring match
+    "UBIGINT",
+    "UINTEGER",
+    "USMALLINT",
+    "UTINYINT",
+)
+
+
+def test_no_oracle_output_column_has_driver_unsafe_type(duck):
+    """Round-9 lint (VERDICT r8 item 2): no ORACLE_SQL output schema may
+    contain HUGEINT or an unsigned DuckDB type — cast integer SUMs with
+    CAST(... AS BIGINT) (the T17 discipline, workload.py T17_SQL)."""
+    offenders = []
+    for name in ORACLE_NAMES:
+        rel = duck.sql(workload.ORACLE_SQL[name])
+        for col, typ in zip(rel.columns, rel.types):
+            t = str(typ).upper()
+            if any(bad in t for bad in _DRIVER_UNSAFE_DUCK_TYPES):
+                offenders.append((name, col, t))
+    assert not offenders, (
+        "oracle output columns with driver-unsafe DuckDB types "
+        f"(CAST them to BIGINT): {offenders}"
+    )
+
+
 NO_ORACLE = sorted(set(workload.QUERIES) - set(workload.ORACLE_SQL))
 
 

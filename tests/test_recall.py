@@ -480,6 +480,35 @@ def test_ivf_persisted_index_probe_equals_inmemory_and_prunes(emb, spark, tmp_pa
     assert g2 == e2
 
 
+def test_ivf_probe_exclude_self_with_colliding_ids(emb, spark, tmp_path):
+    """Round-9 advice: exclude_self was only ever exercised on fixtures
+    with disjoint id spaces, where True and False are indistinguishable.
+    Plant genuine collisions — the query set IS a corpus subset, same
+    ids, same vectors — so the self-pair (query_id == neighbor_id,
+    cosine 1.0) exists in every probed cell: exclude_self=True must drop
+    exactly those rows and keep everything else identical."""
+    from etlbigdata_spark.functions import similarity as fsim
+
+    path = str(tmp_path / "ivf_selfpair")
+    fsim.ivf_write_index(emb, path, n_centroids=8)
+    queries = emb.orderBy("vec_id").limit(4)  # ids/vectors collide with corpus
+
+    kept = fsim.ivf_probe_index(
+        spark, path, queries, n_probe=2, round_to=6, threshold=0.5,
+        exclude_self=False,
+    )
+    dropped = fsim.ivf_probe_index(
+        spark, path, queries, n_probe=2, round_to=6, threshold=0.5,
+        exclude_self=True,
+    )
+    kept_rows = {(r.query_id, r.neighbor_id) for r in kept.collect()}
+    dropped_rows = {(r.query_id, r.neighbor_id) for r in dropped.collect()}
+    qids = {r.vec_id for r in queries.select("vec_id").collect()}
+    self_pairs = {(q, q) for q in qids}
+    assert self_pairs <= kept_rows  # every planted collision surfaced
+    assert dropped_rows == kept_rows - self_pairs
+
+
 def test_containment_dominates_jaccard(docs):
     """Mathematical invariant: |A∩B|/min ≥ |A∩B|/|A∪B| for every pair,
     and both finders agree on n_shared/sizes (they share the inverted-
@@ -1299,6 +1328,34 @@ def test_semantic_dedup_blas_assignment(emb, spark):
     n = j.count()
     agree = j.filter(F.col("cluster") == F.col("bcluster")).count()
     assert agree / n >= 0.99, f"{agree}/{n}"
+
+
+def test_blas_assignment_null_embedding_matches_expression_face(emb, spark):
+    """Round-9 advice: a null embedding must get a NULL assignment from
+    the blas face (it used to crash the matmul with an object array),
+    exactly like the expression face — switching assign modes must not
+    turn a silent skip into a task failure."""
+    from pyspark.sql import types as T
+
+    base = emb.select("vec_id", "embedding").filter(F.col("vec_id") < 50)
+    null_row = spark.createDataFrame(
+        [(99999, None)],
+        T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", base.schema["embedding"].dataType),
+        ]),
+    )
+    corpus = base.unionByName(null_row)
+    cents, _, _ = fsim.kmeans_fit(base, k=4, iters=2)
+    nc = fsim._norm_centroids(cents)
+
+    b = fsim._assign_cosine_argmax_blas(corpus, nc, "embedding")
+    e = fsim._assign_cosine_argmax(corpus, nc, "embedding", 6)
+    b_null = {r.vec_id for r in b.filter(F.col("cluster").isNull()).collect()}
+    e_null = {r.vec_id for r in e.filter(F.col("cluster").isNull()).collect()}
+    assert b_null == e_null == {99999}
+    # non-null rows still get real assignments
+    assert b.filter(F.col("cluster").isNotNull()).count() == 50
 
     with pytest.raises(ValueError, match="assign must be"):
         fsim.semantic_dedup_pairs(base, centroids=cents, assign="bogus")

@@ -1376,8 +1376,12 @@ def test_foreach_batch_ann_probe_partition_pruned_and_matches_st13(
         collected.extend(res.collect())
         plans.append(res._jdf.queryExecution().executedPlan().toString())
 
+    # exclude_self=False mirrors the registered st14 face (round-9
+    # advice: the st13 oracle never excludes self-pairs, and the default
+    # True only passed here because this fixture has no id collisions)
     fn = ops.foreach_batch_ann_probe(
-        sink, spark, idx, n_probe=1, round_to=6, threshold=0.99
+        sink, spark, idx, n_probe=1, round_to=6, threshold=0.99,
+        exclude_self=False,
     )
     stream = ops.read_file_stream(spark, stage, chunk1.schema)
     ops.run_available_now(
