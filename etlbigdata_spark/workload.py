@@ -5346,13 +5346,25 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q21_sole_failing_supplier": q21_sole_failing_supplier,
     "d07_incremental_dedup": d07_incremental_dedup,
     # Part B relational core
-    "b01_sql": b01_sql,
-    "b02_projection": b02_projection,
-    "b03_general_filter": b03_general_filter,
+    # round-9 window rotation (VERDICT r8 item 6): the relational-core
+    # rows b01_sql/b02_projection/b03_general_filter/b05_count_distinct/
+    # b06_grouping_sets/b07_topk_group (driver-green since round 1, 8
+    # straight rounds) and t02_token_count (7 rounds) rotate out — all
+    # stay oracle-checked past the window; their slots promote seven
+    # oracle-backed rows that never held a driver slot: st14 (the
+    # partition-pruned production streaming ANN probe, new in r8),
+    # b33 (fuzzy/edit-distance pairs, the B9 fuzzy-join face),
+    # b34 (DQ rule engine), b39 (statistical aggregate family),
+    # evt05 (cohort retention), t06 (TF-IDF top terms),
+    # t08 (train/eval contamination report).
+    "st14_stream_probe_partition_pruned": st14_stream_probe_partition_pruned,
+    "b33_fuzzy_pairs": b33_fuzzy_pairs,
+    "b34_dq_checks": b34_dq_checks,
+    "b39_stat_aggs": b39_stat_aggs,
+    "evt05_cohort_retention": evt05_cohort_retention,
+    "t06_tfidf_topterms": t06_tfidf_topterms,
+    "t08_contamination": t08_contamination,
     "q01_pricing_summary": q01_pricing_summary,  # B4 hash aggregate
-    "b05_count_distinct": b05_count_distinct,
-    "b06_grouping_sets": b06_grouping_sets,
-    "b07_topk_group": b07_topk_group,
     "t18_novelty": t18_novelty,
     "b09_asof": b09_asof,
     # b09_anti (3rd B9 row) and b15_json (2nd B15 row) rotated past the
@@ -5410,7 +5422,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s01_cosine_topk": s01_cosine_topk,
     "s02v_lsh_verified": s02v_lsh_verified,
     "t01_text_stats": t01_text_stats,
-    "t02_token_count": t02_token_count,
     "t03_quality": t03_quality,
     "t04_language_id": t04_language_id,
     "mm01_binary_meta": mm01_binary_meta,
@@ -5431,8 +5442,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st07_stream_join": st07_stream_join,
     "st08_stream_dedup": st08_stream_dedup,
     "st10_stream_dq_monitor": st10_stream_dq_monitor,
-    # round-8: the partition-pruned production probe twin of st13
-    "st14_stream_probe_partition_pruned": st14_stream_probe_partition_pruned,
+    # round-9: the relational-core rows rotated out after 7-8
+    # driver-green rounds; still oracle-checked here
+    "b01_sql": b01_sql,
+    "b02_projection": b02_projection,
+    "b03_general_filter": b03_general_filter,
+    "b05_count_distinct": b05_count_distinct,
+    "b06_grouping_sets": b06_grouping_sets,
+    "b07_topk_group": b07_topk_group,
+    "t02_token_count": t02_token_count,
     # round-8: a06/a08/a16/b08_intersect/st01/st02/st03 rotated out
     # after 5-7 driver-green rounds; still oracle-checked here
     "a06_union_all": a06_union_all,
@@ -5509,26 +5527,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "b29_salted_agg": b29_salted_agg,
     "b30_salted_join": b30_salted_join,
     "b32_keep_latest": b32_keep_latest,
-    "b33_fuzzy_pairs": b33_fuzzy_pairs,
-    "b34_dq_checks": b34_dq_checks,
     "b35_histogram": b35_histogram,
     "b36_outliers": b36_outliers,
     "b37_string_agg": b37_string_agg,
     "b38_cms_frequencies": b38_cms_frequencies,
-    "b39_stat_aggs": b39_stat_aggs,
     "b14p_posexplode": b14p_posexplode,
     "b05h_hll_merge": b05h_hll_merge,
     "evt01_time_rollup": evt01_time_rollup,
     "evt02_funnel": evt02_funnel,
     "evt03_sessionize": evt03_sessionize,
     "evt04_transitions": evt04_transitions,
-    "evt05_cohort_retention": evt05_cohort_retention,
     "evt06_gapfill": evt06_gapfill,
     "evt07_interpolate": evt07_interpolate,
-    "t06_tfidf_topterms": t06_tfidf_topterms,
     # corpus curation (round 4): split / contamination / PII / quota
     "t07_hash_split": t07_hash_split,
-    "t08_contamination": t08_contamination,
     "t09_pii_redact": t09_pii_redact,
     "t10_quota_sample": t10_quota_sample,
 }

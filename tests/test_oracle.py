@@ -131,6 +131,16 @@ def test_driver_window_covers_expected_components():
         "t19_vocab_overlap",
         "s08_hard_negatives",
         "st11_stream_rollup",
+        # round-9 rotation (VERDICT r8 item 6): never-windowed
+        # oracle-proven rows promoted, led by st14 — the r8-new
+        # partition-pruned streaming ANN probe's first driver slot
+        "st14_stream_probe_partition_pruned",
+        "b33_fuzzy_pairs",
+        "b34_dq_checks",
+        "b39_stat_aggs",
+        "evt05_cohort_retention",
+        "t06_tfidf_topterms",
+        "t08_contamination",
     ):
         assert required in DRIVER_WINDOW
     # rotations: rows demoted after multiple driver-green rounds stay
@@ -146,6 +156,10 @@ def test_driver_window_covers_expected_components():
         # r8: a-series/streaming long-green rows (5-7 rounds each)
         "a06_union_all", "a08_dedup", "a16_join", "b08_intersect",
         "st01_tumbling", "st02_sessions", "st03_watermark",
+        # r9: the relational core (7-8 driver-green rounds each)
+        "b01_sql", "b02_projection", "b03_general_filter",
+        "b05_count_distinct", "b06_grouping_sets", "b07_topk_group",
+        "t02_token_count",
     ):
         assert rotated_out not in DRIVER_WINDOW
         assert rotated_out in workload.QUERIES and rotated_out in workload.ORACLE_SQL
