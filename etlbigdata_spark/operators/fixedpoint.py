@@ -20,6 +20,15 @@ decimal formulation (pinned by tests at sf0.1 and by the DuckDB oracle
 hash at sf0.01 uniform + skewed): q01 2.1 s vs 5.4 s and q05 6.3 s vs
 9.6 s in the same paired session.
 
+ENCODE PATH (round 9): ``F.round`` on DoubleType is ITSELF the
+BigDecimal slow path (Spark's Round allocates per row), so the encode
+is a truncating cast — ``(scaled + signum(scaled)·0.5)::long`` — which
+equals HALF_UP for every on-grid input (an off-grid input raises via
+the guard; the 0.5 boundary is unreachable under the ≤1e-3 grid
+tolerance).  Kernel A/B at sf10, 60 M rows, min-of-5 interleaved
+(``AB_GUARD_r09.json``): decimal 2.55 s, r8 round-encode guarded
+1.86 s, cast-encode unguarded 0.265 s, cast-encode guarded 0.316 s.
+
 EXACTNESS PRECONDITION: inputs must be exactly representable at the
 stated scale (TPC-H money/discount/tax are 2dp by spec; the testdata
 measures ≤1e-9 from 2dp, i.e. binary representation error only).
@@ -55,16 +64,25 @@ def scaled_long(col: Column | str, dp: int = 2, validate: bool = True) -> Column
     assumed: a value further than 1e-3 from its ``dp``-decimal grid
     (i.e. genuinely finer-grained data, not binary noise — true-``dp``
     doubles measure ≤1e-9 off-grid) raises through ``F.raise_error``
-    at scan time rather than silently rounding revenue.  The guard is
-    one codegen branch per row — measured in the same A/B noise band;
-    pass ``validate=False`` only in a pipeline that already proved the
-    scale upstream."""
+    at scan time rather than silently rounding revenue.  Guard cost,
+    measured (round 9, ``AB_GUARD_r09.json``, the numbers that
+    supersede the round-8 "noise band" claim): the deviation branch —
+    which REUSES the encoded long, no second rounding — adds ~19% to
+    the pure encode+sum kernel, 0.316 vs 0.265 s over 60 M rows at
+    sf10, i.e. ~0.05 s per 60 M rows.  Kept ON by default: loud beats
+    wrong, and the cost is sub-noise in any query that also joins or
+    shuffles.  Pass ``validate=False`` only in a pipeline that already
+    proved the scale upstream."""
     c = F.col(col) if isinstance(col, str) else col
     scaled = c * (10 ** dp)
-    enc = F.round(scaled).cast("long")
+    # HALF_UP without F.round: Round(DoubleType) allocates a BigDecimal
+    # per row — the exact slow path this module exists to avoid.  The
+    # truncating cast is identical for every on-grid input (off-grid
+    # raises below / is out of contract for validate=False).
+    enc = (scaled + F.signum(scaled) * 0.5).cast("long")
     if not validate:
         return enc
-    dev = F.abs(scaled - F.round(scaled))
+    dev = F.abs(scaled - enc)
     return F.when(
         dev > 1e-3,
         F.raise_error(
