@@ -4199,19 +4199,40 @@ def q21_sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen HashAggregates over longs — no ObjectHashAggregate building
     per-group array payloads — measured 2.03 → 1.65 s at sf1
     (4-run alternating min, result-identical; the multi-countDistinct
-    Expand variant measured 2.59 s and was rejected).  At cluster scale
-    the win compounds: aggregate state is 3 longs per group instead of
-    a growable set, so the hash agg stays spill-friendly and the
-    level-1 shuffle carries the deduped pair stream."""
-    li = load(spark, sf_dir, "lineitem")
+    Expand variant measured 2.59 s and was rejected).
+
+    Round 9 (VERDICT r8 item 3, the sf10 profile session): the two
+    levels used to shuffle TWICE — once on (orderkey, suppkey) for the
+    pair dedup, again on orderkey for the order stats — and the level-1
+    partial aggregate reduced nothing (distinct pairs ≈ lines, so the
+    map side built a 60 M-entry hash table for free).  Now ONE
+    ``repartition(l_orderkey)`` up front: hash-partitioning on orderkey
+    co-locates both grouping levels (a subset partitioning satisfies
+    the (ok, sk) clustered distribution), so both aggregates run
+    exchange-free above it, and the single shuffle carries a NARROWED
+    row — the return flag folded to a byte before the exchange and
+    suppkey cast to int (TPC-H suppkey is 10k·SF: int-safe through
+    sf200k; orderkey stays long).  Interleaved min-of-5 at sf10:
+    6.66 → 4.29 s, result-identical.  At cluster scale the single wide
+    shuffle is the point: one materialization of the fact instead of
+    two, and aggregate state stays 3 longs per group."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_suppkey").cast("int").alias("__sk"),
+        F.when(F.col("l_returnflag") == "R", F.lit(1).cast("byte"))
+        .otherwise(F.lit(0).cast("byte"))
+        .alias("__fl"),
+    )
     supp = load(spark, sf_dir, "supplier")
-    pairs = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("failed")
+    pairs = (
+        li.repartition(F.col("l_orderkey"))
+        .groupBy("l_orderkey", "__sk")
+        .agg(F.max("__fl").alias("failed"))
     )
     order_stats = pairs.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_supps"),
         F.sum("failed").alias("n_fail"),
-        F.max(F.when(F.col("failed") == 1, F.col("l_suppkey"))).alias("sole_supp"),
+        F.max(F.when(F.col("failed") == 1, F.col("__sk"))).alias("sole_supp"),
     )
     sole = order_stats.filter(
         (F.col("n_supps") > 1) & (F.col("n_fail") == 1)

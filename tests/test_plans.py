@@ -283,3 +283,16 @@ def test_q21_single_lineitem_scan(spark, sf_dir):
     final_tree = plan.split("+- == Initial Plan ==")[0]
     n = len(re.findall(r"Scan parquet[^\n]*lineitem", final_tree))
     assert n == 1, f"q21 has {n} lineitem scans (single-scan rewrite regressed)"
+    # Round-9 pin: the fact moves exactly ONCE — a single
+    # hashpartitioning(l_orderkey) exchange feeds BOTH grouping levels
+    # (subset partitioning satisfies the (ok, sk) distribution); the
+    # only other exchanges are the tiny post-broadcast-join s_name agg
+    # and the final sort.  A second fact-sized exchange means the
+    # repartition lever regressed.
+    fact_exchanges = re.findall(
+        r"Exchange hashpartitioning\(l_orderkey", final_tree
+    )
+    assert len(fact_exchanges) == 1, (
+        f"q21 fact shuffles {len(fact_exchanges)}x (want 1): {final_tree}"
+    )
+    assert not re.search(r"Exchange hashpartitioning\(l_orderkey[^\n]*__sk", final_tree)
