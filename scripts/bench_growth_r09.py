@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""Round-9 dedup growth point: d02/d08 at the next decade (VERDICT r8
+item 7).
+
+The dedup family is the suite's dominant cost and grows superlinearly
+as a DATA property (candidate pairs ∝ Σ df² over shingle doc-frequency
+df): d02 measured 3.95 s at sf1 → 46 s at sf10 (DuckDB 16 → 95 s).
+This script pins that the ``max_doc_freq`` guard keeps candidate volume
+subquadratic at sf30 — one more decade-step of the trend — with the
+candidate-pair counts recorded, not inferred.
+
+Subcommands (each fits a 10-minute wall-clock budget; run them
+back-to-back and the per-line JSON accumulates in GROWTH_r09.json):
+
+* ``gendocs [factor] [src] [out]`` — documents-ONLY scaled corpus
+  (default 30 × /root/testdata/sf0.1 → /tmp/sfscale/sf30docs), the
+  same replica recipe as make_scaled_sf.py: replica k prefixes every
+  token with ``r{k}_`` so within-replica dup structure is preserved
+  exactly while replicas share no shingles (naive replication would
+  make every doc a cross-replica near-dup — a quadratic artifact).
+* ``spark <query> <sf_dir>`` — run d02_jaccard_pairs or
+  d08_containment_pairs (min of 2, DataFrame rebuilt per run), plus
+  the emitted pair count.
+* ``duck <query> <sf_dir>`` — the DuckDB oracle twin, min of 2.
+* ``stats <sf_dir>`` — candidate-pair accounting from the shingle
+  doc-frequency histogram (n=3 and n=5): kept = Σ C(df,2) for
+  df ≤ 50, dropped = Σ C(df,2) for df > 50 — the guard's bill of
+  materials.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "GROWTH_r09.json",
+)
+
+
+def emit(obj: dict) -> None:
+    line = json.dumps(obj)
+    print(line)
+    with open(OUT_PATH, "a") as f:
+        f.write(line + "\n")
+
+
+def gendocs(factor: int, src: str, out: str) -> None:
+    import duckdb
+
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    s = f"read_parquet('{src}/documents.parquet')"
+    doc_span = con.sql(f"SELECT MAX(doc_id) + 1 FROM {s}").fetchone()[0]
+    parts = [f"SELECT doc_id, text, lang, source, n_chars FROM {s}"]
+    for k in range(1, factor):
+        tagged = f"('r{k}_' || replace(text, ' ', ' r{k}_'))"
+        parts.append(
+            f"SELECT doc_id + {k * doc_span} AS doc_id, {tagged} AS text, "
+            f"lang, source, length({tagged}) AS n_chars FROM {s}"
+        )
+    t0 = time.perf_counter()
+    con.sql(
+        f"COPY ({' UNION ALL '.join(parts)}) TO '{out}/documents.parquet' "
+        "(FORMAT PARQUET)"
+    )
+    n = con.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{out}/documents.parquet')"
+    ).fetchone()[0]
+    emit({"op": "gendocs", "factor": factor, "out": out, "rows": n,
+          "gen_sec": round(time.perf_counter() - t0, 2)})
+
+
+def spark_run(query: str, sf_dir: str) -> None:
+    from etlbigdata_spark import workload
+    from etlbigdata_spark.session import build_session
+
+    spark = build_session(
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    )
+    n_pairs = workload.QUERIES[query](spark, sf_dir).count()  # warm + count
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        workload.QUERIES[query](spark, sf_dir).toPandas()
+        times.append(round(time.perf_counter() - t0, 2))
+    emit({"op": "spark", "query": query, "sf_dir": sf_dir,
+          "pairs": n_pairs, "times": times, "min_sec": min(times)})
+
+
+def duck_run(query: str, sf_dir: str) -> None:
+    import duckdb
+
+    from etlbigdata_spark import workload
+
+    con = duckdb.connect()
+    con.sql(f"SET threads={os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    sql = workload.ORACLE_SQL[query]
+    times = []
+    n = len(con.sql(sql).fetchall())  # warm + count
+    for _ in range(2):
+        t0 = time.perf_counter()
+        con.sql(sql).fetchall()
+        times.append(round(time.perf_counter() - t0, 2))
+    emit({"op": "duck", "query": query, "sf_dir": sf_dir,
+          "pairs": n, "times": times, "min_sec": min(times)})
+
+
+def stats(sf_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    from etlbigdata_spark.functions import dedup as fdedup
+    from etlbigdata_spark.session import build_session
+    from etlbigdata_spark.workload import load
+
+    spark = build_session(
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    )
+    docs = load(spark, sf_dir, "documents")
+    out = {"op": "stats", "sf_dir": sf_dir, "docs": docs.count()}
+    for n in (3, 5):
+        dfreq = (
+            fdedup.exploded_shingles(docs, "doc_id", "text", n=n)
+            .distinct()
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+        row = dfreq.agg(
+            F.sum(F.when(F.col("df") <= 50, F.col("df") * (F.col("df") - 1) / 2)
+                  .otherwise(0)).alias("kept"),
+            F.sum(F.when(F.col("df") > 50, F.col("df") * (F.col("df") - 1) / 2)
+                  .otherwise(0)).alias("dropped"),
+            F.count(F.lit(1)).alias("n_shingles"),
+        ).first()
+        out[f"n{n}"] = {
+            "candidate_pairs_kept": int(row["kept"]),
+            "candidate_pairs_dropped_by_guard": int(row["dropped"]),
+            "distinct_shingles": int(row["n_shingles"]),
+        }
+    emit(out)
+
+
+def main() -> None:
+    cmd = sys.argv[1]
+    if cmd == "gendocs":
+        factor = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+        src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+        out = sys.argv[4] if len(sys.argv) > 4 else "/tmp/sfscale/sf30docs"
+        gendocs(factor, src, out)
+    elif cmd == "spark":
+        spark_run(sys.argv[2], sys.argv[3])
+    elif cmd == "duck":
+        duck_run(sys.argv[2], sys.argv[3])
+    elif cmd == "stats":
+        stats(sys.argv[2])
+    else:
+        raise SystemExit(f"unknown subcommand {cmd}")
+
+
+if __name__ == "__main__":
+    main()
