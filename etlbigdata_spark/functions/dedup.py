@@ -32,6 +32,14 @@ from .text import rebalance_for_expansion, tokens_col
 # lineage.
 _LIVE_CACHE: list[DataFrame] = []
 
+# Shuffled-hash build sizing for the inverted-index self-join (round 9,
+# see _shared_counts_and_sizes): ~1.5 M narrow (id, hash) rows is a
+# ~90 MB hash relation — comfortably inside a fair task share of
+# execution memory at any realistic executor size.  Module-level so
+# tests exercise the scaling regimes without multi-GB fixtures.
+_SHJ_BUILD_ROWS = 1_500_000
+_SHJ_MAX_PARTS = 65_536
+
 
 def _persist_scoped(df: DataFrame) -> DataFrame:
     df = df.persist()
@@ -195,13 +203,33 @@ def _shared_counts_and_sizes(
     # multi-million-row sides by shingle hash only to feed a pair-count
     # aggregate that doesn't need order — the sorts dominated the query.
     # Measured round 5 at sf1 (4× alternating same-session runs):
-    # 21.3-30.0 s SMJ vs 10.4-12.8 s SHJ (~2.1×). Scale-safe because
-    # the build side is the narrow (id, 8-byte shingle hash) projection
-    # whose per-partition volume is controlled by shuffle partitioning,
-    # and ``max_doc_freq`` has already capped the hot keys a partition
-    # can accumulate; this is a per-query hint, NOT the rejected global
-    # preferSortMergeJoin=false (BASELINE.md).
-    a, b = sh.alias("a"), sh.hint("shuffle_hash").alias("b")
+    # 21.3-30.0 s SMJ vs 10.4-12.8 s SHJ (~2.1×). ``max_doc_freq`` has
+    # already capped the hot keys a partition can accumulate; this is a
+    # per-query hint, NOT the rejected global preferSortMergeJoin=false
+    # (BASELINE.md).
+    #
+    # Round 9: the hint alone is NOT scale-safe — a shuffled-hash build
+    # must fit execution memory, and with the session's FIXED shuffle
+    # partition count the per-partition build grows linearly with the
+    # corpus (first real failure at sf30/75 M shingle rows on 32
+    # partitions: "Can't acquire ... bytes to build hash relation").
+    # So the join's width now scales with the data: one count() on the
+    # already-persisted shingle table (materializes the cache every
+    # consumer needs anyway — the same eager-probe discipline as the
+    # simhash auto-probe, stated here) sizes an explicit
+    # repartition-by-shingle keeping builds at ~BUILD_ROWS rows per
+    # task; if the cap is ever insufficient the hint is DROPPED and
+    # Catalyst's sort-merge join spills gracefully instead of dying.
+    n_rows = sh.count()
+    session_parts = int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    need = -(-n_rows // _SHJ_BUILD_ROWS)  # ceil
+    if need > _SHJ_MAX_PARTS:
+        a, b = sh.alias("a"), sh.alias("b")  # SMJ: sorts, but spills
+    elif need > session_parts:
+        sh = sh.repartition(int(need), "shingle")
+        a, b = sh.alias("a"), sh.hint("shuffle_hash").alias("b")
+    else:
+        a, b = sh.alias("a"), sh.hint("shuffle_hash").alias("b")
     shared = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
@@ -868,6 +896,9 @@ def hamming_pairs_64(
         "id", "sig", F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
     )
     a = banded.alias("a")
+    # opt-in only: a shuffled-hash build must fit execution memory (see
+    # the sized repartition in _shared_counts_and_sizes); the spill-safe
+    # sort_merge default is the scale-safe face here
     b = (banded.hint("shuffle_hash") if candidate_join == "shuffle_hash" else banded).alias("b")
     return (
         a.join(

@@ -13,11 +13,17 @@ Subcommands (each fits a 10-minute wall-clock budget; run them
 back-to-back and the per-line JSON accumulates in GROWTH_r09.json):
 
 * ``gendocs [factor] [src] [out]`` — documents-ONLY scaled corpus
-  (default 30 × /root/testdata/sf0.1 → /tmp/sfscale/sf30docs), the
-  same replica recipe as make_scaled_sf.py: replica k prefixes every
-  token with ``r{k}_`` so within-replica dup structure is preserved
-  exactly while replicas share no shingles (naive replication would
-  make every doc a cross-replica near-dup — a quadratic artifact).
+  (default 3 × /tmp/sfscale/sf10 → /tmp/sfscale/sf30docs), the same
+  replica recipe as make_scaled_sf.py but in a FRESH prefix namespace:
+  replica k prefixes every token with ``zz{k}_`` so within-replica dup
+  structure is preserved exactly while replicas share no shingles.
+  The namespace matters when stacking on an already-scaled corpus:
+  sf10's own generation used ``r{k}_``, so re-using ``r1_`` makes the
+  new replica 1 of sf10's BASE block alias sf10's INTERNAL replica-1
+  block — measured as 11,024 phantom cross-replica d02 pairs (+14%)
+  before the fix; ``zz`` is verified absent from the source token
+  space and the post-gen d02 run now splits exactly 25,600 pairs per
+  replica with zero cross-replica rows.
 * ``spark <query> <sf_dir>`` — run d02_jaccard_pairs or
   d08_containment_pairs (min of 2, DataFrame rebuilt per run), plus
   the emitted pair count.
@@ -58,7 +64,7 @@ def gendocs(factor: int, src: str, out: str) -> None:
     doc_span = con.sql(f"SELECT MAX(doc_id) + 1 FROM {s}").fetchone()[0]
     parts = [f"SELECT doc_id, text, lang, source, n_chars FROM {s}"]
     for k in range(1, factor):
-        tagged = f"('r{k}_' || replace(text, ' ', ' r{k}_'))"
+        tagged = f"('zz{k}_' || replace(text, ' ', ' zz{k}_'))"
         parts.append(
             f"SELECT doc_id + {k * doc_span} AS doc_id, {tagged} AS text, "
             f"lang, source, length({tagged}) AS n_chars FROM {s}"
@@ -84,7 +90,7 @@ def spark_run(query: str, sf_dir: str) -> None:
     )
     n_pairs = workload.QUERIES[query](spark, sf_dir).count()  # warm + count
     times = []
-    for _ in range(2):
+    for _ in range(int(os.environ.get("GROWTH_RUNS", "2"))):
         t0 = time.perf_counter()
         workload.QUERIES[query](spark, sf_dir).toPandas()
         times.append(round(time.perf_counter() - t0, 2))
@@ -105,10 +111,12 @@ def duck_run(query: str, sf_dir: str) -> None:
     )
     sql = workload.ORACLE_SQL[query]
     times = []
-    n = len(con.sql(sql).fetchall())  # warm + count
-    for _ in range(2):
+    n = None
+    if os.environ.get("GROWTH_WARM", "1") != "0":
+        n = len(con.sql(sql).fetchall())  # warm + count
+    for _ in range(int(os.environ.get("GROWTH_RUNS", "2"))):
         t0 = time.perf_counter()
-        con.sql(sql).fetchall()
+        n = len(con.sql(sql).fetchall())
         times.append(round(time.perf_counter() - t0, 2))
     emit({"op": "duck", "query": query, "sf_dir": sf_dir,
           "pairs": n, "times": times, "min_sec": min(times)})
@@ -151,8 +159,8 @@ def stats(sf_dir: str) -> None:
 def main() -> None:
     cmd = sys.argv[1]
     if cmd == "gendocs":
-        factor = int(sys.argv[2]) if len(sys.argv) > 2 else 30
-        src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+        factor = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+        src = sys.argv[3] if len(sys.argv) > 3 else "/tmp/sfscale/sf10"
         out = sys.argv[4] if len(sys.argv) > 4 else "/tmp/sfscale/sf30docs"
         gendocs(factor, src, out)
     elif cmd == "spark":

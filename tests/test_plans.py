@@ -93,6 +93,50 @@ def test_d08_inherits_d02_plan_shape(plans):
     assert "ShuffledHashJoin" in plan, "d08 self-join lost the shuffle_hash hint"
 
 
+def test_d02_shj_build_scales_with_corpus(spark, sf_dir, monkeypatch):
+    """Round-9 regression (first hit at sf30: 'Can't acquire ... bytes
+    to build hash relation'): the self-join's shuffled-hash build must
+    stay BOUNDED as the corpus grows.  Three regimes, same results:
+    (a) small corpus — hint as before, session partition count;
+    (b) shingle rows exceed _SHJ_BUILD_ROWS — explicit repartition
+        widens the join so per-task builds stay ~constant;
+    (c) even _SHJ_MAX_PARTS insufficient — hint DROPPED, sort-merge
+        spills instead of dying."""
+    from etlbigdata_spark.functions import dedup as fdedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+
+    def run():
+        fdedup.release_cached()
+        return fdedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.2, max_doc_freq=50
+        )
+
+    base = run()
+    want = sorted(tuple(r) for r in base.collect())
+    base_plan = _final_plan(base)
+    assert "ShuffledHashJoin" in base_plan
+
+    monkeypatch.setattr(fdedup, "_SHJ_BUILD_ROWS", 100)
+    widened = run()
+    got_w = sorted(tuple(r) for r in widened.collect())
+    plan_w = _final_plan(widened)
+    assert got_w == want
+    assert "ShuffledHashJoin" in plan_w
+    # the explicit repartition widened the JOIN beyond the session count
+    # (upstream doc-freq/size aggregates legitimately stay at the
+    # session width, so assert any-not-all)
+    m = re.findall(r"Exchange hashpartitioning\(shingle[^,]*, (\d+)\)", plan_w)
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert m and any(int(x) > session_parts for x in m), (m, plan_w)
+
+    monkeypatch.setattr(fdedup, "_SHJ_MAX_PARTS", 1)
+    smj = run()
+    got_s = sorted(tuple(r) for r in smj.collect())
+    assert got_s == want
+    assert "ShuffledHashJoin" not in _final_plan(smj)  # spill-safe SMJ
+
+
 def test_d09_within_cell_equi_join_only(plans):
     """SemDeDup's whole point is that the pair join is an EQUI-join on
     the cell id — never a cross/theta product over the corpus."""
