@@ -55,16 +55,34 @@ def emit(obj: dict) -> None:
         f.write(line + "\n")
 
 
-def gendocs(factor: int, src: str, out: str) -> None:
+HOT_PHRASE = "zq0 zq1 zq2 zq3 zq4 zq5"  # same tail as make_scaled_sf --zipf
+
+
+def gendocs(factor: int, src: str, out: str, hot: bool = False) -> None:
+    """``hot=True`` additionally appends the fixed 6-token tail to ~20%
+    of docs (hash-selected) — its 3-gram shingles then appear in ~20%
+    of the corpus, far beyond max_doc_freq=50, so the guard MUST drop
+    them or candidate volume goes quadratic (the make_scaled_sf --zipf
+    document treatment, reproduced here for the sf30 guard point)."""
     import duckdb
 
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     s = f"read_parquet('{src}/documents.parquet')"
     doc_span = con.sql(f"SELECT MAX(doc_id) + 1 FROM {s}").fetchone()[0]
-    parts = [f"SELECT doc_id, text, lang, source, n_chars FROM {s}"]
+
+    def tail(base: str, new_id: str) -> str:
+        if not hot:
+            return base
+        return (f"CASE WHEN hash({new_id}) % 1000 < 200 "
+                f"THEN {base} || ' {HOT_PHRASE}' ELSE {base} END")
+
+    t0sel = tail("text", "doc_id")
+    parts = [f"SELECT doc_id, {t0sel} AS text, lang, source, "
+             f"length({t0sel}) AS n_chars FROM {s}"]
     for k in range(1, factor):
-        tagged = f"('zz{k}_' || replace(text, ' ', ' zz{k}_'))"
+        tagged = tail(f"('zz{k}_' || replace(text, ' ', ' zz{k}_'))",
+                      f"doc_id + {k * doc_span}")
         parts.append(
             f"SELECT doc_id + {k * doc_span} AS doc_id, {tagged} AS text, "
             f"lang, source, length({tagged}) AS n_chars FROM {s}"
@@ -78,7 +96,7 @@ def gendocs(factor: int, src: str, out: str) -> None:
         f"SELECT COUNT(*) FROM read_parquet('{out}/documents.parquet')"
     ).fetchone()[0]
     emit({"op": "gendocs", "factor": factor, "out": out, "rows": n,
-          "gen_sec": round(time.perf_counter() - t0, 2)})
+          "hot": hot, "gen_sec": round(time.perf_counter() - t0, 2)})
 
 
 def spark_run(query: str, sf_dir: str) -> None:
@@ -159,10 +177,12 @@ def stats(sf_dir: str) -> None:
 def main() -> None:
     cmd = sys.argv[1]
     if cmd == "gendocs":
-        factor = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-        src = sys.argv[3] if len(sys.argv) > 3 else "/tmp/sfscale/sf10"
-        out = sys.argv[4] if len(sys.argv) > 4 else "/tmp/sfscale/sf30docs"
-        gendocs(factor, src, out)
+        hot = "--hot" in sys.argv
+        argv = [a for a in sys.argv if a != "--hot"]
+        factor = int(argv[2]) if len(argv) > 2 else 3
+        src = argv[3] if len(argv) > 3 else "/tmp/sfscale/sf10"
+        out = argv[4] if len(argv) > 4 else "/tmp/sfscale/sf30docs"
+        gendocs(factor, src, out, hot=hot)
     elif cmd == "spark":
         spark_run(sys.argv[2], sys.argv[3])
     elif cmd == "duck":
