@@ -155,6 +155,13 @@ def ngram_jaccard_pairs(
     any oracle).  ``restrict_ids`` limits pair finding to a doc subset
     with the frequency cutoff still counted corpus-wide (see
     :func:`_shared_counts_and_sizes`).
+
+    NOTE: construction EAGERLY runs one Spark job (round 9) — a count
+    on the persisted shingle table sizes the self-join so hash builds
+    stay bounded as the corpus grows; the cache it materializes is the
+    one every consumer of the plan needs anyway.  With
+    ``max_doc_freq=None`` the join stays spill-safe sort-merge (no
+    per-key bound exists to justify the hash hint).
     """
     shared = _shared_counts_and_sizes(df, id_col, text_col, n, max_doc_freq, restrict_ids)
     return (
@@ -220,10 +227,15 @@ def _shared_counts_and_sizes(
     # repartition-by-shingle keeping builds at ~BUILD_ROWS rows per
     # task; if the cap is ever insufficient the hint is DROPPED and
     # Catalyst's sort-merge join spills gracefully instead of dying.
+    # Repartition width bounds the AVERAGE build; only the doc-freq
+    # guard bounds a single KEY (all rows of one hot shingle land in one
+    # partition no matter the width).  So the hint is forced only when
+    # BOTH bounds hold — ungarded callers (max_doc_freq=None) get the
+    # spill-safe sort-merge default instead of a possible build OOM.
     n_rows = sh.count()
     session_parts = int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     need = -(-n_rows // _SHJ_BUILD_ROWS)  # ceil
-    if need > _SHJ_MAX_PARTS:
+    if need > _SHJ_MAX_PARTS or max_doc_freq is None:
         a, b = sh.alias("a"), sh.alias("b")  # SMJ: sorts, but spills
     elif need > session_parts:
         sh = sh.repartition(int(need), "shingle")
@@ -266,7 +278,9 @@ def ngram_containment_pairs(
     Default ``n=5``: longer windows than Jaccard's 3 so "shared"
     means verbatim runs of ≥5 tokens, not vocabulary overlap.  Same
     plan/scale properties as :func:`ngram_jaccard_pairs` (shared core:
-    :func:`_shared_counts_and_sizes`), including ``max_doc_freq``.
+    :func:`_shared_counts_and_sizes`), including ``max_doc_freq`` AND
+    the construction-time sizing job + sort-merge-when-unguarded
+    behavior documented there.
     """
     shared = _shared_counts_and_sizes(df, id_col, text_col, n, max_doc_freq)
     return (

@@ -2846,7 +2846,7 @@ per_doc AS (
 )
 SELECT c.doc_id AS id,
        COALESCE(n_grams, 0) AS n_grams,
-       COALESCE(CAST(n_unique AS BIGINT), 0) AS n_unique,
+       COALESCE(n_unique, 0) AS n_unique,
        CASE WHEN n_grams IS NOT NULL
             THEN round(n_unique / CAST(n_grams AS DOUBLE), 6) END AS novelty
 FROM (SELECT DISTINCT doc_id FROM corpus) c

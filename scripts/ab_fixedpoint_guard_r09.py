@@ -34,6 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+from etlbigdata_spark.operators import fixedpoint
 from etlbigdata_spark.session import build_session
 from etlbigdata_spark.workload import load
 
@@ -59,16 +60,16 @@ def _round_guarded(c, dp=2):
     return F.when(dev > 1e-3, _raise(c)).otherwise(enc)
 
 
+# the cheap faces ARE the shipped implementation — import, don't copy,
+# so a future scaled_long change keeps this A/B measuring production
+# code (the round-encode faces above are deliberately frozen copies of
+# the superseded round-8 formulation)
 def _cheap_enc(c, dp=2):
-    scaled = c * (10 ** dp)
-    return (scaled + F.signum(scaled) * 0.5).cast("long")
+    return fixedpoint.scaled_long(c, dp=dp, validate=False)
 
 
 def _cheap_guarded(c, dp=2):
-    scaled = c * (10 ** dp)
-    enc = (scaled + F.signum(scaled) * 0.5).cast("long")
-    dev = F.abs(scaled - enc)
-    return F.when(dev > 1e-3, _raise(c)).otherwise(enc)
+    return fixedpoint.scaled_long(c, dp=dp, validate=True)
 
 
 def _rev(enc_fn):

@@ -153,9 +153,11 @@ def stats(sf_dir: str) -> None:
     docs = load(spark, sf_dir, "documents")
     out = {"op": "stats", "sf_dir": sf_dir, "docs": docs.count()}
     for n in (3, 5):
+        # shingles are already per-doc distinct (array_distinct in
+        # _shingle_expr), so (id, shingle) rows are globally distinct —
+        # no .distinct() pass needed before the frequency count
         dfreq = (
             fdedup.exploded_shingles(docs, "doc_id", "text", n=n)
-            .distinct()
             .groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
         )

@@ -136,6 +136,16 @@ def test_d02_shj_build_scales_with_corpus(spark, sf_dir, monkeypatch):
     assert got_s == want
     assert "ShuffledHashJoin" not in _final_plan(smj)  # spill-safe SMJ
 
+    # (d) review-pass fix: with NO doc-freq guard a single hot shingle
+    # concentrates unboundedly in one partition, so the hash hint must
+    # not be forced — unguarded callers get sort-merge
+    monkeypatch.undo()
+    fdedup.release_cached()
+    unguarded = fdedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                           threshold=0.2, max_doc_freq=None)
+    unguarded.collect()
+    assert "ShuffledHashJoin" not in _final_plan(unguarded)
+
 
 def test_d09_within_cell_equi_join_only(plans):
     """SemDeDup's whole point is that the pair join is an EQUI-join on

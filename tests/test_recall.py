@@ -1329,6 +1329,9 @@ def test_semantic_dedup_blas_assignment(emb, spark):
     agree = j.filter(F.col("cluster") == F.col("bcluster")).count()
     assert agree / n >= 0.99, f"{agree}/{n}"
 
+    with pytest.raises(ValueError, match="assign must be"):
+        fsim.semantic_dedup_pairs(base, centroids=cents, assign="bogus")
+
 
 def test_blas_assignment_null_embedding_matches_expression_face(emb, spark):
     """Round-9 advice: a null embedding must get a NULL assignment from
@@ -1356,9 +1359,6 @@ def test_blas_assignment_null_embedding_matches_expression_face(emb, spark):
     assert b_null == e_null == {99999}
     # non-null rows still get real assignments
     assert b.filter(F.col("cluster").isNotNull()).count() == 50
-
-    with pytest.raises(ValueError, match="assign must be"):
-        fsim.semantic_dedup_pairs(base, centroids=cents, assign="bogus")
 
 
 def test_semantic_assignment_faces_agree_on_gapped_ids(emb, spark):
