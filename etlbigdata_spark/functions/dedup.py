@@ -156,12 +156,13 @@ def ngram_jaccard_pairs(
     with the frequency cutoff still counted corpus-wide (see
     :func:`_shared_counts_and_sizes`).
 
-    NOTE: construction EAGERLY runs one Spark job (round 9) — a count
-    on the persisted shingle table sizes the self-join so hash builds
-    stay bounded as the corpus grows; the cache it materializes is the
-    one every consumer of the plan needs anyway.  With
-    ``max_doc_freq=None`` the join stays spill-safe sort-merge (no
-    per-key bound exists to justify the hash hint).
+    NOTE: with ``max_doc_freq`` set, construction EAGERLY runs one
+    Spark job (round 9) — a count on the persisted shingle table sizes
+    the self-join so hash builds stay bounded as the corpus grows; the
+    cache it materializes is the one every consumer of the plan needs
+    anyway.  With ``max_doc_freq=None`` construction stays lazy and the
+    join stays spill-safe sort-merge (no per-key bound exists to
+    justify the hash hint).
     """
     shared = _shared_counts_and_sizes(df, id_col, text_col, n, max_doc_freq, restrict_ids)
     return (
@@ -230,18 +231,28 @@ def _shared_counts_and_sizes(
     # Repartition width bounds the AVERAGE build; only the doc-freq
     # guard bounds a single KEY (all rows of one hot shingle land in one
     # partition no matter the width).  So the hint is forced only when
-    # BOTH bounds hold — ungarded callers (max_doc_freq=None) get the
-    # spill-safe sort-merge default instead of a possible build OOM.
-    n_rows = sh.count()
-    session_parts = int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    need = -(-n_rows // _SHJ_BUILD_ROWS)  # ceil
-    if need > _SHJ_MAX_PARTS or max_doc_freq is None:
+    # BOTH bounds hold — unguarded callers (max_doc_freq=None) get the
+    # spill-safe sort-merge default instead of a possible build OOM,
+    # and skip the sizing count entirely: their branch outcome does not
+    # depend on it, so their construction stays LAZY (round-9 review).
+    if max_doc_freq is None:
         a, b = sh.alias("a"), sh.alias("b")  # SMJ: sorts, but spills
-    elif need > session_parts:
-        sh = sh.repartition(int(need), "shingle")
-        a, b = sh.alias("a"), sh.hint("shuffle_hash").alias("b")
     else:
-        a, b = sh.alias("a"), sh.hint("shuffle_hash").alias("b")
+        n_rows = sh.count()
+        try:
+            session_parts = int(
+                sh.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except ValueError:  # e.g. "auto" under managed AQE shuffles
+            session_parts = 200
+        need = -(-n_rows // _SHJ_BUILD_ROWS)  # ceil
+        if need > _SHJ_MAX_PARTS:
+            a, b = sh.alias("a"), sh.alias("b")  # SMJ: sorts, but spills
+        elif need > session_parts:
+            sh = sh.repartition(int(need), "shingle")
+            a, b = sh.alias("a"), sh.hint("shuffle_hash").alias("b")
+        else:
+            a, b = sh.alias("a"), sh.hint("shuffle_hash").alias("b")
     shared = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))

@@ -78,8 +78,15 @@ def scaled_long(col: Column | str, dp: int = 2, validate: bool = True) -> Column
     # HALF_UP without F.round: Round(DoubleType) allocates a BigDecimal
     # per row — the exact slow path this module exists to avoid.  The
     # truncating cast is identical for every on-grid input (off-grid
-    # raises below / is out of contract for validate=False).
-    enc = (scaled + F.signum(scaled) * 0.5).cast("long")
+    # raises below / is out of contract for validate=False).  Above
+    # 2^52 the +0.5 nudge itself rounds (double spacing ≥ 1) and would
+    # shift an exact integer by one (round-9 review, verified at
+    # 2^52+1), so that magnitude branch casts directly — every double
+    # there is integral, truncation is exact.
+    half_up = (scaled + F.signum(scaled) * 0.5).cast("long")
+    enc = F.when(F.abs(scaled) < float(2 ** 52), half_up).otherwise(
+        scaled.cast("long")
+    )
     if not validate:
         return enc
     dev = F.abs(scaled - enc)

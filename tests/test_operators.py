@@ -1315,6 +1315,29 @@ def test_fixedpoint_scaled_long_absorbs_binary_error(spark):
     assert all(r.b == r.d for r in back.collect())
 
 
+def test_fixedpoint_scaled_long_exact_above_2_52(spark):
+    """Round-9 review: above 2^52 the cast-encode's +0.5 nudge itself
+    rounds (double spacing ≥ 1) and shifted an exact integer by one —
+    2^52+1 at dp=0 false-raised with validate=True and silently encoded
+    ±1 with validate=False.  The magnitude branch must cast directly
+    (every double there is integral, truncation exact), both faces,
+    both signs, and stay correct just below the boundary too."""
+    from etlbigdata_spark.operators import fixedpoint as fx
+
+    big = float(2 ** 52 + 1)       # rounds wrong under +0.5 pre-fix
+    below = float(2 ** 52 - 1) + 0.0
+    df = spark.createDataFrame(
+        [(big,), (-big,), (below,), (-below,)], "x double"
+    )
+    for validate in (True, False):
+        got = [
+            r.v for r in df.select(
+                fx.scaled_long("x", dp=0, validate=validate).alias("v")
+            ).collect()
+        ]
+        assert got == [2 ** 52 + 1, -(2 ** 52 + 1), 2 ** 52 - 1, -(2 ** 52 - 1)]
+
+
 def test_fixedpoint_charge_decomposition_null_tax(spark):
     """Round-8 review fix: the decimal face's price·(1−disc)·(1+tax) is
     NULL (excluded from SUM) when tax is NULL — the decomposed
