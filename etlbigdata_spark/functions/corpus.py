@@ -329,6 +329,127 @@ def pack_shards(
     return out
 
 
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "clean_text",
+    min_words_per_line: int = 5,
+    min_lines: int = 3,
+    banned_line_words: tuple[str, ...] = ("javascript",),
+    banned_doc_substrings: tuple[str, ...] = ("lorem ipsum", "{"),
+    terminal_punct: tuple[str, ...] = (".", "!", "?", '"'),
+) -> DataFrame:
+    """C4-style rule-based corpus cleaning (Raffel et al. 2020, the
+    cleaning recipe behind the C4 pre-training corpus; public method,
+    §2.2 of the T5 paper): LINE-level filters — keep a line only if it
+    ends in a terminal punctuation mark, has at least
+    ``min_words_per_line`` words, and mentions none of
+    ``banned_line_words`` — plus DOC-level filters — drop the whole
+    document if its ORIGINAL text contains any of
+    ``banned_doc_substrings`` (C4 drops 'lorem ipsum' placeholder pages
+    and '{'-bearing code pages) or if fewer than ``min_lines`` lines
+    survive the line filters.
+
+    The reference's cleaning surface stops at fillna/dedup/replace
+    (``/root/reference/simple_etl.py:192-228``); this is the
+    rule-filtering pass a 100 TB crawl actually runs before any of it.
+
+    Scale shape: one map-side projection, NO shuffle — lines live in a
+    bounded per-document array, filtered with a higher-order ``filter``
+    whose lambda is ordinary string predicates. HOF lambdas evaluate
+    interpreted per element (the plan-lint ``allow_hofs`` case), which
+    is the right trade here: the alternative explode→filter→re-group
+    costs a corpus-wide shuffle to reassemble documents. Document
+    boundaries never cross rows, so the operator is embarrassingly
+    parallel and reshard-stable.
+
+    Adds ``n_lines`` (pre-filter), ``n_lines_kept`` and ``out_col``
+    (kept lines re-joined with newlines); emits only surviving docs.
+    """
+    if min_words_per_line < 1 or min_lines < 1:
+        raise ValueError("min_words_per_line and min_lines must be >= 1")
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+
+    def _line_ok(line: Column) -> Column:
+        trimmed = F.trim(line)
+        ok = F.substring(trimmed, -1, 1).isin(*terminal_punct)
+        words = F.size(F.array_remove(F.split(trimmed, r"\s+"), ""))
+        ok = ok & (words >= min_words_per_line)
+        low = F.lower(line)
+        for w in banned_line_words:
+            ok = ok & ~low.contains(F.lit(w.lower()))
+        return ok
+
+    doc_ok = F.lit(True)
+    low_t = F.lower(t)
+    for b in banned_doc_substrings:
+        doc_ok = doc_ok & ~low_t.contains(F.lit(b.lower()))
+
+    return (
+        df.withColumn("n_lines", F.size(lines))
+        .withColumn("__kept", F.filter(lines, _line_ok))
+        .withColumn("n_lines_kept", F.size("__kept"))
+        .filter(doc_ok & (F.col("n_lines_kept") >= min_lines))
+        .withColumn(out_col, F.array_join("__kept", "\n"))
+        .drop("__kept")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token windows — the
+    chunking pass that turns a cleaned corpus into training sequences /
+    retrieval passages. Windows start at 0, ``stride``, 2·stride, …;
+    the FINAL window is re-anchored to ``n − chunk_tokens`` when the
+    last strided start would leave a tail uncovered, so every token is
+    covered and every window is full-size (the only short chunk is a
+    document shorter than ``chunk_tokens``, which yields exactly one).
+
+    Scale shape: tokenize → per-doc start list (a bounded arithmetic
+    array) → ``posexplode`` — pure map-side expansion, NO shuffle, no
+    Python. Output grows ~``1/stride`` × token count; callers feeding a
+    narrow compressed scan should ``rebalance_for_expansion`` first
+    (same choke as the shingle pipelines). Chunk identity
+    (``chunk_id``, ``start``) is pure arithmetic on token positions —
+    reshard-stable and reproducible, so chunk sets from different runs
+    or engines can be diffed row-for-row.
+
+    Emits (id, chunk_id, start, n_tokens, chunk_text); tokenization is
+    :func:`text.tokens_col` (lowercased whitespace tokens). Documents
+    with no tokens yield no chunks.
+    """
+    if chunk_tokens < 1 or stride < 1 or stride > chunk_tokens:
+        raise ValueError("need 1 <= stride <= chunk_tokens")
+    from .text import tokens_col
+
+    toks = tokens_col(text_col)
+    max_start = F.greatest(F.size(toks) - chunk_tokens, F.lit(0))
+    base = F.sequence(F.lit(0), max_start, F.lit(stride))
+    starts = F.when(max_start % stride == 0, base).otherwise(
+        F.concat(base, F.array(max_start))
+    )
+    rows = df.select(
+        F.col(id_col), toks.alias("__toks"), F.posexplode(starts).alias("chunk_id", "start")
+    )
+    chunk = F.slice(F.col("__toks"), F.col("start") + 1, chunk_tokens)
+    return (
+        rows.select(
+            id_col,
+            "chunk_id",
+            "start",
+            F.size(chunk).alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+
+
 def temperature_rates(
     df: DataFrame,
     group_col: str = "source",

@@ -2886,6 +2886,147 @@ LEFT JOIN shared ON source_a = sa.src AND source_b = sb.src
 """
 
 
+def _t20_lined_docs(docs: DataFrame) -> DataFrame:
+    """Shared t20 fixture: rebuild the punctuation-free word-stream
+    corpus into LINED text so the C4 rules have structure to act on
+    (the t18 planting pattern).  Deterministic, expression-only, and
+    replicated verbatim in the oracle: lines of ``4 + doc_id % 4``
+    words; every (doc_id+i) % 3 == 0 line ends '.', % 7 == 0 ends '?',
+    the rest end bare (terminal-punct filter fodder); every
+    (doc_id+i) % 11 == 0 line gets ' javascript' planted (line-ban
+    fodder); every doc_id % 53 == 0 doc gets a trailing 'lorem ipsum.'
+    line (doc-ban fodder)."""
+    toks = ftext.tokens_col("text")
+    L = (F.lit(4) + F.col("doc_id") % 4).cast("int")
+    n_lines = F.greatest(F.ceil(F.size(toks) / L), F.lit(1)).cast("int")
+
+    def _mk_line(i):
+        di = F.col("doc_id") + i
+        return F.concat(
+            F.array_join(F.slice(toks, (i - F.lit(1)) * L + 1, L), " "),
+            F.when(di % 11 == 0, F.lit(" javascript")).otherwise(F.lit("")),
+            F.when(di % 3 == 0, F.lit("."))
+            .when(di % 7 == 0, F.lit("?"))
+            .otherwise(F.lit("")),
+        )
+
+    lines = F.transform(F.sequence(F.lit(1), n_lines), _mk_line)
+    lines = F.when(
+        F.col("doc_id") % 53 == 0, F.concat(lines, F.array(F.lit("lorem ipsum.")))
+    ).otherwise(lines)
+    return docs.select("doc_id", "source", F.array_join(lines, "\n").alias("text"))
+
+
+def t20_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation — C4-style rule-based cleaning
+    (corpus.c4_clean; Raffel et al. 2020 §2.2): line-level terminal-
+    punctuation / min-words / banned-word filters plus doc-level
+    'lorem ipsum' and min-surviving-lines drops, all in ONE map-side
+    projection (document = row, lines = bounded array; no shuffle, no
+    Python).  The word-stream corpus is first rebuilt into lined text
+    by the deterministic :func:`_t20_lined_docs` planting (replicated
+    in the oracle), so every rule fires non-vacuously at every SF:
+    ~1/3 of lines keep '.', ~1/11 carry the banned token, 1/53 of docs
+    carry the doc-ban phrase, and short docs die on min_lines."""
+    docs = load(spark, sf_dir, "documents")
+    lined = _t20_lined_docs(docs)
+    cleaned = fcorpus.c4_clean(lined, min_words_per_line=4, min_lines=2)
+    return cleaned.select(
+        "doc_id",
+        "source",
+        "n_lines",
+        "n_lines_kept",
+        F.length("clean_text").alias("clean_len"),
+    )
+
+
+_T20_LINED_SQL = f"""
+base AS (
+  SELECT doc_id, source, {_TOKS_SQL} AS toks, 4 + doc_id % 4 AS L FROM documents
+),
+lined AS (
+  SELECT doc_id, source,
+         [ array_to_string(toks[(i-1)*L+1 : i*L], ' ')
+           || CASE WHEN (doc_id + i) % 11 = 0 THEN ' javascript' ELSE '' END
+           || CASE WHEN (doc_id + i) % 3 = 0 THEN '.'
+                   WHEN (doc_id + i) % 7 = 0 THEN '?' ELSE '' END
+           FOR i IN generate_series(1, greatest(CAST(ceil(len(toks) / CAST(L AS DOUBLE)) AS BIGINT), 1)) ] AS lines
+  FROM base
+),
+planted AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 53 = 0 THEN list_append(lines, 'lorem ipsum.')
+              ELSE lines END AS lines
+  FROM lined
+)
+"""
+
+T20_SQL = f"""
+WITH {_T20_LINED_SQL},
+cleaned AS (
+  SELECT doc_id, source, len(lines) AS n_lines,
+         list_filter(lines, l ->
+           substring(trim(l), -1, 1) IN ('.', '!', '?', '"')
+           AND len(list_filter(string_split_regex(trim(l), '\\s+'), w -> w <> '')) >= 4
+           AND NOT contains(lower(l), 'javascript')
+         ) AS kept
+  FROM planted
+  WHERE NOT contains(lower(array_to_string(lines, chr(10))), 'lorem ipsum')
+    AND NOT contains(array_to_string(lines, chr(10)), '{{')
+)
+SELECT doc_id, source, n_lines, len(kept) AS n_lines_kept,
+       length(array_to_string(kept, chr(10))) AS clean_len
+FROM cleaned WHERE len(kept) >= 2
+"""
+
+
+def t21_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation — overlapping token-window chunking
+    (corpus.chunk_documents): the pass that turns cleaned documents
+    into fixed-size training sequences / retrieval passages.  Strided
+    starts with the final window re-anchored to n−chunk (full coverage,
+    full-size windows); pure map-side posexplode of an arithmetic start
+    list — no shuffle, no Python, chunk identity reproducible from
+    token positions alone (which is exactly what the oracle replays).
+    chunk=32/stride=24 puts most docs at 2–4 overlapping chunks."""
+    docs = load(spark, sf_dir, "documents")
+    chunks = fcorpus.chunk_documents(
+        ftext.rebalance_for_expansion(docs), "doc_id", "text", chunk_tokens=32, stride=24
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "start",
+        "n_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+        F.length("chunk_text").alias("chunk_len"),
+    )
+
+
+T21_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks,
+         greatest(len({_TOKS_SQL}) - 32, 0) AS ms
+  FROM documents
+),
+st AS (
+  SELECT doc_id, toks, ms,
+         CASE WHEN ms % 24 = 0 THEN [i FOR i IN generate_series(0, ms, 24)]
+              ELSE list_append([i FOR i IN generate_series(0, ms, 24)], ms) END AS starts
+  FROM d
+),
+e AS (SELECT doc_id, toks, ms, unnest(starts) AS start FROM st)
+SELECT doc_id,
+       CAST(CASE WHEN start % 24 = 0 THEN start // 24
+                 ELSE ms // 24 + 1 END AS INTEGER) AS chunk_id,
+       start,
+       len(toks[start+1 : start+32]) AS n_tokens,
+       md5(array_to_string(toks[start+1 : start+32], ' ')) AS chunk_md5,
+       length(array_to_string(toks[start+1 : start+32], ' ')) AS chunk_len
+FROM e WHERE len(toks[start+1 : start+32]) > 0
+"""
+
+
 def t05_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B25 — polynomial rolling-hash document fingerprint (the
     cross-engine oracle twin).  Oracle-checked since round 3: the
@@ -5564,6 +5705,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t07_hash_split": t07_hash_split,
     "t09_pii_redact": t09_pii_redact,
     "t10_quota_sample": t10_quota_sample,
+    # corpus curation (round 9 continuation): C4 rule cleaning + chunking
+    "t20_c4_clean": t20_c4_clean,
+    "t21_chunking": t21_chunking,
 }
 
 # The driver's correctness gate checks the first N registry entries at
@@ -5706,6 +5850,8 @@ ORACLE_SQL: dict[str, str] = {
     "t17_temperature_mix": T17_SQL,
     "t18_novelty": T18_SQL,
     "t19_vocab_overlap": T19_SQL,
+    "t20_c4_clean": T20_SQL,
+    "t21_chunking": T21_SQL,
     "s07_prototype_prune": S07_SQL,
     "s08_hard_negatives": S08_SQL,
     "t05_fingerprint": T05_SQL,

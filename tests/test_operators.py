@@ -1377,3 +1377,94 @@ def test_fixedpoint_charge_decomposition_null_tax(spark):
     want = {r.g: r.sum_charge for r in dec.collect()}
     assert got == want  # group a: only the tax-bearing row; group b: NULL
     assert want["b"] is None and want["a"] == 94.5
+
+
+# -- corpus curation round 9: C4 cleaning + chunking -------------------
+def test_c4_clean_line_and_doc_rules(spark):
+    """Every C4 rule on a hand-built fixture: terminal-punct keep set
+    (incl. '\"' and trailing-whitespace trim), min-words-per-line,
+    case-insensitive banned line word, doc-level 'lorem ipsum' drop,
+    and the min-surviving-lines drop."""
+    from etlbigdata_spark.functions import corpus as fcorpus
+
+    rows = [
+        # doc 1: 3 lines — one good, one unpunctuated, one good with '"'
+        (1, 'alpha beta gamma delta epsilon.\nno terminal punct here at all\n"quoted line with five words."  '),
+        # doc 2: enough lines but one carries JavaScript (case test)
+        (2, "one two three four five.\nthis line mentions JavaScript badly.\nsix seven eight nine ten!"),
+        # doc 3: lorem ipsum doc-ban (lines otherwise fine)
+        (3, "clean line one two three.\nLorem Ipsum placeholder text here.\nclean line four five six."),
+        # doc 4: only one surviving line -> min_lines=2 drops the doc
+        (4, "short line.\nanother good line with words."),
+        # doc 5: short-word lines dropped by min_words
+        (5, "a b.\nc d e f g h.\ni j k l m n?"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = fcorpus.c4_clean(df, min_words_per_line=5, min_lines=2)
+    got = {r.doc_id: r for r in out.collect()}
+    assert set(got) == {1, 2, 5}
+    assert got[1].n_lines == 3 and got[1].n_lines_kept == 2
+    # trim applies to the punct test only; kept lines keep their bytes
+    assert got[1].clean_text == 'alpha beta gamma delta epsilon.\n"quoted line with five words."  '
+    assert got[2].n_lines_kept == 2  # JavaScript line dropped, case-insensitively
+    assert "javascript" not in got[2].clean_text.lower()
+    assert got[5].n_lines_kept == 2  # the 2-word line dies, 6-word lines live
+    with pytest.raises(ValueError):
+        fcorpus.c4_clean(df, min_words_per_line=0)
+
+
+def test_c4_clean_is_shuffle_free(spark):
+    from etlbigdata_spark.functions import corpus as fcorpus
+    from etlbigdata_spark.plans.audit import audit
+
+    df = spark.createDataFrame([(1, "a b c d e.\nf g h i j.")], "doc_id int, text string")
+    a = audit(fcorpus.c4_clean(df, min_lines=1))
+    assert a.shuffle_exchanges == 0
+
+
+def test_chunk_documents_exact_windows_and_tail_anchor(spark):
+    """Strided full-size windows with the tail re-anchored to n-chunk:
+    10 toks / chunk 4 / stride 3 -> starts 0,3,6 (ms divisible); 9 toks
+    -> starts 0,3,5 (tail anchored, still full-size); short doc -> one
+    short chunk; empty doc -> no rows."""
+    from etlbigdata_spark.functions import corpus as fcorpus
+
+    rows = [
+        (1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+        (2, "t0 t1 t2 t3 t4 t5 t6 t7 t8"),
+        (3, "t0 t1"),
+        (4, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = fcorpus.chunk_documents(df, "doc_id", "text", chunk_tokens=4, stride=3)
+    got = {(r.doc_id, r.chunk_id): (r.start, r.n_tokens, r.chunk_text) for r in out.collect()}
+    assert {(d, c) for d, c in got} == {(1, 0), (1, 1), (1, 2), (2, 0), (2, 1), (2, 2), (3, 0)}
+    assert got[(1, 0)] == (0, 4, "t0 t1 t2 t3")
+    assert got[(1, 1)] == (3, 4, "t3 t4 t5 t6")
+    assert got[(1, 2)] == (6, 4, "t6 t7 t8 t9")
+    # 9 tokens: ms=5 not divisible by 3 -> tail anchored at 5, full-size
+    assert got[(2, 2)] == (5, 4, "t5 t6 t7 t8")
+    assert got[(3, 0)] == (0, 2, "t0 t1")
+    # coverage: every token index of doc 2 appears in some window
+    covered = set()
+    for (d, _c), (s, n, _t) in got.items():
+        if d == 2:
+            covered |= set(range(s, s + n))
+    assert covered == set(range(9))
+    with pytest.raises(ValueError):
+        fcorpus.chunk_documents(df, chunk_tokens=4, stride=5)
+    with pytest.raises(ValueError):
+        fcorpus.chunk_documents(df, chunk_tokens=0, stride=0)
+
+
+def test_chunk_documents_reshard_stable_and_shuffle_free(spark, sf_dir):
+    from etlbigdata_spark import workload
+    from etlbigdata_spark.functions import corpus as fcorpus
+    from etlbigdata_spark.plans.audit import audit
+
+    docs = workload.load(spark, sf_dir, "documents")
+    key = lambda df: {(r.doc_id, r.chunk_id, r.start, r.chunk_text) for r in df.collect()}  # noqa: E731
+    a = key(fcorpus.chunk_documents(docs, chunk_tokens=32, stride=24))
+    b = key(fcorpus.chunk_documents(docs.repartition(7), chunk_tokens=32, stride=24))
+    assert a == b and len(a) > len({x[0] for x in a})  # multi-chunk docs exist
+    assert audit(fcorpus.chunk_documents(docs, chunk_tokens=32, stride=24)).shuffle_exchanges == 0
