@@ -1368,3 +1368,292 @@ def hard_negatives(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# -- product quantization (PQ) ANN -------------------------------------
+#
+# The lossy-compression member of the ANN family (Jégou et al. 2011,
+# "Product Quantization for Nearest Neighbor Search"): split each d-dim
+# vector into m disjoint subvectors, quantize each against its own
+# k-codeword codebook, and search with asymmetric distance computation
+# (ADC) — queries stay float, the corpus is m small integers per vector
+# (m bytes at k ≤ 256 vs 4d bytes float32: 32× smaller than SQ8's d
+# bytes for m = d/8).  At 100 TB this is the difference between an index
+# that fits in cluster page cache and one that doesn't.  Composes with
+# IVF the same way quantize_embeddings does (ivf_write_index stores
+# whatever columns ride the frame).
+
+
+def pq_fit(
+    corpus: DataFrame,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "sample",
+    train_n: int = 4096,
+    kmeans_iters: int = 10,
+) -> list[list[list[float]]]:
+    """Fit PQ codebooks: ``n_subspaces`` × ``n_codes`` × (d/m) floats.
+
+    ``method="sample"`` — the cross-engine-deterministic face (the
+    :func:`semantic_centroids` rule): the ``n_codes`` vectors with the
+    smallest ``md5(id-as-string)``, sliced; codeword j of EVERY subspace
+    comes from sampled vector j, so an external SQL engine can rebuild
+    the identical codebooks (the s09 oracle does).  ``method="kmeans"``
+    — the production face: per-subspace Lloyd's on an md5-deterministic
+    sample of ``train_n`` vectors (codebooks are always trained on a
+    bounded sample — the FAISS convention — so the collect is bounded by
+    contract and the result is still reshard-stable/deterministic:
+    md5 order fixes both the sample and the init).
+
+    Driver returns plain nested lists — they broadcast into encode /
+    search expressions as literals, same as every centroid face here."""
+    d = len(corpus.select(vec_col).first()[0])
+    if d % n_subspaces != 0:
+        raise ValueError(f"dim {d} not divisible by n_subspaces {n_subspaces}")
+    if not 1 <= n_codes <= 128:
+        # codes are array<tinyint> (signed byte, max 127); 128 codewords
+        # use codes 0..127 exactly — the standard nbits=7 PQ budget here
+        raise ValueError("n_codes must be in [1, 128] (codes are tinyint)")
+    dsub = d // n_subspaces
+    take = n_codes if method == "sample" else max(train_n, n_codes)
+    rows = (
+        corpus.select(F.col(vec_col), F.md5(F.col(id_col).cast("string")).alias("__h"))
+        .orderBy("__h")
+        .limit(take)
+        .collect()
+    )
+    if len(rows) < n_codes:
+        raise ValueError(f"corpus has {len(rows)} rows < n_codes {n_codes}")
+    import numpy as np
+
+    X = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    if method == "sample":
+        return [
+            [[float(x) for x in X[j, s * dsub : (s + 1) * dsub]] for j in range(n_codes)]
+            for s in range(n_subspaces)
+        ]
+    if method != "kmeans":
+        raise ValueError(f"unknown method {method!r}")
+    books = []
+    for s in range(n_subspaces):
+        S = X[:, s * dsub : (s + 1) * dsub]
+        C = S[:n_codes].copy()
+        for _ in range(kmeans_iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(n_codes):
+                mask = assign == j
+                if mask.any():
+                    C[j] = S[mask].mean(axis=0)
+        books.append([[float(x) for x in C[j]] for j in range(n_codes)])
+    return books
+
+
+def _pq_shape(codebooks: list) -> tuple[int, int, int]:
+    m = len(codebooks)
+    k = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    for s, book in enumerate(codebooks):
+        if len(book) != k or any(len(cw) != dsub for cw in book):
+            raise ValueError(f"ragged codebook at subspace {s}")
+    if k > 128:
+        raise ValueError("codebooks exceed 128 codewords — codes are tinyint")
+    return m, k, dsub
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list,
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+    round_to: int | None = None,
+    assign: str = "expression",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Encode vectors to PQ codes (``array<tinyint>`` of length m): per
+    subspace, the argmin-squared-L2 codeword, ties to the LOWEST code id.
+
+    ``assign="expression"`` — JVM expressions via the expanded identity
+    ``‖x‖²−2x·c+‖c‖²`` (the same float-op sequence an external engine's
+    ``list_inner_product`` runs), distances rounded to ``round_to``
+    BEFORE the argmin so the s09 oracle picks identical codes.
+    ``assign="blas"`` — one (B×k) distance matrix per subspace per Arrow
+    batch; unrounded (no external engine replays it); same tie-break
+    (``np.argmin`` takes the first minimum).  Both are map-side only:
+    codebooks travel as literals/closures, the corpus never shuffles,
+    and encoding is reshard-stable."""
+    m, k, dsub = _pq_shape(codebooks)
+    if assign == "expression":
+        v = F.col(vec_col).cast("array<double>")
+
+        # factory, not a default-arg lambda: pyspark reads lambda ARITY
+        # (2 params = element+index), so `lambda cw, sub=sub:` would be
+        # fed the array INDEX as `sub`
+        def _d2_against(sub):
+            return lambda cw: _dot(sub, sub) - 2 * _dot(sub, cw) + _dot(cw, cw)
+
+        codes = []
+        for s in range(m):
+            sub = F.slice(v, s * dsub + 1, dsub)
+            book = F.array(*[F.array(*[F.lit(x) for x in cw]) for cw in codebooks[s]])
+            d2 = F.transform(book, _d2_against(sub))
+            if round_to is not None:
+                d2 = F.transform(d2, lambda x: F.round(x, round_to))
+            codes.append((F.array_position(d2, F.array_min(d2)) - 1).cast("tinyint"))
+        out = df.withColumn(
+            code_col, F.when(F.col(vec_col).isNotNull(), F.array(*codes))
+        )
+        return out if keep_vec else out.drop(vec_col)
+    if assign != "blas":
+        raise ValueError(f"unknown assign {assign!r}")
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    C = [np.ascontiguousarray(np.array(b, dtype=np.float64)) for b in codebooks]
+    Cn2 = [np.einsum("kd,kd->k", c, c) for c in C]
+
+    def _enc(v):  # pd.Series -> pd.Series (see b18 note on hints)
+        mask = v.notna()
+        out = pd.Series([None] * len(v), dtype=object)
+        if mask.any():
+            X = np.array(v[mask].tolist(), dtype=np.float64)
+            codes = np.empty((len(X), m), dtype=np.int8)
+            for s in range(m):
+                S = X[:, s * dsub : (s + 1) * dsub]
+                d2 = Cn2[s][None, :] - 2.0 * (S @ C[s].T)  # ‖x‖² constant per row
+                codes[:, s] = d2.argmin(axis=1)
+            out[np.flatnonzero(mask.to_numpy())] = list(codes)
+        return out
+
+    enc = pandas_udf(_enc, returnType=T.ArrayType(T.ByteType()))
+    out = df.withColumn(code_col, enc(F.col(vec_col)))
+    return out if keep_vec else out.drop(vec_col)
+
+
+def pq_reconstruct_col(code_col: str | Column, codebooks: list) -> Column:
+    """The decoded approximation x̂ as ``array<double>``: codeword lookup
+    per subspace, flattened in subspace order.  Pure codegen literal
+    lookup — the expression the oracle-facing ADC scores against (for
+    dot/cosine, scoring the reconstruction IS ADC: subspaces are
+    disjoint coordinates, so ``q·x̂ = Σ_s q_s·c_{s,code_s}``)."""
+    m, _, _ = _pq_shape(codebooks)
+    codes = (F.col(code_col) if isinstance(code_col, str) else code_col).cast("array<int>")
+    books = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(x) for x in cw]) for cw in codebooks[s]])
+            for s in range(m)
+        ]
+    )
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(m)),
+            lambda s: F.element_at(F.element_at(books, s), F.element_at(codes, s) + 1),
+        )
+    )
+
+
+def pq_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list,
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+    adc: str = "blas",
+) -> DataFrame:
+    """PQ top-k search with asymmetric distance computation: float
+    queries against the coded corpus, scored as cosine(q, x̂).
+
+    ``adc="blas"`` — the production path: per subspace a k×Q lookup
+    table ``LUT_s[j] = q_s·c_{s,j}`` is built ONCE per task from the
+    (small by contract) query set, and each Arrow batch scores as m
+    integer-indexed gathers + adds — no d-dim arithmetic per pair, the
+    whole point of PQ; ‖x̂‖² comes from the same gather over per-codeword
+    norms (subspace coordinates are disjoint, no cross terms).  The
+    corpus scan reads ONLY (id, m-byte code): at 100 TB the scan is
+    ~m/(4d) of the float index.  ``adc="expression"`` — the JVM twin
+    scoring :func:`pq_reconstruct_col` with the same rounded-cosine
+    discipline as every oracle face here (s09's SQL runs the identical
+    algorithm).  Both rank JVM-side: round → desc, neighbor-id
+    tie-break; self-pairs excluded.  Scores are PQ estimates; recall vs
+    the exact float path is pinned in tests/test_recall.py."""
+    m, kk, dsub = _pq_shape(codebooks)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
+    if adc == "expression":
+        recon = pq_reconstruct_col(code_col, codebooks)
+        c = corpus_codes.select(
+            F.col(id_col).alias("neighbor_id"), recon.alias("__cvec")
+        )
+        scored = c.crossJoin(F.broadcast(q)).select(
+            "query_id",
+            "neighbor_id",
+            cosine_sim(F.col("__qvec"), F.col("__cvec")).alias("cosine"),
+        )
+    elif adc == "blas":
+        import numpy as np
+
+        from pyspark.sql import types as T
+
+        C = [np.ascontiguousarray(np.array(b, dtype=np.float64)) for b in codebooks]
+        cn2 = np.stack([np.einsum("kd,kd->k", c, c) for c in C])  # m×k
+        qrows = q.collect()  # small by contract (cosine_topk discipline)
+        qids = [r["query_id"] for r in qrows]
+        Q = np.array([list(r["__qvec"]) for r in qrows], dtype=np.float64)
+        qn = np.linalg.norm(Q, axis=1)
+        qn[qn == 0.0] = 1.0
+        lut = np.stack(
+            [Q[:, s * dsub : (s + 1) * dsub] @ C[s].T for s in range(m)]
+        )  # m×Q×k
+        nid_t = corpus_codes.schema[id_col].dataType
+        qid_t = queries.schema[id_col].dataType
+        out_schema = T.StructType(
+            [
+                T.StructField("neighbor_id", nid_t),
+                T.StructField("query_id", qid_t),
+                T.StructField("cosine", T.DoubleType()),
+            ]
+        )
+
+        def _score(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                codes = np.array(pdf[code_col].tolist(), dtype=np.int64)  # B×m
+                B = len(codes)
+                num = np.zeros((B, len(qids)))
+                n2 = np.zeros(B)
+                for s in range(m):
+                    num += lut[s][:, codes[:, s]].T  # B×Q gather
+                    n2 += cn2[s][codes[:, s]]
+                denom = np.sqrt(n2)[:, None] * qn[None, :]
+                denom[denom == 0.0] = 1.0
+                cos = num / denom
+                yield pd.DataFrame(
+                    {
+                        "neighbor_id": np.repeat(pdf[id_col].to_numpy(), len(qids)),
+                        "query_id": qids * B,
+                        "cosine": cos.reshape(-1),
+                    }
+                )
+
+        scored = corpus_codes.select(id_col, code_col).mapInPandas(
+            _score, schema=out_schema
+        )
+    else:
+        raise ValueError(f"unknown adc {adc!r}")
+    scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    cos = F.col("cosine")
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    scored = scored.select("query_id", "neighbor_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -2739,6 +2739,66 @@ GROUP BY cluster
 """
 
 
+def s09_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24 — product-quantization ANN (round 9, similarity.pq_fit/
+    pq_encode/pq_topk; Jégou et al. 2011): the corpus collapses to m=8
+    one-byte codes per vector (32× smaller than the float32 column) and
+    search scores cosine(q, x̂) against the codeword reconstruction —
+    for dot/cosine that IS asymmetric distance computation, since
+    subspaces are disjoint coordinates.  This face is the ORACLE twin:
+    md5-sampled codebooks (the semantic_centroids rule, so DuckDB
+    rebuilds them identically), encode-argmin on distances rounded to
+    6 dp, rounded-cosine ranking with the id tie-break.  The
+    production path (kmeans codebooks, blas encode, LUT-gather ADC in
+    mapInPandas) is pinned result-compatible and recall-bounded in
+    tests/test_recall.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    cb = fsim.pq_fit(emb, n_subspaces=8, n_codes=16, method="sample")
+    codes = fsim.pq_encode(emb, cb, round_to=6)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return fsim.pq_topk(codes, queries, cb, k=5, round_to=6, adc="expression")
+
+
+S09_SQL = """
+WITH samp AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS sv,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS j
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16)
+),
+subs AS (SELECT unnest(generate_series(0, 7)) AS s),
+cw AS (SELECT s, j, sv[s*8+1 : s*8+8] AS cv FROM samp CROSS JOIN subs),
+corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dist AS (
+  SELECT c.vec_id, w.s, w.j,
+         round(list_inner_product(c.v[w.s*8+1 : w.s*8+8], c.v[w.s*8+1 : w.s*8+8])
+               - 2 * list_inner_product(c.v[w.s*8+1 : w.s*8+8], w.cv)
+               + list_inner_product(w.cv, w.cv), 6) AS d2
+  FROM corp c CROSS JOIN cw w
+),
+enc AS (
+  SELECT vec_id, s, j FROM dist
+  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, j ASC) = 1
+),
+recon AS (
+  SELECT e.vec_id, flatten(list(w.cv ORDER BY e.s)) AS rv
+  FROM enc e JOIN cw w ON w.s = e.s AND w.j = e.j
+  GROUP BY e.vec_id
+),
+scored AS (
+  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), r.rv), 6) AS cosine
+  FROM embeddings q JOIN recon r ON r.vec_id <> q.vec_id
+  WHERE q.vec_id < 5
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored)
+WHERE rank <= 5
+"""
+
+
 def t16_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B25 — BPE tokenizer training + application (round 6,
     functions.bpe): distributed word count (the only corpus-sized
@@ -5677,6 +5737,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s03_ivf_topk": s03_ivf_topk,
     "s04_kmeans": s04_kmeans,
     "s05_quantized_topk": s05_quantized_topk,
+    "s09_pq_topk": s09_pq_topk,
     "t05_fingerprint": t05_fingerprint,
     "t11_normalize": t11_normalize,
     "t12_pack_shards": t12_pack_shards,
@@ -5854,6 +5915,7 @@ ORACLE_SQL: dict[str, str] = {
     "t21_chunking": T21_SQL,
     "s07_prototype_prune": S07_SQL,
     "s08_hard_negatives": S08_SQL,
+    "s09_pq_topk": S09_SQL,
     "t05_fingerprint": T05_SQL,
     "t11_normalize": T11_SQL,
     "t12_pack_shards": T12_SQL,
