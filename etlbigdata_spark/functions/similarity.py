@@ -421,6 +421,7 @@ def ivf_write_index(
     vec_col: str = "embedding",
     quantize: bool = False,
     centroids: list | None = None,
+    pq: list | None = None,
 ) -> dict:
     """B24 — build and PERSIST the IVF index (round 6): the similarity
     twin of the dedup family's ``minhash_signatures`` parquet index.
@@ -439,6 +440,14 @@ def ivf_write_index(
     exactly, so only corpus-side quantization error remains (recall
     bound pinned in tests).  The layout is self-describing — the probe
     detects the code column in the index schema; no flag travels.
+
+    ``pq=<codebooks from pq_fit>`` stores PQ codes instead — IVF-PQ,
+    the standard web-scale ANN layout (coarse cells for pruning ×
+    product codes for in-cell compression): m bytes per vector (32×
+    smaller than float32 at m=d/8) plus a ``<path>/pq_codebooks``
+    sidecar, so probes read a few small partitions of byte codes and
+    rebuild scores from the sidecar.  Mutually exclusive with
+    ``quantize``; recall bound vs the float index pinned in tests.
 
     ``centroids`` overrides the default xxhash64 sample — pass
     :func:`kmeans_fit` centers (a bare k×d vector list) for
@@ -462,7 +471,12 @@ def ivf_write_index(
         assigned = _assign_to_cents(corpus, cents, vec_col)
     else:
         assigned, cents = ivf_assign(corpus, n_centroids, id_col, vec_col)
-    if quantize:
+    if pq is not None and quantize:
+        raise ValueError("ivf_write_index: pick ONE of quantize (SQ8) or pq")
+    if pq is not None:
+        _pq_shape(pq)  # validate before any write lands
+        assigned = pq_encode(assigned, pq, vec_col=vec_col, assign="blas")
+    elif quantize:
         assigned = quantize_embeddings(assigned, vec_col=vec_col)
     assigned.write.mode("overwrite").partitionBy("centroid").parquet(f"{path}/vectors")
     spark = corpus.sparkSession
@@ -471,7 +485,33 @@ def ivf_write_index(
         "centroid int, vec array<double>",
     )
     cdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    if pq is not None:
+        m, kk, _ = _pq_shape(pq)
+        bdf = spark.createDataFrame(
+            [
+                (s, j, [float(x) for x in pq[s][j]])
+                for s in range(m)
+                for j in range(kk)
+            ],
+            "s int, j int, vec array<double>",
+        )
+        bdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/pq_codebooks")
     return {"n_centroids": len(cents), "path": path}
+
+
+def _read_pq_codebooks(spark, path: str) -> list[list[list[float]]]:
+    """Rebuild the nested codebook list from the ``pq_codebooks``
+    sidecar (written by :func:`ivf_write_index(pq=...)`); validates the
+    (s, j) grid is dense so a torn sidecar fails loudly."""
+    rows = spark.read.parquet(f"{path}/pq_codebooks").orderBy("s", "j").collect()
+    m = max(r["s"] for r in rows) + 1
+    k = max(r["j"] for r in rows) + 1
+    if len(rows) != m * k:
+        raise ValueError(f"pq_codebooks sidecar is torn: {len(rows)} rows for {m}x{k}")
+    books: list[list[list[float]]] = [[None] * k for _ in range(m)]  # type: ignore[list-item]
+    for r in rows:
+        books[r["s"]][r["j"]] = [float(x) for x in r["vec"]]
+    return books
 
 
 def ivf_probe_index(
@@ -510,9 +550,19 @@ def ivf_probe_index(
     assigned = spark.read.parquet(f"{path}/vectors").filter(
         F.col("centroid").isin(probed)
     )
-    # self-describing layout: an SQ8 index carries codes, not floats —
-    # score the codes directly (corpus-side scale cancels out of cosine)
-    corpus_vec = vec_col if vec_col in assigned.columns else "emb_q"
+    # self-describing layout: an SQ8 index carries codes (scored
+    # directly — the per-vector scale cancels out of cosine); a PQ index
+    # carries m-byte codes scored against the codeword reconstruction
+    # (for cosine that IS ADC — disjoint subspaces), with the codebooks
+    # rebuilt from the sidecar so no caller-side state travels
+    if "pq_code" in assigned.columns:
+        books = _read_pq_codebooks(spark, path)
+        assigned = assigned.withColumn("__recon", pq_reconstruct_col("pq_code", books))
+        corpus_vec = "__recon"
+    elif vec_col in assigned.columns:
+        corpus_vec = vec_col
+    else:
+        corpus_vec = "emb_q"
     return _probe_score_topk(
         assigned, q, k, id_col, corpus_vec, round_to, threshold, exclude_self
     )
@@ -767,7 +817,13 @@ def ivf_append_index(
     cents = [(r["centroid"], list(r["vec"])) for r in cents_rows]
     assigned = _assign_to_cents(new_batch, cents, vec_col)
     existing_cols = spark.read.parquet(f"{path}/vectors").columns
-    if "emb_q" in existing_cols and vec_col not in existing_cols:
+    if "pq_code" in existing_cols:
+        # PQ index: encode the batch with the FROZEN sidecar codebooks
+        # (same frozen-vocabulary trade as the frozen centroids above)
+        assigned = pq_encode(
+            assigned, _read_pq_codebooks(spark, path), vec_col=vec_col, assign="blas"
+        )
+    elif "emb_q" in existing_cols and vec_col not in existing_cols:
         assigned = quantize_embeddings(assigned, vec_col=vec_col)
     assigned.write.mode("append").partitionBy("centroid").parquet(f"{path}/vectors")
     return {"n_centroids": len(cents), "path": path, "appended": True}

@@ -1518,3 +1518,67 @@ def test_pq_validation_and_null_embeddings(emb, spark):
     for kw in (dict(round_to=6), dict(assign="blas")):
         rows = {r.vec_id: r.pq_code for r in fsim.pq_encode(nulled, cb, **kw).collect()}
         assert rows[1] is None and rows[0] is not None
+
+
+def test_ivf_pq_index_smallest_pruned_recall_and_append(emb, spark, tmp_path):
+    """IVF-PQ (round 9): (a) the vectors side stores m-byte codes and is
+    smaller on disk than BOTH the float and the SQ8 index; (b) the
+    probe still partition-prunes and needs no caller-side codebook
+    state (sidecar round-trip); (c) recall@5 vs the float-index probe
+    at the same n_probe >= 0.8 (only PQ error remains); (d) an append
+    encodes with the FROZEN sidecar codebooks so the layout stays
+    homogeneous; (e) quantize+pq together is refused."""
+    import glob
+    import os
+    import re
+
+    queries = emb.orderBy("vec_id").limit(5)
+    cb = fsim.pq_fit(emb, n_subspaces=32, n_codes=64, method="kmeans", train_n=500)
+    fpath, qpath, ppath, apath = (
+        str(tmp_path / n) for n in ("ivf_f", "ivf_q", "ivf_pq", "ivf_pq_app")
+    )
+    # all three recall-compared indexes share ONE corpus and therefore
+    # ONE deterministic centroid layout — otherwise cell divergence,
+    # not PQ error, dominates the comparison
+    fsim.ivf_write_index(emb, fpath, n_centroids=8)
+    fsim.ivf_write_index(emb, qpath, n_centroids=8, quantize=True)
+    fsim.ivf_write_index(emb, ppath, n_centroids=8, pq=cb)
+
+    with pytest.raises(ValueError, match="ONE of"):
+        fsim.ivf_write_index(emb, str(tmp_path / "x"), quantize=True, pq=cb)
+
+    # append path: frozen sidecar codebooks keep the layout homogeneous
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    fsim.ivf_write_index(half_a, apath, n_centroids=8, pq=cb)
+    fsim.ivf_append_index(half_b, apath)
+    avecs = spark.read.parquet(f"{apath}/vectors")
+    assert "pq_code" in avecs.columns and "embedding" not in avecs.columns
+    assert avecs.count() == emb.count()  # append landed, coded
+
+    vecs = spark.read.parquet(f"{ppath}/vectors")
+    assert "pq_code" in vecs.columns and "embedding" not in vecs.columns
+
+    def dir_bytes(p):
+        return sum(
+            os.path.getsize(f)
+            for f in glob.glob(os.path.join(p, "vectors", "**", "*.parquet"), recursive=True)
+        )
+
+    assert dir_bytes(ppath) < dir_bytes(qpath) < dir_bytes(fpath), (
+        dir_bytes(ppath), dir_bytes(qpath), dir_bytes(fpath),
+    )
+
+    probed_p = fsim.ivf_probe_index(spark, ppath, queries, k=5, n_probe=3, round_to=6)
+    plan = probed_p._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[([^\]]*centroid[^\]]*)\]", plan)
+
+    probed_f = fsim.ivf_probe_index(spark, fpath, queries, k=5, n_probe=3, round_to=6)
+    truth, got = {}, {}
+    for r in probed_f.collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in probed_p.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth]
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.8, f"IVF-PQ recall@5 vs float index {avg:.2f}"
