@@ -42,7 +42,13 @@ thing you SCALE THE CELL COUNT to avoid (SemDeDup runs 10⁴–10⁵
 k-means cells at web scale; see functions/similarity.py) — benching
 the 8-cell face would report the deliberately-unscaled correctness
 twin.  d10_duplicated_spans IS production-shaped (linear in the token
-stream, no pair join) and is in the headline set.
+stream, no pair join) and is in the headline set.  Round-9
+continuation: t20 (C4 rule cleaning) and t21 (chunking) are in — both
+are the production path itself (map-side codegen, no oracle-only
+scaffolding); s09_pq_topk stays out by the d03v/d09 rule (its face
+runs the md5-sampled-codebook expression twin so DuckDB can replay
+it; production PQ is kmeans codebooks + the BLAS/LUT ADC path, pinned
+in tests/test_recall.py).
 """
 
 from __future__ import annotations
@@ -102,6 +108,8 @@ HEADLINE = [
     "b16_pivot",
     "t01_text_stats",
     "t02_token_count",
+    "t20_c4_clean",
+    "t21_chunking",
     "d01_dup_groups",
     "d02_jaccard_pairs",
     "d08_containment_pairs",
