@@ -368,13 +368,17 @@ def c4_clean(
     """
     if min_words_per_line < 1 or min_lines < 1:
         raise ValueError("min_words_per_line and min_lines must be >= 1")
+    from .text import tokens_col
+
     t = F.col(text_col)
     lines = F.split(t, "\n")
 
     def _line_ok(line: Column) -> Column:
         trimmed = F.trim(line)
         ok = F.substring(trimmed, -1, 1).isin(*terminal_punct)
-        words = F.size(F.array_remove(F.split(trimmed, r"\s+"), ""))
+        # ONE tokenization rule library-wide (review: the inline
+        # split/strip twin could drift from tokens_col independently)
+        words = F.size(tokens_col(trimmed, lowercase=False))
         ok = ok & (words >= min_words_per_line)
         low = F.lower(line)
         for w in banned_line_words:

@@ -459,6 +459,12 @@ def ivf_write_index(
     included), so the partition values, the sidecar, and every later
     :func:`ivf_append_index` / :func:`ivf_probe_index` agree on one id
     scheme."""
+    if pq is not None and quantize:
+        # argument-only check — must fire before the centroid-sampling
+        # job, not after it (review: misuse used to cost a corpus scan)
+        raise ValueError("ivf_write_index: pick ONE of quantize (SQ8) or pq")
+    if pq is not None:
+        _pq_shape(pq)  # validate before any job or write lands
     if centroids is not None:
         cents = _norm_centroids(centroids)
         if len({i for i, _ in cents}) != len(cents):
@@ -471,10 +477,7 @@ def ivf_write_index(
         assigned = _assign_to_cents(corpus, cents, vec_col)
     else:
         assigned, cents = ivf_assign(corpus, n_centroids, id_col, vec_col)
-    if pq is not None and quantize:
-        raise ValueError("ivf_write_index: pick ONE of quantize (SQ8) or pq")
     if pq is not None:
-        _pq_shape(pq)  # validate before any write lands
         assigned = pq_encode(assigned, pq, vec_col=vec_col, assign="blas")
     elif quantize:
         assigned = quantize_embeddings(assigned, vec_col=vec_col)
@@ -1465,14 +1468,14 @@ def pq_fit(
 
     Driver returns plain nested lists — they broadcast into encode /
     search expressions as literals, same as every centroid face here."""
-    d = len(corpus.select(vec_col).first()[0])
-    if d % n_subspaces != 0:
-        raise ValueError(f"dim {d} not divisible by n_subspaces {n_subspaces}")
+    # argument-only checks FIRST — no Spark job runs for a bad call
+    # (review: method typos used to surface only after the sample job)
+    if method not in ("sample", "kmeans"):
+        raise ValueError(f"unknown method {method!r}")
     if not 1 <= n_codes <= 128:
         # codes are array<tinyint> (signed byte, max 127); 128 codewords
         # use codes 0..127 exactly — the standard nbits=7 PQ budget here
         raise ValueError("n_codes must be in [1, 128] (codes are tinyint)")
-    dsub = d // n_subspaces
     take = n_codes if method == "sample" else max(train_n, n_codes)
     rows = (
         corpus.select(F.col(vec_col), F.md5(F.col(id_col).cast("string")).alias("__h"))
@@ -1482,6 +1485,11 @@ def pq_fit(
     )
     if len(rows) < n_codes:
         raise ValueError(f"corpus has {len(rows)} rows < n_codes {n_codes}")
+    # dimension from the sample already in hand — not a separate first()
+    d = len(rows[0][vec_col])
+    if d % n_subspaces != 0:
+        raise ValueError(f"dim {d} not divisible by n_subspaces {n_subspaces}")
+    dsub = d // n_subspaces
     import numpy as np
 
     X = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
@@ -1490,8 +1498,6 @@ def pq_fit(
             [[float(x) for x in X[j, s * dsub : (s + 1) * dsub]] for j in range(n_codes)]
             for s in range(n_subspaces)
         ]
-    if method != "kmeans":
-        raise ValueError(f"unknown method {method!r}")
     books = []
     for s in range(n_subspaces):
         S = X[:, s * dsub : (s + 1) * dsub]
@@ -1641,6 +1647,12 @@ def pq_topk(
     tie-break; self-pairs excluded.  Scores are PQ estimates; recall vs
     the exact float path is pinned in tests/test_recall.py."""
     m, kk, dsub = _pq_shape(codebooks)
+    # NULL codes (pq_encode's output for NULL embeddings) and NULL query
+    # vectors match nothing — dropped HERE, or both scorers crash on
+    # them (np.array over None / element_at over a null array); same
+    # skip-the-null discipline as the argmax assignment faces
+    corpus_codes = corpus_codes.filter(F.col(code_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
     if adc == "expression":
         recon = pq_reconstruct_col(code_col, codebooks)
@@ -1681,6 +1693,8 @@ def pq_topk(
             import pandas as pd
 
             for pdf in batches:
+                if not len(pdf):  # same guard as _matmul_scores
+                    continue
                 codes = np.array(pdf[code_col].tolist(), dtype=np.int64)  # B×m
                 B = len(codes)
                 num = np.zeros((B, len(qids)))

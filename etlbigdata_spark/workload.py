@@ -2974,7 +2974,14 @@ def _t20_lined_docs(docs: DataFrame) -> DataFrame:
     lines = F.when(
         F.col("doc_id") % 53 == 0, F.concat(lines, F.array(F.lit("lorem ipsum.")))
     ).otherwise(lines)
-    return docs.select("doc_id", "source", F.array_join(lines, "\n").alias("text"))
+    built = docs.select("doc_id", "source", F.array_join(lines, "\n").alias("text"))
+    # materialize the constructed text through one narrow exchange:
+    # projection collapse would otherwise INLINE this interpreted-HOF
+    # construction into every downstream reference (c4_clean reads the
+    # text ~3× — measured 2.9 s vs 1.2 s at sf0.1).  The operator under
+    # test is c4_clean (75 ms on materialized lines); the barrier keeps
+    # the fixture from dominating its own bench row.
+    return built.repartition(docs.sparkSession.sparkContext.defaultParallelism)
 
 
 def t20_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:

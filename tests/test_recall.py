@@ -1582,3 +1582,28 @@ def test_ivf_pq_index_smallest_pruned_recall_and_append(emb, spark, tmp_path):
     recalls = [len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth]
     avg = sum(recalls) / len(recalls)
     assert avg >= 0.8, f"IVF-PQ recall@5 vs float index {avg:.2f}"
+
+
+def test_pq_topk_survives_null_codes_and_null_queries(emb, spark):
+    """Review regression (round 9): a corpus carrying NULL pq_code rows
+    (pq_encode's output for NULL embeddings) or a query set with a NULL
+    vector used to CRASH both adc faces (np.array over None / element_at
+    over a null array).  Null vectors match nothing — both faces must
+    skip them and return the same rows as the null-free corpus."""
+    cb = fsim.pq_fit(emb, n_subspaces=8, n_codes=16, method="sample")
+    base = emb.limit(20)
+    nulled = base.unionByName(
+        spark.createDataFrame(
+            [(990, None, 0), (991, None, 1)],
+            "vec_id long, embedding array<float>, label int",
+        )
+    )
+    codes_clean = fsim.pq_encode(base, cb, assign="blas")
+    codes_dirty = fsim.pq_encode(nulled, cb, assign="blas")
+    q_clean = base.filter(F.col("vec_id") < 3)
+    q_dirty = nulled.filter((F.col("vec_id") < 3) | (F.col("vec_id") == 990))
+    key = lambda df: {(r.query_id, r.rank, r.neighbor_id) for r in df.collect()}  # noqa: E731
+    for adc in ("expression", "blas"):
+        want = key(fsim.pq_topk(codes_clean, q_clean, cb, k=3, round_to=6, adc=adc))
+        got = key(fsim.pq_topk(codes_dirty, q_dirty, cb, k=3, round_to=6, adc=adc))
+        assert got == want, adc
