@@ -1049,15 +1049,49 @@ def dedup_by_components(
     id_col: str = "doc_id",
     id_a: str = "id_a",
     id_b: str = "id_b",
+    keep_by: str | None = None,
+    keep: str = "max",
 ) -> DataFrame:
-    """Keep one winner (min id) per near-dup cluster: docs that appear in
-    no pair survive untouched; in each connected component only the
-    minimum id survives.  Anti-join on the loser set — the full rows
-    never shuffle."""
+    """Keep one winner per near-dup cluster: docs that appear in no pair
+    survive untouched; within each connected component exactly one
+    member survives.  Anti-join on the loser set — the full rows never
+    shuffle.
+
+    Default policy is the deterministic min-id (the cross-engine oracle
+    face).  ``keep_by=<column in df>`` switches to the PRODUCTION
+    policy: keep the member with the highest (``keep="max"``, default)
+    or lowest (``keep="min"``) value of that column — "keep the
+    longest / highest-quality / most recent duplicate" is how real
+    dedup pipelines pick canonicals, since the min-id member is often a
+    truncated or boilerplate variant.  Ties (and NULL scores, which
+    always lose to scored members) break to the min id, so the choice
+    stays deterministic and reshard-stable.  Cost over the id policy:
+    one ids+score projection joined to the component list and one
+    window bounded by cluster size — the corpus rows still never
+    shuffle."""
     comps = connected_components(pairs, id_a, id_b)
-    losers = comps.filter(F.col("doc_id") != F.col("component_id")).select(
-        F.col("doc_id").alias(id_col)
-    )
+    if keep_by is None:
+        losers = comps.filter(F.col("doc_id") != F.col("component_id")).select(
+            F.col("doc_id").alias(id_col)
+        )
+    else:
+        if keep not in ("max", "min"):
+            raise ValueError(f"keep must be 'max' or 'min', got {keep!r}")
+        scores = df.select(
+            F.col(id_col).alias("doc_id"), F.col(keep_by).alias("__s")
+        )
+        scored = comps.join(scores, "doc_id", "left")
+        first = (
+            F.col("__s").desc_nulls_last()
+            if keep == "max"
+            else F.col("__s").asc_nulls_last()
+        )
+        w = Window.partitionBy("component_id").orderBy(first, F.col("doc_id").asc())
+        losers = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") > 1)
+            .select(F.col("doc_id").alias(id_col))
+        )
     return df.join(losers, id_col, "left_anti")
 
 

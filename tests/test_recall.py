@@ -1607,3 +1607,27 @@ def test_pq_topk_survives_null_codes_and_null_queries(emb, spark):
         want = key(fsim.pq_topk(codes_clean, q_clean, cb, k=3, round_to=6, adc=adc))
         got = key(fsim.pq_topk(codes_dirty, q_dirty, cb, k=3, round_to=6, adc=adc))
         assert got == want, adc
+
+
+def test_dedup_by_components_keep_best_policy(spark):
+    """keep_by switches the canonical choice from min-id to best-score:
+    max/min per component, NULL scores always lose, ties break to the
+    min id, docs in no pair survive, and unknown policies raise."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, None), (10, 4.0), (11, 4.0), (99, 0.0)],
+        "doc_id long, quality double",
+    )
+    keep = lambda **kw: {  # noqa: E731
+        r.doc_id for r in fdedup.dedup_by_components(df, pairs, **kw).collect()
+    }
+    assert keep() == {1, 10, 99}  # min-id default unchanged
+    # component {1,2,3}: max quality 9.0 -> 2; null (3) loses
+    # component {10,11}: tie 4.0/4.0 -> min id 10
+    assert keep(keep_by="quality") == {2, 10, 99}
+    # min policy: component {1,2,3} lowest scored is 5.0 -> 1 (null still loses)
+    assert keep(keep_by="quality", keep="min") == {1, 10, 99}
+    with pytest.raises(ValueError, match="keep must be"):
+        fdedup.dedup_by_components(df, pairs, keep_by="quality", keep="median")

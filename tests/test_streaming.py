@@ -1426,3 +1426,57 @@ def test_foreach_batch_ann_probe_partition_pruned_and_matches_st13(
     assert m, mplan
     seen_cells = {int(x) for x in m.group(1).split(",")}
     assert seen_cells == expect_cells and len(seen_cells) <= 3 < 8
+
+
+def test_c4_clean_and_chunking_are_stream_safe(spark, tmp_path):
+    """Round-9 corpus ops through the REAL engine: c4_clean and
+    chunk_documents are stateless map-side projections, so they must
+    run unchanged on a streaming frame (no windows, no state) and the
+    file-replay output must equal the batch output on the same rows."""
+    from etlbigdata_spark.functions import corpus as fcorpus
+
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    rows = [
+        (1, "alpha beta gamma delta epsilon.\nno punct line here\nsecond good line here too."),
+        (2, "one two three four five.\nsix seven eight nine ten!"),
+        (3, "lorem ipsum placeholder.\nfine line with five words.\nanother fine line with words."),
+        (4, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+    ]
+    schema = "doc_id long, text string"
+    for name, part in (("b0", rows[:2]), ("b1", rows[2:])):
+        pdf = pd.DataFrame(part, columns=["doc_id", "text"])
+        pq.write_table(pa.Table.from_pandas(pdf), str(d / f"{name}.parquet"))
+    batch_df = spark.read.schema(schema).parquet(str(d))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    cleaned_s = fcorpus.c4_clean(stream, min_words_per_line=4, min_lines=2)
+    chunks_s = fcorpus.chunk_documents(stream, "doc_id", "text", chunk_tokens=4, stride=3)
+    _replay(ops.write_stream_memory(cleaned_s, "c4_stream", "append"), tmp_path, "c4s")
+    _replay(ops.write_stream_memory(chunks_s, "chunk_stream", "append"), tmp_path, "cks")
+
+    got_c4 = {
+        (r.doc_id, r.n_lines, r.n_lines_kept, r.clean_text)
+        for r in spark.table("c4_stream").collect()
+    }
+    want_c4 = {
+        (r.doc_id, r.n_lines, r.n_lines_kept, r.clean_text)
+        for r in fcorpus.c4_clean(batch_df, min_words_per_line=4, min_lines=2).collect()
+    }
+    assert got_c4 == want_c4 and len(got_c4) > 0
+
+    got_ck = {
+        (r.doc_id, r.chunk_id, r.start, r.chunk_text)
+        for r in spark.table("chunk_stream").collect()
+    }
+    want_ck = {
+        (r.doc_id, r.chunk_id, r.start, r.chunk_text)
+        for r in fcorpus.chunk_documents(
+            batch_df, "doc_id", "text", chunk_tokens=4, stride=3
+        ).collect()
+    }
+    assert got_ck == want_ck and len(got_ck) > 0
