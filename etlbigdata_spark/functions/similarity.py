@@ -1550,20 +1550,35 @@ def pq_encode(
     if assign == "expression":
         v = F.col(vec_col).cast("array<double>")
 
-        # factory, not a default-arg lambda: pyspark reads lambda ARITY
-        # (2 params = element+index), so `lambda cw, sub=sub:` would be
-        # fed the array INDEX as `sub`
-        def _d2_against(sub):
-            return lambda cw: _dot(sub, sub) - 2 * _dot(sub, cw) + _dot(cw, cw)
+        # Interpreted HOFs (CodegenFallback) re-evaluate non-lambda
+        # subexpressions once PER ELEMENT — an inlined slice/cast would
+        # run k times per subspace per row (measured: the s09 face went
+        # from minutes to seconds at sf1 on this change).  Binding the
+        # subvector and its self-dot as LAMBDA VARIABLES via a 1-element
+        # outer transform evaluates them exactly once per (row, s); the
+        # inner lambda then touches only bound O(1) references.  (A
+        # factory, not a default-arg lambda, for the inner closure:
+        # pyspark reads lambda ARITY, so a 2-param lambda would be fed
+        # the array index as its second argument.)
+        def _codes_for(book, s):
+            sub = F.slice(v, s * dsub + 1, dsub)
+            bound = F.array(F.struct(sub.alias("sv"), _dot(sub, sub).alias("n2")))
+
+            def _per_sub(subv):
+                d2 = F.transform(
+                    book,
+                    lambda cw: subv["n2"] - 2 * _dot(subv["sv"], cw) + _dot(cw, cw),
+                )
+                if round_to is not None:
+                    d2 = F.transform(d2, lambda x: F.round(x, round_to))
+                return (F.array_position(d2, F.array_min(d2)) - 1).cast("tinyint")
+
+            return F.element_at(F.transform(bound, _per_sub), 1)
 
         codes = []
         for s in range(m):
-            sub = F.slice(v, s * dsub + 1, dsub)
             book = F.array(*[F.array(*[F.lit(x) for x in cw]) for cw in codebooks[s]])
-            d2 = F.transform(book, _d2_against(sub))
-            if round_to is not None:
-                d2 = F.transform(d2, lambda x: F.round(x, round_to))
-            codes.append((F.array_position(d2, F.array_min(d2)) - 1).cast("tinyint"))
+            codes.append(_codes_for(book, s))
         out = df.withColumn(
             code_col, F.when(F.col(vec_col).isNotNull(), F.array(*codes))
         )

@@ -2747,16 +2747,21 @@ def s09_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for dot/cosine that IS asymmetric distance computation, since
     subspaces are disjoint coordinates.  This face is the ORACLE twin:
     md5-sampled codebooks (the semantic_centroids rule, so DuckDB
-    rebuilds them identically), encode-argmin on distances rounded to
-    6 dp, rounded-cosine ranking with the id tie-break.  The
-    production path (kmeans codebooks, blas encode, LUT-gather ADC in
-    mapInPandas) is pinned result-compatible and recall-bounded in
-    tests/test_recall.py."""
+    rebuilds them identically) and encode-argmin on distances rounded
+    to 6 dp — the CODE choice is the discrete step an external engine
+    must replay exactly, so it stays on the rounded expression face.
+    SCORING runs the production LUT-gather ADC: as with s01's
+    vectorized face, JVM-side 6-dp rounding before the rank absorbs the
+    float summation-order difference, so the hash still matches the
+    SQL twin's reconstruction cosine (and the face stops paying the
+    interpreted per-pair expression cost — 89 → 11 s at sf1).  The
+    full production path (kmeans codebooks + blas encode) is
+    recall-bounded in tests/test_recall.py."""
     emb = load(spark, sf_dir, "embeddings")
     cb = fsim.pq_fit(emb, n_subspaces=8, n_codes=16, method="sample")
     codes = fsim.pq_encode(emb, cb, round_to=6)
     queries = emb.filter(F.col("vec_id") < 5)
-    return fsim.pq_topk(codes, queries, cb, k=5, round_to=6, adc="expression")
+    return fsim.pq_topk(codes, queries, cb, k=5, round_to=6, adc="blas")
 
 
 S09_SQL = """
@@ -2955,32 +2960,55 @@ def _t20_lined_docs(docs: DataFrame) -> DataFrame:
     the rest end bare (terminal-punct filter fodder); every
     (doc_id+i) % 11 == 0 line gets ' javascript' planted (line-ban
     fodder); every doc_id % 53 == 0 doc gets a trailing 'lorem ipsum.'
-    line (doc-ban fodder)."""
-    toks = ftext.tokens_col("text")
-    L = (F.lit(4) + F.col("doc_id") % 4).cast("int")
-    n_lines = F.greatest(F.ceil(F.size(toks) / L), F.lit(1)).cast("int")
+    line (doc-ban fodder).
 
-    def _mk_line(i):
-        di = F.col("doc_id") + i
+    Built codegen-first: line BREAKS are a native ``regexp_replace``
+    pass (L only takes the four values 4+doc_id%4, so each is a literal
+    every-L-th-space pattern behind a ``when`` chain — JVM regex, no
+    HOF), and only the per-LINE suffix planting runs as an interpreted
+    lambda (O(lines) tiny evals, ~L× fewer than any per-token pass).
+    The naive per-LINE builder (``transform(sequence(1, n_lines), i ->
+    slice(toks, ...))``) re-evaluated its inlined ``split()`` once per
+    line inside the interpreted HOF (no CSE in CodegenFallback eval) —
+    O(tokens²/L) per doc, 35 s at sf1; a per-token O(1)-lambda pass
+    still paid ~24 s of interpreted element evals; this formulation
+    measures ~6 s (DuckDB's twin construction: ~12 s).  String output
+    is identical for every non-empty doc (the corpus has no empty docs
+    at any SF — min 10 tokens; an empty doc would yield '' here vs a
+    planted-suffix pseudo-line in the oracle, both of which the
+    min-lines filter drops)."""
+    doc_id = F.col("doc_id")
+    norm = F.array_join(ftext.tokens_col("text"), " ")
+    broken = None
+    for lval in (4, 5, 6, 7):
+        pat = r"((?:\S+ ){%d}\S+) " % (lval - 1)
+        branch = F.regexp_replace(norm, pat, "$1\n")
+        cond = doc_id % 4 == (lval - 4)
+        broken = F.when(cond, branch) if broken is None else broken.when(cond, branch)
+
+    def _plant(i):
+        # line-end suffix for line index i (1-based): banned token, then
+        # terminal punctuation — same order as the oracle
+        di = doc_id + i
         return F.concat(
-            F.array_join(F.slice(toks, (i - F.lit(1)) * L + 1, L), " "),
             F.when(di % 11 == 0, F.lit(" javascript")).otherwise(F.lit("")),
             F.when(di % 3 == 0, F.lit("."))
             .when(di % 7 == 0, F.lit("?"))
             .otherwise(F.lit("")),
         )
 
-    lines = F.transform(F.sequence(F.lit(1), n_lines), _mk_line)
-    lines = F.when(
-        F.col("doc_id") % 53 == 0, F.concat(lines, F.array(F.lit("lorem ipsum.")))
-    ).otherwise(lines)
-    built = docs.select("doc_id", "source", F.array_join(lines, "\n").alias("text"))
+    lines = F.transform(F.split(broken, "\n"), lambda ln, i: F.concat(ln, _plant(i + 1)))
+    text = F.array_join(lines, "\n")
+    text = F.when(
+        doc_id % 53 == 0, F.concat(text, F.lit("\nlorem ipsum."))
+    ).otherwise(text)
+    built = docs.select("doc_id", "source", text.alias("text"))
     # materialize the constructed text through one narrow exchange:
-    # projection collapse would otherwise INLINE this interpreted-HOF
+    # projection collapse would otherwise INLINE the interpreted-HOF
     # construction into every downstream reference (c4_clean reads the
-    # text ~3× — measured 2.9 s vs 1.2 s at sf0.1).  The operator under
-    # test is c4_clean (75 ms on materialized lines); the barrier keeps
-    # the fixture from dominating its own bench row.
+    # text ~3×).  The operator under test is c4_clean (75 ms on
+    # materialized lines at sf0.1); the barrier keeps the fixture from
+    # dominating its own bench row.
     return built.repartition(docs.sparkSession.sparkContext.defaultParallelism)
 
 
