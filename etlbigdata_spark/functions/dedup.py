@@ -1069,17 +1069,26 @@ def dedup_by_components(
     one ids+score projection joined to the component list and one
     window bounded by cluster size — the corpus rows still never
     shuffle."""
+    # argument-only check FIRST (and unconditionally): a bad policy
+    # must not run the multi-round component propagation before
+    # raising, and a typo'd `keep` without keep_by must not silently
+    # fall back to min-id
+    if keep not in ("max", "min"):
+        raise ValueError(f"keep must be 'max' or 'min', got {keep!r}")
     comps = connected_components(pairs, id_a, id_b)
     if keep_by is None:
         losers = comps.filter(F.col("doc_id") != F.col("component_id")).select(
             F.col("doc_id").alias(id_col)
         )
     else:
-        if keep not in ("max", "min"):
-            raise ValueError(f"keep must be 'max' or 'min', got {keep!r}")
-        scores = df.select(
-            F.col(id_col).alias("doc_id"), F.col(keep_by).alias("__s")
-        )
+        score = F.col(keep_by)
+        if df.schema[keep_by].dataType.simpleString() in ("float", "double"):
+            # NaN sorts ABOVE every real double in Spark ordering, so an
+            # unguarded keep="max" would crown a NaN-scored member (0/0
+            # ratio metrics produce these) — fold NaN into the NULL
+            # "unscored loses" rule instead
+            score = F.when(F.isnan(score), F.lit(None)).otherwise(score)
+        scores = df.select(F.col(id_col).alias("doc_id"), score.alias("__s"))
         scored = comps.join(scores, "doc_id", "left")
         first = (
             F.col("__s").desc_nulls_last()

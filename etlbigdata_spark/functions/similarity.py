@@ -1660,7 +1660,10 @@ def pq_topk(
     discipline as every oracle face here (s09's SQL runs the identical
     algorithm).  Both rank JVM-side: round → desc, neighbor-id
     tie-break; self-pairs excluded.  Scores are PQ estimates; recall vs
-    the exact float path is pinned in tests/test_recall.py."""
+    the exact float path is pinned in tests/test_recall.py.  Zero-norm
+    edge (stated for the record — real embeddings never hit it): the
+    blas face coerces a zero denominator to score 0.0, where the
+    expression face's division would propagate a non-finite value."""
     m, kk, dsub = _pq_shape(codebooks)
     # NULL codes (pq_encode's output for NULL embeddings) and NULL query
     # vectors match nothing — dropped HERE, or both scorers crash on

@@ -2752,9 +2752,12 @@ def s09_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     must replay exactly, so it stays on the rounded expression face.
     SCORING runs the production LUT-gather ADC: as with s01's
     vectorized face, JVM-side 6-dp rounding before the rank absorbs the
-    float summation-order difference, so the hash still matches the
-    SQL twin's reconstruction cosine (and the face stops paying the
-    interpreted per-pair expression cost — 89 → 11 s at sf1).  The
+    float summation-order difference vs the SQL twin's sequential
+    d-dim fold — EMPIRICAL agreement, not structural (a cosine landing
+    within reorder error of a 0.5e-6 boundary could flip; the trade
+    every vectorized oracle face here makes, with adc="expression"
+    kept as the exact twin) — and the face stops paying the
+    interpreted per-pair expression cost (89 → 11 s at sf1).  The
     full production path (kmeans codebooks + blas encode) is
     recall-bounded in tests/test_recall.py."""
     emb = load(spark, sf_dir, "embeddings")

@@ -1631,3 +1631,29 @@ def test_dedup_by_components_keep_best_policy(spark):
     assert keep(keep_by="quality", keep="min") == {1, 10, 99}
     with pytest.raises(ValueError, match="keep must be"):
         fdedup.dedup_by_components(df, pairs, keep_by="quality", keep="median")
+
+
+def test_dedup_keep_best_nan_scores_lose_and_bad_keep_fast_fail(spark):
+    """Review regression (round-9 pass 2): (a) NaN scores sort ABOVE
+    every double in Spark, so an unguarded keep="max" would crown a
+    NaN-scored member (0/0 ratio metrics) — NaN must lose like NULL on
+    BOTH policies; (b) a bad `keep` raises even without keep_by, and
+    before any component job runs."""
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    df = spark.createDataFrame(
+        [(1, 0.9), (2, float("nan")), (7, 1.0)], "doc_id long, quality double"
+    )
+    got = {
+        r.doc_id
+        for r in fdedup.dedup_by_components(df, pairs, keep_by="quality").collect()
+    }
+    assert got == {1, 7}
+    got_min = {
+        r.doc_id
+        for r in fdedup.dedup_by_components(
+            df, pairs, keep_by="quality", keep="min"
+        ).collect()
+    }
+    assert got_min == {1, 7}
+    with pytest.raises(ValueError, match="keep must be"):
+        fdedup.dedup_by_components(df, pairs, keep="median")  # no keep_by
