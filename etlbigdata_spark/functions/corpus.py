@@ -284,6 +284,95 @@ def mixture_sample(
     return df.filter(h8 < thresh)
 
 
+def epoch_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+    salt: str = "epoch",
+    copy_col: str = "epoch_copy",
+) -> DataFrame:
+    """Deterministic epoch-weighted corpus mixing — the UP-sampling half
+    :func:`mixture_sample` deliberately refuses (its rates live in
+    [0, 1]): a source with rate 3.4 contributes every doc 3 times plus
+    a 0.4-rate salted-hash fourth copy, the "books for 4 epochs, crawl
+    for 0.8" recipe real training mixes run.
+
+    Each row explodes into ``ceil(rate)`` candidate copies (a bounded
+    arithmetic ``sequence`` — map-side, no shuffle, no RNG) and the
+    LAST copy survives iff ``md5(id:copy:salt)`` falls below the
+    fractional part — so copy decisions are content-addressed:
+    reproducible, reshard-stable, monotone in rate (raising 3.4 → 3.7
+    only ADDS fourth copies, never churns the first three), and
+    independent per copy index.  ``copy_col`` (0-based) distinguishes
+    repeats so downstream shuffles/packing treat them as distinct
+    examples; rate ≤ 1 degrades to a :func:`mixture_sample`-style
+    fractional keep with ``copy_col = 0`` (same mechanism, its own
+    ``id:copy:salt`` hash domain).
+
+    At 100 TB this is a pure projection whose output size is the mix
+    designer's choice — the operator adds no shuffle and the explode
+    expansion is bounded by ``ceil(max rate)``.
+    """
+    import math
+
+    for g, r in rates.items():
+        if r < 0:
+            raise ValueError(f"rate for {g!r} must be >= 0, got {r}")
+    if default_rate < 0:
+        raise ValueError(f"default_rate must be >= 0, got {default_rate}")
+
+    # per-group (full copies, fractional-copy hex threshold) — the
+    # mixture_sample discipline: thresholds are DRIVER-computed literal
+    # hex strings, so the plan compares fixed-width lowercase hex
+    # (≡ numeric) and an external engine reproduces the kept multiset
+    # from the same integers
+    def _split(r: float) -> tuple[int, str]:
+        n_full = int(math.floor(r))
+        frac = r - n_full
+        thresh = "g" if frac >= 1.0 else format(int(frac * 16**8), "08x")
+        return n_full, thresh
+
+    full_expr, th_expr = None, None
+    for g, r in rates.items():
+        cond = F.col(group_col).eqNullSafe(F.lit(g))
+        nf, th = _split(float(r))
+        full_expr = (
+            F.when(cond, F.lit(nf)) if full_expr is None else full_expr.when(cond, F.lit(nf))
+        )
+        th_expr = (
+            F.when(cond, F.lit(th)) if th_expr is None else th_expr.when(cond, F.lit(th))
+        )
+    dnf, dth = _split(float(default_rate))
+    n_full = F.lit(dnf) if full_expr is None else full_expr.otherwise(F.lit(dnf))
+    thresh = F.lit(dth) if th_expr is None else th_expr.otherwise(F.lit(dth))
+    has_frac = thresh != F.lit("00000000")
+    n_copies = n_full + F.when(has_frac, F.lit(1)).otherwise(F.lit(0))
+    copies = F.when(
+        n_copies > 0, F.sequence(F.lit(0), n_copies - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    out = (
+        df.withColumn("__nf", n_full)
+        .withColumn("__th", thresh)
+        .withColumn(copy_col, F.explode(copies))
+    )
+    h8 = F.substring(
+        F.md5(
+            F.concat(
+                F.col(id_col).cast("string"),
+                F.lit(":"),
+                F.col(copy_col).cast("string"),
+                F.lit(":" + salt),
+            )
+        ),
+        1,
+        8,
+    )
+    keep = (F.col(copy_col) < F.col("__nf")) | (h8 < F.col("__th"))
+    return out.filter(keep).drop("__nf", "__th")
+
+
 def pack_shards(
     df: DataFrame,
     id_col: str = "doc_id",

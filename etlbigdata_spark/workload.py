@@ -3125,6 +3125,63 @@ FROM e WHERE len(toks[start+1 : start+32]) > 0
 """
 
 
+def t22_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation — epoch-weighted UP-sampling mix
+    (corpus.epoch_sample): the half of the mixture story t15/t17 can't
+    express — a 4-epoch books source next to a 0.8-epoch crawl.
+    Content-addressed copy decisions (md5(id:copy:salt)), so the exact
+    kept MULTISET is cross-engine reproducible: the report returns one
+    row per (source, epoch_copy) with counts and exact id sums, which
+    pins both the full copies and the fractional-copy membership."""
+    docs = load(spark, sf_dir, "documents")
+    mixed = fcorpus.epoch_sample(
+        docs,
+        {"src0": 2.4, "src1": 0.6, "src2": 1.0},
+        group_col="source",
+        id_col="doc_id",
+        default_rate=3.0,
+    )
+    return mixed.groupBy("source", "epoch_copy").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+T22_SQL = """
+WITH rates AS (
+  SELECT source,
+         CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 WHEN 'src2' THEN 1
+                     ELSE 3 END AS n_full,
+         CASE source WHEN 'src0' THEN printf('%08x', CAST(FLOOR(0.4 * 4294967296) AS BIGINT))
+                     WHEN 'src1' THEN printf('%08x', CAST(FLOOR(0.6 * 4294967296) AS BIGINT))
+                     WHEN 'src2' THEN '00000000'
+                     ELSE '00000000' END AS thresh
+  FROM (SELECT DISTINCT source FROM documents)
+),
+sized AS (
+  SELECT source, n_full, thresh,
+         n_full + CASE WHEN thresh <> '00000000' THEN 1 ELSE 0 END AS n_copies
+  FROM rates
+),
+exploded AS (
+  SELECT d.doc_id, d.source, d.n_chars, r.n_full, r.thresh, u.epoch_copy
+  FROM documents d
+  JOIN sized r USING (source)
+  CROSS JOIN unnest(generate_series(0, r.n_copies - 1)) AS u(epoch_copy)
+  WHERE r.n_copies > 0
+)
+SELECT source, CAST(epoch_copy AS INTEGER) AS epoch_copy,
+       COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM exploded
+WHERE epoch_copy < n_full
+   OR substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch_copy AS VARCHAR) || ':epoch'), 1, 8) < thresh
+GROUP BY 1, 2
+"""
+
+
 def t05_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B25 — polynomial rolling-hash document fingerprint (the
     cross-engine oracle twin).  Oracle-checked since round 3: the
@@ -5807,6 +5864,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # corpus curation (round 9 continuation): C4 rule cleaning + chunking
     "t20_c4_clean": t20_c4_clean,
     "t21_chunking": t21_chunking,
+    "t22_epoch_mix": t22_epoch_mix,
 }
 
 # The driver's correctness gate checks the first N registry entries at
@@ -5951,6 +6009,7 @@ ORACLE_SQL: dict[str, str] = {
     "t19_vocab_overlap": T19_SQL,
     "t20_c4_clean": T20_SQL,
     "t21_chunking": T21_SQL,
+    "t22_epoch_mix": T22_SQL,
     "s07_prototype_prune": S07_SQL,
     "s08_hard_negatives": S08_SQL,
     "s09_pq_topk": S09_SQL,

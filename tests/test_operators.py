@@ -1468,3 +1468,37 @@ def test_chunk_documents_reshard_stable_and_shuffle_free(spark, sf_dir):
     b = key(fcorpus.chunk_documents(docs.repartition(7), chunk_tokens=32, stride=24))
     assert a == b and len(a) > len({x[0] for x in a})  # multi-chunk docs exist
     assert audit(fcorpus.chunk_documents(docs, chunk_tokens=32, stride=24)).shuffle_exchanges == 0
+
+
+def test_epoch_sample_upsampling_semantics(spark, sf_dir):
+    """Epoch-weighted up-sampling: integer rates give exact copy
+    counts; fractional last copies are content-addressed (reshard-
+    stable) and MONOTONE in rate (raising 2.4 -> 2.7 only ADDS copies);
+    rate 0 empties a source; validation rejects negatives."""
+    from etlbigdata_spark import workload
+    from etlbigdata_spark.functions import corpus as fcorpus
+
+    docs = workload.load(spark, sf_dir, "documents")
+    n_src0 = docs.filter(F.col("source") == "src0").count()
+
+    mixed = fcorpus.epoch_sample(docs, {"src0": 3.0}, default_rate=0.0)
+    per_copy = {
+        r.epoch_copy: r["count"]
+        for r in mixed.groupBy("epoch_copy").count().collect()
+    }
+    assert per_copy == {0: n_src0, 1: n_src0, 2: n_src0}
+
+    key = lambda df: {(r.doc_id, r.epoch_copy) for r in df.collect()}  # noqa: E731
+    lo = key(fcorpus.epoch_sample(docs, {"src0": 2.4}, default_rate=0.0))
+    hi = key(fcorpus.epoch_sample(docs, {"src0": 2.7}, default_rate=0.0))
+    assert lo < hi  # strictly monotone: only fourth-copy membership grows
+    assert {c for _, c in lo} == {0, 1, 2}
+    full = {(d, c) for d, c in lo if c < 2}
+    assert len(full) == 2 * n_src0  # integer part exact
+    again = key(
+        fcorpus.epoch_sample(docs.repartition(7), {"src0": 2.4}, default_rate=0.0)
+    )
+    assert again == lo  # content-addressed, reshard-stable
+    assert key(fcorpus.epoch_sample(docs, {}, default_rate=0.0)) == set()
+    with pytest.raises(ValueError):
+        fcorpus.epoch_sample(docs, {"src0": -0.1})

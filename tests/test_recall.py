@@ -1657,3 +1657,36 @@ def test_dedup_keep_best_nan_scores_lose_and_bad_keep_fast_fail(spark):
     assert got_min == {1, 7}
     with pytest.raises(ValueError, match="keep must be"):
         fdedup.dedup_by_components(df, pairs, keep="median")  # no keep_by
+
+
+def test_ivf_pq_threshold_probe_matches_ranked_and_prunes(emb, spark, tmp_path):
+    """The streaming ANN probe's core (threshold-mode ivf_probe_index,
+    what foreach_batch_ann_probe calls per micro-batch) works on a PQ
+    index: pair emission equals the ranked probe's rows at/above the
+    same cutoff (same probed cells, same rounded PQ scores), and the
+    scan still partition-prunes — so the round-8 production streaming
+    probe composes with the round-9 IVF-PQ layout unchanged."""
+    import re
+
+    cb = fsim.pq_fit(emb, n_subspaces=32, n_codes=64, method="kmeans", train_n=500)
+    path = str(tmp_path / "ivfpq_thresh")
+    fsim.ivf_write_index(emb, path, n_centroids=8, pq=cb)
+    queries = emb.orderBy("vec_id").limit(5)
+
+    thresh = 0.1
+    pairs = fsim.ivf_probe_index(
+        spark, path, queries, n_probe=3, round_to=6, threshold=thresh
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[([^\]]*centroid[^\]]*)\]", plan)
+    got = {(r.query_id, r.neighbor_id, r.cosine) for r in pairs.collect()}
+
+    ranked = fsim.ivf_probe_index(
+        spark, path, queries, k=10**6, n_probe=3, round_to=6
+    )
+    want = {
+        (r.query_id, r.neighbor_id, r.cosine)
+        for r in ranked.collect()
+        if r.cosine >= thresh
+    }
+    assert got == want and len(got) > 0
