@@ -110,6 +110,7 @@ HEADLINE = [
     "t02_token_count",
     "t20_c4_clean",
     "t21_chunking",
+    "t22_epoch_mix",
     "d01_dup_groups",
     "d02_jaccard_pairs",
     "d08_containment_pairs",
