@@ -28,6 +28,16 @@ def _id_md5(id_col: str | Column) -> Column:
     return F.md5(c.cast("string"))
 
 
+def _thresh_hex(rate: float) -> str:
+    """Keep-rate → 8-hex-digit threshold on the first 32 bits of an md5
+    (keep iff h8 < threshold; string compare on fixed-width lowercase
+    hex ≡ numeric).  rate ≥ 1 → 'g', lexicographically above every hex
+    string (+∞); rate = 0 → '00000000', below none.  The ONE copy of
+    the driver-computed-threshold rule shared by :func:`mixture_sample`
+    and :func:`epoch_sample`."""
+    return "g" if rate >= 1.0 else format(int(rate * 16**8), "08x")
+
+
 def hash_split(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -261,11 +271,6 @@ def mixture_sample(
     if not 0.0 <= default_rate <= 1.0:
         raise ValueError(f"default_rate must be in [0,1], got {default_rate}")
 
-    def _thresh_hex(rate: float) -> str:
-        # keep iff h8 < hex(rate·16⁸). rate=1 → "g", lexicographically
-        # above every hex string (+∞); rate=0 → "00000000", below none.
-        return "g" if rate >= 1.0 else format(int(rate * 16**8), "08x")
-
     h8 = F.substring(
         F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))), 1, 8
     )
@@ -324,15 +329,14 @@ def epoch_sample(
         raise ValueError(f"default_rate must be >= 0, got {default_rate}")
 
     # per-group (full copies, fractional-copy hex threshold) — the
-    # mixture_sample discipline: thresholds are DRIVER-computed literal
-    # hex strings, so the plan compares fixed-width lowercase hex
-    # (≡ numeric) and an external engine reproduces the kept multiset
-    # from the same integers
+    # shared :func:`_thresh_hex` discipline: thresholds are DRIVER-
+    # computed literal hex strings, so the plan compares fixed-width
+    # lowercase hex (≡ numeric) and an external engine reproduces the
+    # kept multiset from the same integers (frac is always < 1 here —
+    # Sterbenz-exact subtraction — so the 'g' branch never fires)
     def _split(r: float) -> tuple[int, str]:
         n_full = int(math.floor(r))
-        frac = r - n_full
-        thresh = "g" if frac >= 1.0 else format(int(frac * 16**8), "08x")
-        return n_full, thresh
+        return n_full, _thresh_hex(r - n_full)
 
     full_expr, th_expr = None, None
     for g, r in rates.items():

@@ -3149,27 +3149,29 @@ def t22_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 T22_SQL = """
-WITH rates AS (
-  SELECT source,
+WITH rated AS (
+  -- rates computed INLINE per row, not via a join: a USING join would
+  -- silently drop NULL-source rows, while the Spark face's
+  -- eqNullSafe + default_rate keeps them at the default epochs (the
+  -- T15 discipline; CASE on a NULL source falls to ELSE on both sides)
+  SELECT doc_id, source, n_chars,
          CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 WHEN 'src2' THEN 1
                      ELSE 3 END AS n_full,
          CASE source WHEN 'src0' THEN printf('%08x', CAST(FLOOR(0.4 * 4294967296) AS BIGINT))
                      WHEN 'src1' THEN printf('%08x', CAST(FLOOR(0.6 * 4294967296) AS BIGINT))
                      WHEN 'src2' THEN '00000000'
                      ELSE '00000000' END AS thresh
-  FROM (SELECT DISTINCT source FROM documents)
+  FROM documents
 ),
 sized AS (
-  SELECT source, n_full, thresh,
-         n_full + CASE WHEN thresh <> '00000000' THEN 1 ELSE 0 END AS n_copies
-  FROM rates
+  SELECT *, n_full + CASE WHEN thresh <> '00000000' THEN 1 ELSE 0 END AS n_copies
+  FROM rated
 ),
 exploded AS (
-  SELECT d.doc_id, d.source, d.n_chars, r.n_full, r.thresh, u.epoch_copy
-  FROM documents d
-  JOIN sized r USING (source)
-  CROSS JOIN unnest(generate_series(0, r.n_copies - 1)) AS u(epoch_copy)
-  WHERE r.n_copies > 0
+  SELECT d.doc_id, d.source, d.n_chars, d.n_full, d.thresh, u.epoch_copy
+  FROM sized d
+  CROSS JOIN unnest(generate_series(0, d.n_copies - 1)) AS u(epoch_copy)
+  WHERE d.n_copies > 0
 )
 SELECT source, CAST(epoch_copy AS INTEGER) AS epoch_copy,
        COUNT(*) AS n_docs,

@@ -1502,3 +1502,8 @@ def test_epoch_sample_upsampling_semantics(spark, sf_dir):
     assert key(fcorpus.epoch_sample(docs, {}, default_rate=0.0)) == set()
     with pytest.raises(ValueError):
         fcorpus.epoch_sample(docs, {"src0": -0.1})
+    # NULL group metadata takes default_rate (review pass 3: the oracle
+    # was rebuilt join-free so both engines agree on this path)
+    nulled = spark.createDataFrame([(900, None)], "doc_id long, source string")
+    got = key(fcorpus.epoch_sample(nulled, {"src0": 0.0}, default_rate=2.0))
+    assert got == {(900, 0), (900, 1)}
