@@ -323,3 +323,79 @@ def audio_near_dups(
         hashed, max_hamming=max_hamming, scheme=scheme,
         n_blocks=max(6, max_hamming + 1),
     )
+
+
+def video_near_dups(
+    df: DataFrame,
+    key_col: str,
+    bytes_col: str,
+    n_frames: int = 3,
+    max_hamming: int = 0,
+    scheme: str = "blocks",
+    extract_fn: Callable[[bytes, int], list[bytes]] | None = None,
+) -> DataFrame:
+    """Near-duplicate VIDEO pairs — the third modality of the dedup
+    triad (image mm02 / audio mm03 / video mm04): evenly-spaced frames
+    come out of the REAL concatenated-P6 stream splitter
+    (:func:`sample_frames` ``strict`` path; swap ``extract_fn`` for an
+    ffmpeg-backed callable on compressed containers), each frame gets
+    the perceptual aHash map-side, and the shared Hamming pair core
+    (``dedup.hamming_pairs_64``) runs ONCE PER FRAME POSITION — a video
+    pair survives iff EVERY sampled position matches within
+    ``max_hamming``, the standard frame-fingerprint sequence rule.
+
+    Scale shape: blobs are read once and fan out to (key, idx, 8-byte
+    hash) rows; the hashed frame table is persisted (scoped — release
+    with ``text.release_cached``) because each of the ``n_frames``
+    per-position pair branches filters it, and everything downstream of
+    the decode moves hashes, never frames.  Videos shorter than
+    ``n_frames`` never pair (a missing position cannot match; length
+    mismatch ⇒ not a duplicate under the all-positions rule).
+
+    Returns (id_a, id_b, n_matched, max_frame_hamming), each pair once.
+    """
+    from . import codecs
+    from .dedup import hamming_pairs_64
+    from .text import _persist_scoped
+
+    frames = sample_frames(
+        df, key_col, bytes_col, n_frames,
+        extract_fn=extract_fn, strict=extract_fn is None,
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("sig", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "key": pdf["key"],
+                    "frame_idx": pdf["frame_idx"],
+                    "sig": [codecs.image_ahash(b) for b in pdf["frame"]],
+                }
+            )
+
+    hashed = _persist_scoped(frames.mapInPandas(run, schema=out_schema))
+    per_pos = None
+    for i in range(n_frames):
+        sub = hashed.filter(F.col("frame_idx") == i).select(
+            F.col("key").alias("id"), "sig"
+        )
+        p = hamming_pairs_64(
+            sub, max_hamming=max_hamming, scheme=scheme,
+            n_blocks=max(6, max_hamming + 1),
+        ).select("id_a", "id_b", "hamming")
+        per_pos = p if per_pos is None else per_pos.unionByName(p)
+    return (
+        per_pos.groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.max("hamming").alias("max_frame_hamming"),
+        )
+        .filter(F.col("n_matched") == n_frames)
+    )

@@ -3534,6 +3534,76 @@ def mm03_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 MM03_SQL = MM02_SQL
 
 
+def mm04_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B26×B23 — perceptual VIDEO dedup, completing the modality triad
+    (mm02 image / mm03 audio / mm04 video) with mm03's stronger
+    different-bytes claim: each doc renders a deterministic 4-frame
+    video (concatenated real P6 frames, pixels md5-chained from the
+    (source, n_chars) key and frame index, held ≤ 248) PLUS a
+    doc_id-dependent uniform brightness offset — so dup-group members
+    carry DIFFERENT bytes in every frame and collide only through
+    aHash's designed invariance (a uniform shift moves every 8×8 cell
+    and the mean together, flipping no bits).  The pipeline is the real
+    production path — strict concatenated-P6 frame sampling →
+    per-frame aHash map-side → the shared Hamming core per frame
+    POSITION, pair survives iff all positions match — while the oracle
+    states the ground truth in pure SQL: doc pairs equal on
+    (source, n_chars)."""
+    from .functions.multimodal import video_near_dups
+
+    ftext.release_cached()
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from .functions import codecs as _codecs
+
+        for pdf in batches:
+            blobs = []
+            for did, src, nch in zip(pdf["doc_id"], pdf["source"], pdf["n_chars"]):
+                frames = []
+                offset = int(did) % 7  # different bytes per dup member
+                for fi in range(4):
+                    seed = hashlib.md5(f"{src}:{int(nch)}:{fi}".encode()).digest()
+                    buf = bytearray()
+                    block = seed
+                    while len(buf) < 16 * 16 * 3:
+                        block = hashlib.md5(block).digest()
+                        buf.extend(block)
+                    px = (
+                        np.frombuffer(bytes(buf[: 16 * 16 * 3]), dtype=np.uint8)
+                        .reshape(16, 16, 3)
+                        % 249  # headroom so +offset never clips
+                        + offset
+                    ).astype(np.uint8)
+                    frames.append(_codecs.encode_ppm(px))
+                blobs.append(b"".join(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    import pyspark.sql.types as T2
+
+    blobs = docs.mapInPandas(
+        gen, schema=T2.StructType([
+            T2.StructField("doc_id", T2.LongType()),
+            T2.StructField("blob", T2.BinaryType()),
+        ])
+    )
+    pairs = video_near_dups(blobs, "doc_id", "blob", n_frames=3, max_hamming=0)
+    a = F.least(F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"))
+    return (
+        pairs.groupBy(a.alias("doc_a"))
+        .agg(F.count(F.lit(1)).alias("n_dups"))
+        .orderBy("doc_a")
+    )
+
+
+MM04_SQL = MM02_SQL
+
+
 # ---------------------------------------------------------------------
 # Streaming semantics in batch form (B20) — the streaming engine itself
 # is exercised by replay tests (tests/test_streaming.py)
@@ -5867,6 +5937,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t20_c4_clean": t20_c4_clean,
     "t21_chunking": t21_chunking,
     "t22_epoch_mix": t22_epoch_mix,
+    # multimodal triad completion (round 9 continuation): video joins
+    # image (mm02, in-window) and audio (mm03, in-window); first window
+    # slot at the next rotation
+    "mm04_video_neardup": mm04_video_neardup,
 }
 
 # The driver's correctness gate checks the first N registry entries at
@@ -6002,6 +6076,7 @@ ORACLE_SQL: dict[str, str] = {
     # asymmetry — only the probe PLAN differs (partition-pruned)
     "st14_stream_probe_partition_pruned": ST13_SQL,
     "mm03_audio_neardup": MM03_SQL,
+    "mm04_video_neardup": MM04_SQL,
     "b40_table_diff": B40_SQL,
     "b41_interval_join": B41_SQL,
     "b42_drift_psi": B42_SQL,

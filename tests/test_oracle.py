@@ -172,8 +172,8 @@ def test_driver_window_covers_expected_components():
 def test_registry_counts_match_documentation():
     """README/COVERAGE cite these exact counts (round-3 verdict flagged
     drift); changing the registry must update the docs with it."""
-    assert len(workload.QUERIES) == 155
-    assert len(workload.ORACLE_SQL) == 142
+    assert len(workload.QUERIES) == 156
+    assert len(workload.ORACLE_SQL) == 143
 
 
 # DuckDB types the driver's canonicalization maps differently from the

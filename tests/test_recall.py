@@ -1690,3 +1690,46 @@ def test_ivf_pq_threshold_probe_matches_ranked_and_prunes(emb, spark, tmp_path):
         if r.cosine >= thresh
     }
     assert got == want and len(got) > 0
+
+
+def test_video_near_dups_frame_rules_and_gain_invariance(spark):
+    """video_near_dups (mm04 core): identical concatenated-P6 videos
+    pair with every sampled position at Hamming 0; a uniform brightness
+    offset (different bytes!) still pairs through aHash's designed
+    invariance; one sufficiently-different frame kills the pair under
+    the all-positions rule; shorter videos never pair."""
+    import numpy as np
+
+    from etlbigdata_spark.functions import codecs, multimodal
+    from etlbigdata_spark.functions import text as ftext
+
+    rng_frames = []
+    import hashlib
+
+    for fi in range(3):
+        block, buf = hashlib.md5(f"f{fi}".encode()).digest(), bytearray()
+        while len(buf) < 16 * 16 * 3:
+            block = hashlib.md5(block).digest()
+            buf.extend(block)
+        rng_frames.append(
+            (np.frombuffer(bytes(buf[: 16 * 16 * 3]), dtype=np.uint8) % 240)
+            .reshape(16, 16, 3)
+        )
+    vid = lambda frames: b"".join(codecs.encode_ppm(f) for f in frames)  # noqa: E731
+    base = [f.copy() for f in rng_frames]
+    offset = [(f + 9).astype(np.uint8) for f in rng_frames]  # different bytes
+    inverted_last = [rng_frames[0], rng_frames[1], (255 - rng_frames[2]).astype(np.uint8)]
+    rows = [
+        (1, vid(base)),
+        (2, vid(base)),            # byte-identical dup of 1
+        (3, vid(offset)),          # gain-shifted dup of 1 (different bytes)
+        (4, vid(inverted_last)),   # frames 0,1 match; frame 2 far away
+        (5, vid(base[:2])),        # too short: position 2 missing
+    ]
+    df = spark.createDataFrame(rows, "vid long, blob binary")
+    assert rows[2][1] != rows[0][1]  # the gain plant really changes bytes
+    pairs = multimodal.video_near_dups(df, "vid", "blob", n_frames=3, max_hamming=0)
+    got = {(r.id_a, r.id_b): (r.n_matched, r.max_frame_hamming) for r in pairs.collect()}
+    ftext.release_cached()
+    assert set(got) == {("1", "2"), ("1", "3"), ("2", "3")}
+    assert all(v == (3, 0) for v in got.values())
