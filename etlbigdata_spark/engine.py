@@ -117,6 +117,7 @@ class Engine:
         # perceptual media hashes; pass key_col=/bytes_col= (binary media)
         "image": fmm.image_near_dups,
         "audio": fmm.audio_near_dups,
+        "video": fmm.video_near_dups,
     }
 
     def dedup_exact(self, df: DataFrame, **kw) -> DataFrame:

@@ -345,8 +345,9 @@ def video_near_dups(
     ``max_hamming``, the standard frame-fingerprint sequence rule.
 
     Scale shape: blobs are read once and fan out to (key, idx, 8-byte
-    hash) rows; the hashed frame table is persisted (scoped — release
-    with ``text.release_cached``) because each of the ``n_frames``
+    hash) rows; the hashed frame table is persisted (scoped in the DEDUP family's
+    cache — ``dedup.release_cached`` / Engine.near_dup_pairs entry
+    frees it) because each of the ``n_frames``
     per-position pair branches filters it, and everything downstream of
     the decode moves hashes, never frames.  Videos shorter than
     ``n_frames`` never pair (a missing position cannot match; length
@@ -354,9 +355,10 @@ def video_near_dups(
 
     Returns (id_a, id_b, n_matched, max_frame_hamming), each pair once.
     """
+    if n_frames < 1:
+        raise ValueError(f"n_frames must be >= 1, got {n_frames}")
     from . import codecs
-    from .dedup import hamming_pairs_64
-    from .text import _persist_scoped
+    from .dedup import _persist_scoped, hamming_pairs_64
 
     frames = sample_frames(
         df, key_col, bytes_col, n_frames,

@@ -72,6 +72,15 @@ def main() -> None:
         "identical declared faces on both engines (s09 = oracle face, see module doc)"
         % RUNS
     )
+    # MERGE into an existing artifact rather than clobbering it: the
+    # committed NEWOPS jsons carry hand-added sections (production-path
+    # numbers, growth decompositions) that BASELINE.md cites — a plain
+    # repro run must refresh the pair keys and keep everything else
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            prev = json.load(f)
+        prev.update(out)
+        out = prev
     with open(OUT, "w") as f:
         f.write(json.dumps(out) + "\n")
     print(json.dumps(out["ratios"]))

@@ -1701,7 +1701,6 @@ def test_video_near_dups_frame_rules_and_gain_invariance(spark):
     import numpy as np
 
     from etlbigdata_spark.functions import codecs, multimodal
-    from etlbigdata_spark.functions import text as ftext
 
     rng_frames = []
     import hashlib
@@ -1730,6 +1729,8 @@ def test_video_near_dups_frame_rules_and_gain_invariance(spark):
     assert rows[2][1] != rows[0][1]  # the gain plant really changes bytes
     pairs = multimodal.video_near_dups(df, "vid", "blob", n_frames=3, max_hamming=0)
     got = {(r.id_a, r.id_b): (r.n_matched, r.max_frame_hamming) for r in pairs.collect()}
-    ftext.release_cached()
+    fdedup.release_cached()
+    with pytest.raises(ValueError, match="n_frames"):
+        multimodal.video_near_dups(df, "vid", "blob", n_frames=0)
     assert set(got) == {("1", "2"), ("1", "3"), ("2", "3")}
     assert all(v == (3, 0) for v in got.values())
