@@ -218,3 +218,14 @@ def test_rows_only_queries_run(spark, sf_dir, name):
     df = workload.QUERIES[name](spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_bench_headline_is_subset_of_registry():
+    """bench.py's HEADLINE list is hand-maintained; a typo'd or renamed
+    query would only explode at driver-bench time (KeyError mid-round).
+    Keep every headline entry a declared query, with no duplicates."""
+    import bench
+
+    missing = [n for n in bench.HEADLINE if n not in workload.QUERIES]
+    assert not missing, f"bench HEADLINE names not in registry: {missing}"
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
