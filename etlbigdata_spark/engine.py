@@ -139,10 +139,19 @@ class Engine:
         return self._NEAR_DUP[method](df, **kw)
 
     def dedup_near(
-        self, df: DataFrame, method: str = "minhash_verified", id_col: str = "doc_id", **kw
+        self,
+        df: DataFrame,
+        method: str = "minhash_verified",
+        id_col: str = "doc_id",
+        keep_by: str | None = None,
+        keep: str = "max",
+        **kw,
     ) -> DataFrame:
-        """Near-dedup end-to-end: pairs → connected components → keep the
-        min-id winner per cluster (full rows never shuffle)."""
+        """Near-dedup end-to-end: pairs → connected components → keep one
+        winner per cluster (full rows never shuffle).  Default winner is
+        the min id; ``keep_by=<column>`` keeps the best-scoring member
+        instead (keep the longest / highest-quality duplicate — see
+        functions/dedup.dedup_by_components)."""
         import inspect
 
         from pyspark.sql import functions as F
@@ -153,7 +162,9 @@ class Engine:
         fn = self._NEAR_DUP[method]
         if "id_col" in inspect.signature(fn).parameters:
             pairs = self.near_dup_pairs(df, method=method, id_col=id_col, **kw)
-            return fdedup.dedup_by_components(df, pairs, id_col=id_col)
+            return fdedup.dedup_by_components(
+                df, pairs, id_col=id_col, keep_by=keep_by, keep=keep
+            )
         # media methods (image/audio) key on key_col=/bytes_col= and emit
         # STRINGIFIED pair ids; the winner id is the media key.
         # connected_components runs natively on the stringified keys
@@ -167,7 +178,9 @@ class Engine:
                 F.col("id_a").cast("long").alias("id_a"),
                 F.col("id_b").cast("long").alias("id_b"),
             )
-        return fdedup.dedup_by_components(df, pairs, id_col=key)
+        return fdedup.dedup_by_components(
+            df, pairs, id_col=key, keep_by=keep_by, keep=keep
+        )
 
     _TOPK = {
         "exact": fsim.cosine_topk,
@@ -175,6 +188,7 @@ class Engine:
         "lsh_verified": fsim.lsh_verified_topk,
         "ivf": fsim.ivf_topk,
         "sq8": fsim.cosine_topk_quantized,  # corpus must be pre-quantized
+        "pq": fsim.pq_topk,  # corpus must be pre-encoded; pass codebooks=
     }
 
     def similar_topk(

@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """End-to-end training-data pipeline against the Engine facade alone —
 the "switch from the reference" artifact: load → exact dedup → near-dup
-dedup (MinHash verified) → text enrichment → quality filter → token
-budget → similarity probe, every stage lazy until its action.
+dedup (MinHash verified, keep the LONGEST duplicate) → text enrichment →
+quality filter → epoch-weighted mixing → chunking → token budget →
+similarity probe (exact + PQ), every stage lazy until its action.
 
 Usage: python scripts/pipeline_demo.py [sf_dir]
 Prints one JSON line of per-stage counts.
@@ -33,8 +34,13 @@ def main(sf_dir: str = DEFAULT_SF_DIR) -> dict:
     docs = eng.dedup_exact(docs, text_col="text", id_col="doc_id")
     stages["after_exact_dedup"] = docs.count()
 
-    # 2. near-dup dedup: verified-MinHash pairs → components → winners
-    docs = eng.dedup_near(docs, method="minhash_verified", id_col="doc_id", threshold=0.5)
+    # 2. near-dup dedup: verified-MinHash pairs → components → keep the
+    # LONGEST member per cluster (round 9: keep_by, the production
+    # canonical policy; min-id default remains the oracle face)
+    docs = eng.dedup_near(
+        docs, method="minhash_verified", id_col="doc_id", threshold=0.5,
+        keep_by="n_chars",
+    )
     stages["after_near_dedup"] = docs.count()
 
     # 3. enrichment: stats + quality + language + fingerprint (one pass)
@@ -44,6 +50,21 @@ def main(sf_dir: str = DEFAULT_SF_DIR) -> dict:
     kept = enriched.filter((F.col("quality") >= 0.3) & (F.col("n_chars") >= 40))
     stages["after_quality_filter"] = kept.count()
 
+    # 4b. (round 9) epoch-weighted mixing: up-sample the smallest source
+    # to 2.5 epochs, keep the rest at 1 — the training-mix recipe step
+    from etlbigdata_spark.functions import corpus as fcorpus
+
+    smallest = (
+        kept.groupBy("source").count().orderBy("count", "source").first()["source"]
+    )
+    mixed = fcorpus.epoch_sample(kept, {smallest: 2.5}, default_rate=1.0)
+    stages["after_epoch_mix"] = mixed.count()
+    assert stages["after_epoch_mix"] > stages["after_quality_filter"]
+
+    # 4c. (round 9) chunk into overlapping training windows
+    chunks = fcorpus.chunk_documents(mixed, "doc_id", "text", chunk_tokens=32, stride=24)
+    stages["n_chunks"] = chunks.count()
+
     # 5. token budget: running total of token counts in doc_id order
     budget = kept.agg(F.sum("n_tokens").alias("total_tokens")).collect()[0]
     stages["total_tokens"] = int(budget["total_tokens"])
@@ -51,6 +72,16 @@ def main(sf_dir: str = DEFAULT_SF_DIR) -> dict:
     # 6. similarity probe: top-3 neighbors for the first 3 surviving docs
     queries = emb.filter(F.col("vec_id") < 3)
     stages["similarity_rows"] = eng.similar_topk(emb, queries, k=3, round_to=6).count()
+
+    # 6b. (round 9) the same probe through PQ codes (32 bytes/vector):
+    # fit → encode → LUT-ADC search, all via the facade method registry
+    from etlbigdata_spark.functions import similarity as fsim
+
+    cb = fsim.pq_fit(emb, n_subspaces=32, n_codes=64, method="kmeans", train_n=512)
+    coded = fsim.pq_encode(emb, cb, assign="blas")
+    stages["pq_similarity_rows"] = eng.similar_topk(
+        coded, queries, k=3, method="pq", codebooks=cb, round_to=6
+    ).count()
 
     # 7. (round 4) data-quality gate on the surviving corpus
     from etlbigdata_spark.operators import quality as dq

@@ -135,6 +135,11 @@ def test_pipeline_demo_runs(spark, sf_dir):
     assert stages["input"] >= stages["after_exact_dedup"] >= stages["after_near_dedup"]
     assert stages["after_near_dedup"] >= stages["after_quality_filter"] > 0
     assert stages["total_tokens"] > 0 and stages["similarity_rows"] > 0
+    # round-9 stages: up-sampling grows the mix, chunking fans out, and
+    # the PQ probe returns a full top-k through the facade registry
+    assert stages["after_epoch_mix"] > stages["after_quality_filter"]
+    assert stages["n_chunks"] >= stages["after_epoch_mix"]
+    assert stages["pq_similarity_rows"] == stages["similarity_rows"]
 
 
 def test_sql_function_library_matches_dataframe_twins(spark, sf_dir):
