@@ -514,6 +514,12 @@ def _read_pq_codebooks(spark, path: str) -> list[list[list[float]]]:
     books: list[list[list[float]]] = [[None] * k for _ in range(m)]  # type: ignore[list-item]
     for r in rows:
         books[r["s"]][r["j"]] = [float(x) for x in r["vec"]]
+    # a duplicate (s, j) row plus a missing cell passes the row-count
+    # check but leaves a None codeword that fails later inside an
+    # expression (or scores wrongly) — require the grid to be dense
+    missing = [(s, j) for s in range(m) for j in range(k) if books[s][j] is None]
+    if missing:
+        raise ValueError(f"pq_codebooks sidecar is torn: missing cells {missing[:4]}")
     return books
 
 
@@ -1477,8 +1483,12 @@ def pq_fit(
         # use codes 0..127 exactly — the standard nbits=7 PQ budget here
         raise ValueError("n_codes must be in [1, 128] (codes are tinyint)")
     take = n_codes if method == "sample" else max(train_n, n_codes)
+    # null discipline matches pq_encode/pq_topk: a NULL vector in the
+    # md5-ordered sample would crash len()/np.array with an opaque
+    # TypeError, so exclude it from training up front
     rows = (
-        corpus.select(F.col(vec_col), F.md5(F.col(id_col).cast("string")).alias("__h"))
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(F.col(vec_col), F.md5(F.col(id_col).cast("string")).alias("__h"))
         .orderBy("__h")
         .limit(take)
         .collect()

@@ -79,7 +79,15 @@ def main() -> None:
     if os.path.exists(OUT):
         with open(OUT) as f:
             prev = json.load(f)
-        prev.update(out)
+        # deep-merge per section: hand-added keys nested inside
+        # spark/duckdb/ratios (growth decompositions, production-path
+        # numbers) must survive a repro run, so update key-by-key
+        # instead of replacing whole sections
+        for key, val in out.items():
+            if isinstance(val, dict) and isinstance(prev.get(key), dict):
+                prev[key].update(val)
+            else:
+                prev[key] = val
         out = prev
     with open(OUT, "w") as f:
         f.write(json.dumps(out) + "\n")

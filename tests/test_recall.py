@@ -1518,6 +1518,30 @@ def test_pq_validation_and_null_embeddings(emb, spark):
     for kw in (dict(round_to=6), dict(assign="blas")):
         rows = {r.vec_id: r.pq_code for r in fsim.pq_encode(nulled, cb, **kw).collect()}
         assert rows[1] is None and rows[0] is not None
+    # round-10 (ADVICE r9): a NULL vector landing in the md5-ordered
+    # training sample must be excluded, not crash np.array/len(None) —
+    # fit over a corpus whose sample WOULD contain the null
+    cb2 = fsim.pq_fit(nulled, n_subspaces=8, n_codes=1)
+    assert len(cb2) == 8 and all(len(b) == 1 for b in cb2)
+
+
+def test_pq_codebook_sidecar_dense_grid_check(emb, spark, tmp_path):
+    """Round-10 (ADVICE r9): a duplicate (s, j) sidecar row plus a
+    missing cell passes the total-row-count check but leaves a None
+    codeword; _read_pq_codebooks must fail loudly on the torn grid."""
+    cb = fsim.pq_fit(emb, n_subspaces=8, n_codes=4, method="sample")
+    path = str(tmp_path / "ivf_pq_torn")
+    fsim.ivf_write_index(emb, path, n_centroids=4, pq=cb)
+    side = f"{path}/pq_codebooks"
+    rows = spark.read.parquet(side).collect()
+    # drop cell (0, 0), duplicate cell (0, 1): same total count, torn grid
+    torn = [r for r in rows if not (r["s"] == 0 and r["j"] == 0)]
+    torn.append([r for r in torn if r["s"] == 0 and r["j"] == 1][0])
+    spark.createDataFrame(torn, "s int, j int, vec array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(side)
+    with pytest.raises(ValueError, match="torn"):
+        fsim._read_pq_codebooks(spark, path)
 
 
 def test_ivf_pq_index_smallest_pruned_recall_and_append(emb, spark, tmp_path):
