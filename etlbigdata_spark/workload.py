@@ -5696,8 +5696,22 @@ ORDER BY s_suppkey
 # spending driver correctness slots on already-proven components.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver window (first 50): one proving query per component ---
-    # Part A
-    "a01_csv_scan": a01_csv_scan,
+    # round-10 window rotation (VERDICT r9 item 1): a01_csv_scan,
+    # b10_ranks, evt08_scd2, t01_text_stats, t03_quality rotate out
+    # after 4+ driver-green rounds each (all stay oracle-checked by
+    # tests/test_oracle.py past the window); their slots promote the
+    # five round-9 continuation rows that never held a driver slot —
+    # t20 (C4 rule cleaning), t21 (overlapping token-window chunking),
+    # t22 (epoch-weighted up-sampling), s09 (product-quantization ANN),
+    # mm04 (video near-dup).  The verdict's example swap list named b33
+    # instead of t03, but b33 has held its slot only since round 9 (one
+    # green round) — the standing discipline rotates rows out after
+    # 4-5+ green rounds, so the long-green t03 goes instead.
+    "t20_c4_clean": t20_c4_clean,
+    "t21_chunking": t21_chunking,
+    "t22_epoch_mix": t22_epoch_mix,
+    "s09_pq_topk": s09_pq_topk,
+    "mm04_video_neardup": mm04_video_neardup,
     # round-8 window rotation (VERDICT r7 item 6): a06_union_all,
     # a08_dedup, a16_join (driver-green since round 1) and
     # st01_tumbling/st02_sessions/st03_watermark (green since round 3)
@@ -5719,7 +5733,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # evt08 (batch SCD2), st09 (stream-incremental dedup through the
     # REAL engine, the 100 TB production dedup shape), t13 (Gopher
     # repetition filters), b31 (MERGE upsert).
-    "evt08_scd2": evt08_scd2,
     "st09_stream_incremental_dedup": st09_stream_incremental_dedup,
     "t13_repetition": t13_repetition,
     "b31_merge_upsert": b31_merge_upsert,
@@ -5764,7 +5777,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # and d10 (duplicated spans), so every dedup family member proves
     # itself at the driver gate in its first round.
     "b09_range": b09_range,
-    "b10_ranks": b10_ranks,
     "b10_running_sum": b10_running_sum,
     # round-7 window rotation (VERDICT r6 item 8): the scalar-function
     # family rows b11_strings/b12_dates/b13_math/b14_arrays/
@@ -5810,8 +5822,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d10_duplicated_spans": d10_duplicated_spans,
     "s01_cosine_topk": s01_cosine_topk,
     "s02v_lsh_verified": s02v_lsh_verified,
-    "t01_text_stats": t01_text_stats,
-    "t03_quality": t03_quality,
     "t04_language_id": t04_language_id,
     "mm01_binary_meta": mm01_binary_meta,
     "mm02_image_neardup": mm02_image_neardup,
@@ -5831,6 +5841,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st07_stream_join": st07_stream_join,
     "st08_stream_dedup": st08_stream_dedup,
     "st10_stream_dq_monitor": st10_stream_dq_monitor,
+    # round-10: a01/b10_ranks/evt08/t01/t03 rotated out after 4+
+    # driver-green rounds; still oracle-checked here
+    "a01_csv_scan": a01_csv_scan,
+    "b10_ranks": b10_ranks,
+    "evt08_scd2": evt08_scd2,
+    "t01_text_stats": t01_text_stats,
+    "t03_quality": t03_quality,
     # round-9: the relational-core rows rotated out after 7-8
     # driver-green rounds; still oracle-checked here
     "b01_sql": b01_sql,
@@ -5904,7 +5921,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s03_ivf_topk": s03_ivf_topk,
     "s04_kmeans": s04_kmeans,
     "s05_quantized_topk": s05_quantized_topk,
-    "s09_pq_topk": s09_pq_topk,
     "t05_fingerprint": t05_fingerprint,
     "t11_normalize": t11_normalize,
     "t12_pack_shards": t12_pack_shards,
@@ -5933,14 +5949,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t07_hash_split": t07_hash_split,
     "t09_pii_redact": t09_pii_redact,
     "t10_quota_sample": t10_quota_sample,
-    # corpus curation (round 9 continuation): C4 rule cleaning + chunking
-    "t20_c4_clean": t20_c4_clean,
-    "t21_chunking": t21_chunking,
-    "t22_epoch_mix": t22_epoch_mix,
-    # multimodal triad completion (round 9 continuation): video joins
-    # image (mm02, in-window) and audio (mm03, in-window); first window
-    # slot at the next rotation
-    "mm04_video_neardup": mm04_video_neardup,
+    # (t20/t21/t22/s09/mm04 promoted into the driver window in round 10)
 }
 
 # The driver's correctness gate checks the first N registry entries at

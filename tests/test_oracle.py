@@ -99,7 +99,7 @@ def test_driver_window_covers_expected_components():
         "q21_sole_failing_supplier",
         "d07_incremental_dedup",
         # round-6 rotation: never-windowed components now spend slots
-        "evt08_scd2",
+        # (evt08_scd2 rotated out in r10 after 4 green rounds)
         "st09_stream_incremental_dedup",
         "t13_repetition",
         "b31_merge_upsert",
@@ -141,6 +141,13 @@ def test_driver_window_covers_expected_components():
         "evt05_cohort_retention",
         "t06_tfidf_topterms",
         "t08_contamination",
+        # round-10 rotation (VERDICT r9 item 1): the five round-9
+        # continuation rows take their first driver slots
+        "t20_c4_clean",
+        "t21_chunking",
+        "t22_epoch_mix",
+        "s09_pq_topk",
+        "mm04_video_neardup",
     ):
         assert required in DRIVER_WINDOW
     # rotations: rows demoted after multiple driver-green rounds stay
@@ -160,6 +167,11 @@ def test_driver_window_covers_expected_components():
         "b01_sql", "b02_projection", "b03_general_filter",
         "b05_count_distinct", "b06_grouping_sets", "b07_topk_group",
         "t02_token_count",
+        # r10: long-green rows freeing slots for t20/t21/t22/s09/mm04
+        # (b33 kept in-window — only one green round since its r9
+        # promotion; t03 rotates in its place per the 4+-round rule)
+        "a01_csv_scan", "b10_ranks", "evt08_scd2",
+        "t01_text_stats", "t03_quality",
     ):
         assert rotated_out not in DRIVER_WINDOW
         assert rotated_out in workload.QUERIES and rotated_out in workload.ORACLE_SQL
