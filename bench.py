@@ -123,6 +123,37 @@ HEADLINE = [
     "st03_watermark",
 ]
 
+# Excluded-from-headline registry (VERDICT r9 item 5). These queries'
+# DECLARED faces inline an index-BUILD step or run deliberately-unscaled
+# proof apparatus so a cross-engine oracle can replay them (rationale in
+# the module docstring above); benching the declared face would misstate
+# the production path the module documents. The dict is authoritative:
+# additions require a written reason here and are pinned by
+# tests/test_oracle.py::test_bench_exclusion_list_is_pinned, so the set
+# cannot silently grow.
+EXCLUDED_FROM_HEADLINE = {
+    "d03v_minhash_verified": (
+        "recall-mode r=1/b=32 banding makes the candidate set ~ all near "
+        "pairs by construction — the documented do-not-run-at-scale proof "
+        "twin of d03_minhash, which IS benched"
+    ),
+    "d07_incremental_dedup": (
+        "oracle face rebuilds the corpus index inline every run and adds "
+        "exact verification; production is incremental_minhash_pairs "
+        "against a PRE-BUILT parquet index (~3x cheaper)"
+    ),
+    "d09_semantic_dedup": (
+        "oracle face pins 8 k-means cells so DuckDB can replay the "
+        "within-cell O(sum|cell|^2) join; production scales the cell "
+        "count (1e4-1e5 at web scale) precisely to avoid that join size"
+    ),
+    "s09_pq_topk": (
+        "oracle face re-runs the md5-sampled-codebook expression encode "
+        "(an index BUILD) per query; production encodes once via BLAS "
+        "and probes persisted codes — pinned in tests/test_recall.py"
+    ),
+}
+
 # Optional subset filter for targeted scale points (e.g. the sf10 growth
 # run benches only the heavy/real-work queries): comma-separated names.
 _SUBSET = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
@@ -181,6 +212,13 @@ def measure_floor(spark) -> float:
 
 
 def main() -> None:
+    # Noise evidence (VERDICT r9 item 3): BENCH_r09's driver run was a
+    # uniform ~1.77x of a same-code local pair — a box-load signature
+    # that cost a round a clean regression read. Stamp the host load
+    # (1/5/15-min averages) at start and end, and re-probe the fixed
+    # per-query floor at the END of the run: floor_end/floor_sec > 1.5
+    # means the box got loaded mid-run and the artifact flags itself.
+    load_start = os.getloadavg()
     spark = build_session(app_name="etlbigdata_spark_bench", master=f"local[{CPUS}]")
     # Global JIT warm-up: run a scan-heavy agg a few times so the first
     # *measured* query isn't paying HotSpot compilation for the whole
@@ -200,6 +238,9 @@ def main() -> None:
             timings[name] = None
     ok = [v for v in timings.values() if v is not None]
     total = round(sum(ok), 4)
+    floor_end = round(measure_floor(spark), 4)
+    load_end = os.getloadavg()
+    drift = round(floor_end / floor, 2) if floor > 0 else None
     print(
         json.dumps(
             {
@@ -211,6 +252,13 @@ def main() -> None:
                 "runs_per_query": RUNS,
                 "n_queries": len(ok),
                 "floor_sec": floor,
+                "floor_end_sec": floor_end,
+                "floor_drift": drift,
+                "loadavg_start": [round(x, 2) for x in load_start],
+                "loadavg_end": [round(x, 2) for x in load_end],
+                # read-rule (BASELINE.md): a run with noisy_window=true
+                # must not be read as a regression signal — re-pair it
+                "noisy_window": bool(drift is not None and drift > 1.5),
             }
         )
     )

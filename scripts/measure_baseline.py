@@ -128,7 +128,12 @@ def pandas_times() -> dict[str, float]:
 
 
 if __name__ == "__main__":
+    # noise stamp (round 10): pairs read against a bench.py run carry
+    # host-load evidence on both sides — see BASELINE.md "Noise
+    # read-rule"
+    _load_start = os.getloadavg()
     print(json.dumps({
+        "loadavg_start": [round(x, 2) for x in _load_start],
         "duckdb": duckdb_times(),
         # SKIP_PANDAS=1 skips the pandas anchors (at sf10 the q05 anchor
         # alone is ~9 min x runs; pandas numbers don't change round to
@@ -136,4 +141,5 @@ if __name__ == "__main__":
         "pandas": {} if os.environ.get("SKIP_PANDAS", "").lower() in ("1", "true", "yes") else pandas_times(),
         "sf": SF_DIR,
         "runs": RUNS,
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }))

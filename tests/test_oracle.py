@@ -241,3 +241,24 @@ def test_bench_headline_is_subset_of_registry():
     missing = [n for n in bench.HEADLINE if n not in workload.QUERIES]
     assert not missing, f"bench HEADLINE names not in registry: {missing}"
     assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+
+
+def test_bench_exclusion_list_is_pinned():
+    """Round-10 (VERDICT r9 item 5): the set of queries excluded from
+    the bench headline because their declared face inlines a BUILD step
+    or runs deliberately-unscaled proof apparatus is an explicit,
+    reasoned registry — this pin makes any addition require the same
+    written justification instead of silently growing the set."""
+    import bench
+
+    assert set(bench.EXCLUDED_FROM_HEADLINE) == {
+        "d03v_minhash_verified",
+        "d07_incremental_dedup",
+        "d09_semantic_dedup",
+        "s09_pq_topk",
+    }
+    for name, reason in bench.EXCLUDED_FROM_HEADLINE.items():
+        assert name in workload.QUERIES
+        assert name not in bench.HEADLINE
+        # a reason must be substantive, not a placeholder
+        assert isinstance(reason, str) and len(reason) > 40, name
