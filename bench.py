@@ -115,6 +115,7 @@ HEADLINE = [
     "d02_jaccard_pairs",
     "d08_containment_pairs",
     "d10_duplicated_spans",
+    "t23_packed_span_dedup",
     "t14_surprisal",
     "d03_minhash",
     "d04_simhash",

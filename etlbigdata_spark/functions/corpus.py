@@ -422,6 +422,204 @@ def pack_shards(
     return out
 
 
+# -- packed-sequence final-pass dedup ---------------------------------
+
+# pack_id = group * stride + shard: one sortable 64-bit key per pack so
+# the span machinery (keyed on a single id column) composes unchanged
+_PACK_STRIDE = 1_000_000
+
+
+def packed_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 4096,
+    n_groups: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Materialize :func:`pack_shards` output as TRAINING SEQUENCES: one
+    row per (group, shard) holding the pack's documents concatenated in
+    ``id_col`` order as a canonical token stream, plus the per-document
+    offset map inside each pack.
+
+    Returns ``(seqs, docs)``:
+
+    * ``seqs`` — ``(pack_id, group, shard, packed_text, n_docs,
+      n_tokens)``; ``packed_text`` is the space-joined token stream
+      (the same canonical form :func:`dedup.cut_spans` emits).
+    * ``docs`` — ``(pack_id, <id_col>, doc_start, doc_end)``: 1-based
+      inclusive token offsets of each document inside its pack
+      (zero-token documents get an empty range and never overlap).
+
+    Token accounting uses the library tokenizer
+    (:func:`text.tokens_col`, lowercased whitespace tokens) so offsets
+    align EXACTLY with every shingle operator downstream.  Scale shape:
+    md5 grouping and token sizing are map-side; the corpus shuffles
+    once into packs (scoped-persisted so the sequence and offset
+    branches don't re-tokenize), and the only ordered scan is the
+    per-(group, shard) sort both branches share — no global sort,
+    parallelism = number of packs.
+    """
+    from .dedup import _persist_scoped
+    from .text import tokens_col
+
+    toks = tokens_col(F.col(text_col))
+    sized = df.select(
+        F.col(id_col),
+        toks.alias("__ctoks"),
+        F.size(toks).cast("long").alias("__ntok"),
+    )
+    packed = _persist_scoped(
+        pack_shards(sized, id_col=id_col, token_col="__ntok", budget=budget, n_groups=n_groups)
+    )
+    pid = (F.col("group").cast("long") * _PACK_STRIDE + F.col("shard")).alias("pack_id")
+    w = (
+        Window.partitionBy("group", "shard")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    docs = (
+        packed.withColumn("__start", F.coalesce(F.sum("__ntok").over(w), F.lit(0)))
+        .select(
+            pid,
+            F.col(id_col),
+            (F.col("__start") + 1).alias("doc_start"),
+            (F.col("__start") + F.col("__ntok")).alias("doc_end"),
+        )
+    )
+    seqs = (
+        packed.groupBy("group", "shard")
+        .agg(
+            # flatten token ARRAYS (not join text fragments): zero-token
+            # docs vanish instead of leaving a double space, so
+            # packed_text is strictly the canonical token stream
+            F.array_join(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(F.col(id_col).alias("i"), F.col("__ctoks").alias("t"))
+                            )
+                        ),
+                        lambda s: s["t"],
+                    )
+                ),
+                " ",
+            ).alias("packed_text"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__ntok").alias("n_tokens"),
+        )
+        .select(pid, "group", "shard", "packed_text", "n_docs", "n_tokens")
+    )
+    return seqs, docs
+
+
+def packed_span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 4096,
+    n_groups: int = 8,
+    n: int = 5,
+    min_tokens: int = 8,
+) -> DataFrame:
+    """Final-pass sequence dedup AFTER packing: exact duplicate token
+    windows across PACKED training sequences — including windows that
+    exist only because packing spliced two documents next to each other,
+    the boundary-crossing class document-level span dedup cannot see
+    (:func:`dedup.cut_spans` documents the same splice effect in the
+    other direction).  Completes the clean → chunk → pack → dedup export
+    chain (:func:`c4_clean` → :func:`chunk_documents` →
+    :func:`pack_shards` → here).
+
+    Plan: :func:`packed_sequences`, then
+    :func:`dedup.duplicated_spans` over the pack sequences — linear in
+    the token stream, NO pair join (the d10 plan shape, pinned in
+    tests/test_plans.py) — then ONE bounded equi-join of the span
+    report against the per-doc offset map (on pack_id; spans per pack
+    are few by construction) to count the documents each span touches.
+
+    A window is reported when its content appears in ≥ 2 PACKS
+    (``min_docs=2`` at pack granularity); two copies landing inside the
+    same pack are the upstream doc-level dedup's job.
+
+    Returns ``(group, shard, span_start, span_end, span_tokens,
+    n_docs_touched, crosses_boundary)``; ``crosses_boundary`` = the
+    span overlaps ≥ 2 documents of its pack.
+    """
+    from .dedup import duplicated_spans
+
+    seqs, docs = packed_sequences(df, id_col, text_col, budget, n_groups)
+    spans = duplicated_spans(
+        seqs, id_col="pack_id", text_col="packed_text",
+        n=n, min_tokens=min_tokens, min_docs=2,
+    )
+    touched = (
+        spans.join(docs, "pack_id")
+        .filter(
+            (F.col("doc_start") <= F.col("span_end"))
+            & (F.col("doc_end") >= F.col("span_start"))
+        )
+        .groupBy("pack_id", "span_start", "span_end", "span_tokens")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs_touched"))
+    )
+    return touched.select(
+        F.floor(F.col("pack_id") / _PACK_STRIDE).cast("int").alias("group"),
+        (F.col("pack_id") % _PACK_STRIDE).cast("int").alias("shard"),
+        "span_start",
+        "span_end",
+        "span_tokens",
+        "n_docs_touched",
+        (F.col("n_docs_touched") >= 2).alias("crosses_boundary"),
+    )
+
+
+def packed_span_cut(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 4096,
+    n_groups: int = 8,
+    n: int = 5,
+    min_tokens: int = 8,
+) -> DataFrame:
+    """Cut duplicated windows out of packed sequences, keeping the FIRST
+    occurrence: span occurrences are linked by the 64-bit hash of their
+    exact span text (maximal spans with identical content), ranked by
+    ``(pack_id, span_start)``, and every occurrence after the first is
+    removed via :func:`dedup.cut_spans`.  Maximal spans whose extents
+    differ between packs hash differently and are left alone — the
+    conservative choice: only provably identical windows are cut, and
+    iterating find → cut converges exactly as cut_spans documents.
+
+    Returns the :func:`packed_sequences` ``seqs`` frame with
+    ``packed_text`` rebuilt (cut packs shrink; the keeper pack and
+    span-free packs pass through in canonical token form).
+    """
+    from .dedup import _persist_scoped, cut_spans, duplicated_spans
+    from .text import tokens_col
+
+    seqs, _docs = packed_sequences(df, id_col, text_col, budget, n_groups)
+    seqs = _persist_scoped(seqs)  # span finder + link join + cut all read it
+    spans = duplicated_spans(
+        seqs, id_col="pack_id", text_col="packed_text",
+        n=n, min_tokens=min_tokens, min_docs=2,
+    )
+    toks = tokens_col(F.col("packed_text"))
+    linked = spans.join(seqs.select("pack_id", "packed_text"), "pack_id").withColumn(
+        "__span_key",
+        F.xxhash64(
+            F.array_join(F.slice(toks, F.col("span_start"), F.col("span_tokens")), " ")
+        ),
+    )
+    w = Window.partitionBy("__span_key").orderBy("pack_id", "span_start")
+    to_cut = (
+        linked.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") > 1)
+        .select("pack_id", "span_start", "span_end", "span_tokens")
+    )
+    return cut_spans(seqs, to_cut, id_col="pack_id", text_col="packed_text")
+
+
 def c4_clean(
     df: DataFrame,
     text_col: str = "text",

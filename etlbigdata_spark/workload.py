@@ -3184,6 +3184,107 @@ GROUP BY 1, 2
 """
 
 
+def t23_packed_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B23+ — final-pass sequence dedup AFTER packing
+    (corpus.packed_span_dedup, VERDICT r9 item 7): exact duplicate
+    token windows across PACKED training sequences, with a
+    documents-touched count flagging windows that exist only because
+    packing spliced two documents together — the class document-level
+    span dedup (d10) cannot see.  Completes the clean → chunk → pack →
+    dedup export chain.  Linear in the token stream: the span finder is
+    the d10 plan shape (doc-freq agg + semi-join + islands, NO pair
+    join — pinned in tests/test_plans.py); the offset join is
+    equi-keyed on pack_id and bounded by the span report.  NON-VACUOUS:
+    a doc slice (doc_id ≡ 0 mod 41) is re-ided +200000, so identical
+    token streams land in different packs and duplicate every window
+    they cover.  Oracle replays the identical pack → concat → span →
+    offset-join pipeline on shingle STRINGS (Spark uses xxhash64 keys,
+    the d02/d10 discipline)."""
+    fdedup.release_cached()
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 41 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(planted)
+    return fcorpus.packed_span_dedup(
+        corpus, "doc_id", "text", budget=2000, n_groups=4, n=5, min_tokens=8
+    )
+
+
+T23_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 41 = 0
+),
+sized AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks,
+         CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 4 AS INTEGER) AS grp
+  FROM corpus
+),
+packed AS (
+  SELECT doc_id, toks, grp,
+         COALESCE(SUM(CAST(len(toks) AS BIGINT)) OVER (
+           PARTITION BY grp ORDER BY doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS before
+  FROM sized
+),
+sharded AS (
+  SELECT doc_id, toks, grp,
+         CAST(FLOOR(before / 2000) AS INTEGER) AS shard, before
+  FROM packed
+),
+docoff AS (
+  SELECT doc_id, grp, shard,
+         before - MIN(before) OVER (PARTITION BY grp, shard) + 1 AS doc_start,
+         before - MIN(before) OVER (PARTITION BY grp, shard) + len(toks) AS doc_end
+  FROM sharded
+),
+seqs AS (
+  SELECT grp, shard,
+         string_agg(array_to_string(toks, ' '), ' ' ORDER BY doc_id) AS ptext
+  FROM sharded GROUP BY grp, shard
+),
+ptoks AS (
+  SELECT grp, shard,
+         list_filter(string_split_regex(lower(ptext), '\\s+'), x -> x <> '') AS toks
+  FROM seqs
+),
+pos AS (
+  SELECT grp, shard, u.p AS pos, u.sh AS sh
+  FROM (SELECT grp, shard,
+               unnest([{{'p': i, 'sh': array_to_string(toks[i:i+4], ' ')}}
+                       FOR i IN generate_series(1, greatest(len(toks) - 4, 0))]) AS u
+        FROM ptoks)
+),
+dup AS (SELECT sh FROM pos GROUP BY sh
+        HAVING COUNT(DISTINCT grp * 1000000 + shard) >= 2),
+hits AS (SELECT p.grp, p.shard, p.pos FROM pos p JOIN dup USING (sh)),
+isl AS (
+  SELECT grp, shard, pos,
+         pos - row_number() OVER (PARTITION BY grp, shard ORDER BY pos) AS ig
+  FROM hits
+),
+spans AS (
+  SELECT grp, shard, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end,
+         MAX(pos) - MIN(pos) + 5 AS span_tokens
+  FROM isl GROUP BY grp, shard, ig
+  HAVING MAX(pos) - MIN(pos) + 5 >= 8
+)
+SELECT s.grp AS "group", s.shard,
+       CAST(s.span_start AS INTEGER) AS span_start,
+       CAST(s.span_end AS INTEGER) AS span_end,
+       CAST(s.span_tokens AS INTEGER) AS span_tokens,
+       CAST(COUNT(DISTINCT d.doc_id) AS BIGINT) AS n_docs_touched,
+       COUNT(DISTINCT d.doc_id) >= 2 AS crosses_boundary
+FROM spans s JOIN docoff d
+  ON s.grp = d.grp AND s.shard = d.shard
+ AND d.doc_start <= s.span_end AND d.doc_end >= s.span_start
+GROUP BY s.grp, s.shard, s.span_start, s.span_end, s.span_tokens
+"""
+
+
 def t05_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B25 — polynomial rolling-hash document fingerprint (the
     cross-engine oracle twin).  Oracle-checked since round 3: the
@@ -5822,7 +5923,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d10_duplicated_spans": d10_duplicated_spans,
     "s01_cosine_topk": s01_cosine_topk,
     "s02v_lsh_verified": s02v_lsh_verified,
-    "t04_language_id": t04_language_id,
+    # round-10 late rotation: t04_language_id (driver-green since round
+    # 1) frees the slot for the brand-new t23 so it proves itself at
+    # the driver gate in its first round (the d09/d10/st13/b43 pattern)
+    "t23_packed_span_dedup": t23_packed_span_dedup,
     "mm01_binary_meta": mm01_binary_meta,
     "mm02_image_neardup": mm02_image_neardup,
     "b27_profile": b27_profile,
@@ -5841,8 +5945,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st07_stream_join": st07_stream_join,
     "st08_stream_dedup": st08_stream_dedup,
     "st10_stream_dq_monitor": st10_stream_dq_monitor,
-    # round-10: a01/b10_ranks/evt08/t01/t03 rotated out after 4+
+    # round-10: a01/b10_ranks/evt08/t01/t03/t04 rotated out after 4+
     # driver-green rounds; still oracle-checked here
+    "t04_language_id": t04_language_id,
     "a01_csv_scan": a01_csv_scan,
     "b10_ranks": b10_ranks,
     "evt08_scd2": evt08_scd2,
@@ -6096,6 +6201,7 @@ ORACLE_SQL: dict[str, str] = {
     "t20_c4_clean": T20_SQL,
     "t21_chunking": T21_SQL,
     "t22_epoch_mix": T22_SQL,
+    "t23_packed_span_dedup": T23_SQL,
     "s07_prototype_prune": S07_SQL,
     "s08_hard_negatives": S08_SQL,
     "s09_pq_topk": S09_SQL,

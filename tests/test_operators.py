@@ -1457,6 +1457,56 @@ def test_chunk_documents_exact_windows_and_tail_anchor(spark):
         fcorpus.chunk_documents(df, chunk_tokens=0, stride=0)
 
 
+def test_packed_sequences_offsets_and_canonical_text(spark):
+    """(pack_id, doc offsets) line up with the tokenizer: 1-based
+    inclusive ranges, zero-token docs get an empty range, packed_text
+    is the strictly canonical token stream (no double separators from
+    empty docs), concatenation is in id order."""
+    from etlbigdata_spark.functions import corpus as fcorpus
+
+    rows = [
+        (1, "Alpha beta  gamma"),  # case+whitespace: canonicalized to 3 toks
+        (2, ""),                    # zero tokens
+        (3, "delta epsilon"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # n_groups=1: deterministic single group, pack by id order
+    seqs, docs = fcorpus.packed_sequences(df, budget=100, n_groups=1)
+    (s,) = seqs.collect()
+    assert s.packed_text == "alpha beta gamma delta epsilon"
+    assert s.n_docs == 3 and s.n_tokens == 5
+    offs = {r.doc_id: (r.doc_start, r.doc_end) for r in docs.collect()}
+    assert offs == {1: (1, 3), 2: (4, 3), 3: (4, 5)}  # doc 2: empty range
+
+
+def test_packed_span_dedup_boundary_crossing_and_keep_first_cut(spark):
+    """A spliced A|B pair duplicated in two packs: the whole 12-token
+    stream (including the windows spanning the A-B boundary that only
+    exist POST-packing) is reported in both packs with
+    crosses_boundary=true; the cut face keeps the lowest-pack
+    occurrence and empties the other; reshard-stable."""
+    from etlbigdata_spark.functions import corpus as fcorpus
+
+    a = "x1 x2 x3 x4 x5 x6"
+    b = "y1 y2 y3 y4 y5 y6"
+    rows = [(1, a), (2, b), (3, a), (4, b)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # n_groups=1, budget=12: ids 1-2 fill shard 0, ids 3-4 shard 1
+    kw = dict(budget=12, n_groups=1, n=3, min_tokens=4)
+    rep = fcorpus.packed_span_dedup(df, **kw)
+    got = {(r.group, r.shard): r for r in rep.collect()}
+    assert set(got) == {(0, 0), (0, 1)}
+    for r in got.values():
+        assert (r.span_start, r.span_end, r.span_tokens) == (1, 12, 12)
+        assert r.n_docs_touched == 2 and bool(r.crosses_boundary) is True
+    # reshard-stable (content-addressed grouping, id-ordered packing)
+    rep2 = {tuple(r) for r in fcorpus.packed_span_dedup(df.repartition(5), **kw).collect()}
+    assert rep2 == {tuple(r) for r in rep.collect()}
+    cut = {r.pack_id: r.packed_text for r in fcorpus.packed_span_cut(df, **kw).collect()}
+    assert cut[0] == f"{a} {b}"  # keeper: lowest pack_id
+    assert cut[1] == ""          # duplicate occurrence fully cut
+
+
 def test_chunk_documents_reshard_stable_and_shuffle_free(spark, sf_dir):
     from etlbigdata_spark import workload
     from etlbigdata_spark.functions import corpus as fcorpus

@@ -148,6 +148,9 @@ def test_driver_window_covers_expected_components():
         "t22_epoch_mix",
         "s09_pq_topk",
         "mm04_video_neardup",
+        # round-10 new op (VERDICT r9 item 7): packed-shard span dedup
+        # proves itself at the driver gate in its first round
+        "t23_packed_span_dedup",
     ):
         assert required in DRIVER_WINDOW
     # rotations: rows demoted after multiple driver-green rounds stay
@@ -171,7 +174,7 @@ def test_driver_window_covers_expected_components():
         # (b33 kept in-window — only one green round since its r9
         # promotion; t03 rotates in its place per the 4+-round rule)
         "a01_csv_scan", "b10_ranks", "evt08_scd2",
-        "t01_text_stats", "t03_quality",
+        "t01_text_stats", "t03_quality", "t04_language_id",
     ):
         assert rotated_out not in DRIVER_WINDOW
         assert rotated_out in workload.QUERIES and rotated_out in workload.ORACLE_SQL
@@ -184,8 +187,8 @@ def test_driver_window_covers_expected_components():
 def test_registry_counts_match_documentation():
     """README/COVERAGE cite these exact counts (round-3 verdict flagged
     drift); changing the registry must update the docs with it."""
-    assert len(workload.QUERIES) == 156
-    assert len(workload.ORACLE_SQL) == 143
+    assert len(workload.QUERIES) == 157
+    assert len(workload.ORACLE_SQL) == 144
 
 
 # DuckDB types the driver's canonicalization maps differently from the

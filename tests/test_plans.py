@@ -33,6 +33,7 @@ def plans(spark, sf_dir):
             "d08_containment_pairs",
             "d09_semantic_dedup",
             "d10_duplicated_spans",
+            "t23_packed_span_dedup",
             "s01_cosine_topk",
             "b09_asof",
         )
@@ -195,6 +196,31 @@ def test_d10_no_pair_join_and_hashed_stream(plans):
     for part in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "__sh" not in part and "shingle" not in part
     assert "xxhash64" in plan, "d10 no longer hashes shingles"
+    assert "partial_count" in plan, "doc-freq agg lost its map-side partial"
+
+
+def test_t23_stays_linear_no_pair_join(plans):
+    """Round-10 (VERDICT r9 item 7): packed-shard span dedup keeps the
+    d10 linear shape — the span finder's only join is the LeftSemi
+    hit-marking join on the 64-bit shingle hash, and the ONLY non-semi
+    join is the bounded spans x doc-offsets equi-join on pack_id (span
+    report side, small by construction). No pair join, hashed stream,
+    map-side doc-freq partial."""
+    plan = plans["t23_packed_span_dedup"]
+    assert "CartesianProduct" not in plan
+    # dedup by full join signature: the persisted frames' InMemoryRelation
+    # nodes re-print their cached subtrees, so the same join node can
+    # appear several times in the plan STRING without executing twice
+    joins = set(re.findall(r"(\w+Join) (\[[^\]]*\], \[[^\]]*\]), (\w+)", plan))
+    kinds = [jt for _, _, jt in joins]
+    assert kinds, "expected joins in the t23 plan"
+    assert set(kinds) <= {"LeftSemi", "Inner"}, f"t23 grew a join type: {joins}"
+    assert kinds.count("Inner") == 1, (
+        f"t23 should have exactly one non-semi join (offset map), got {joins}"
+    )
+    for part in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "__sh" not in part and "shingle" not in part
+    assert "xxhash64" in plan, "t23 no longer hashes shingles"
     assert "partial_count" in plan, "doc-freq agg lost its map-side partial"
 
 
