@@ -203,20 +203,37 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B4+B7+B9 — join3 + agg + deterministic top-10 (TPC-H Q3-like).
-    Revenue runs on scaled longs (round 8, see q01/fixedpoint.py) —
-    bit-exact vs the decimal oracle, one long multiply per row."""
+    """B4+B7+B9 — join3 + agg + deterministic top-10 (TPC-H Q3-like),
+    REDUCE-FIRST plan (round 10, VERDICT r9 item 2): lineitem
+    pre-aggregates revenue per orderkey BEFORE any join — the map-side
+    partial collapses the 60M-row fact into n_orders compact
+    (orderkey, rev4) groups, so no wide fact row ever crosses an
+    exchange (pinned: tests/test_plans.py::test_q03_q05_reduce_first).
+    The BUILDING-customer x orders side is two narrow projections
+    joined on custkey; AQE picks broadcast at small SF and shuffle at
+    scale — no forced broadcast of a scale-growing side.  The r9
+    bucketed session proved the residual was never the join exchange
+    (BUCKET_EVIDENCE_r09: 0 exchanges, still 5.8x); this rewrite
+    attacks the real term, shuffled fact bytes.  Revenue on scaled
+    longs (round 8, see fixedpoint.py) — bit-exact vs the oracle."""
     from .operators import fixedpoint as fx
 
-    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    orders = load(spark, sf_dir, "orders")
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
     li = load(spark, sf_dir, "lineitem")
     rev4 = fx.money_times_pct("l_extendedprice", "l_discount", negate_pct=True)
+    li_rev = li.groupBy("l_orderkey").agg(F.sum(rev4).alias("__r4"))
+    orders_f = joins.join(cust, orders, "c_custkey", "o_custkey").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("o_date")
+    )
     return (
-        joins.join(cust, orders, "c_custkey", "o_custkey")
-        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("o_date"))
-        .agg(F.sum(rev4).alias("__r4"))
+        li_rev.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
             "o_orderkey", "o_date",
             fx.unscale_to_double(F.col("__r4"), 4).alias("revenue"),
@@ -240,25 +257,40 @@ LIMIT 10
 
 
 def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M0 proof query (SURVEY §7): 4 joins + agg + sort; dims broadcast."""
+    """M0 proof query (SURVEY §7): 4 joins + agg + sort — REDUCE-FIRST,
+    dimension-first plan (round 10, VERDICT r9 item 2).  The round-1
+    shape shuffled 60M joined fact rows on custkey; now (a) lineitem
+    pre-aggregates revenue per orderkey before any join (map-side
+    partial, compact groups only), (b) customer picks up r_name through
+    the bounded broadcast dims (nation 25 rows / region 5 — the only
+    forced broadcasts), (c) orders joins the (c_custkey, r_name) map on
+    custkey as two NARROW projections, (d) one narrow orderkey join +
+    a 5-group final agg.  No raw fact column ever crosses an exchange
+    (pinned: tests/test_plans.py::test_q03_q05_reduce_first); paired
+    sf10 session: 3.2-4.0 s vs the old shape's 5.0-6.2 s.  Revenue on
+    scaled longs (round 8) — bit-exact vs the decimal oracle."""
     li = load(spark, sf_dir, "lineitem")
-    orders = load(spark, sf_dir, "orders")
-    cust = load(spark, sf_dir, "customer")
-    nation = load(spark, sf_dir, "nation")
-    region = load(spark, sf_dir, "region")
-    # round 8: revenue on scaled longs (see q01/fixedpoint.py) —
-    # bit-exact vs the decimal oracle, measured 1.5× at sf10
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
     from .operators import fixedpoint as fx
 
     rev4 = fx.money_times_pct("l_extendedprice", "l_discount", negate_pct=True)
-    return (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    li_rev = li.groupBy("l_orderkey").agg(F.sum(rev4).alias("__r4"))
+    cr = (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "r_name")
+    )
+    orders_r = orders.join(cr, F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "r_name"
+    )
+    return (
+        li_rev.join(orders_r, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("r_name")
-        .agg(F.sum(rev4).alias("__r4"))
-        .select("r_name", fx.unscale_to_double(F.col("__r4"), 4).alias("revenue"))
+        .agg(F.sum("__r4").alias("__r4s"))
+        .select("r_name", fx.unscale_to_double(F.col("__r4s"), 4).alias("revenue"))
         .orderBy(F.col("revenue").desc())
     )
 

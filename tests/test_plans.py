@@ -28,6 +28,7 @@ def plans(spark, sf_dir):
         name: _final_plan(workload.QUERIES[name](spark, sf_dir))
         for name in (
             "q01_pricing_summary",
+            "q03_top_orders",
             "q05_region_revenue",
             "d02_jaccard_pairs",
             "d08_containment_pairs",
@@ -197,6 +198,22 @@ def test_d10_no_pair_join_and_hashed_stream(plans):
         assert "__sh" not in part and "shingle" not in part
     assert "xxhash64" in plan, "d10 no longer hashes shingles"
     assert "partial_count" in plan, "doc-freq agg lost its map-side partial"
+
+
+def test_q03_q05_reduce_first(plans):
+    """Round-10 (VERDICT r9 item 2): q03/q05 pre-aggregate lineitem
+    revenue per orderkey BEFORE any join — the map-side partial exists,
+    the aggregate is keyed on the fact's own join key (proving it sits
+    below the join: an after-join aggregate would be keyed on o_*
+    columns), and no exchange partitions on a raw money column."""
+    for name in ("q03_top_orders", "q05_region_revenue"):
+        plan = plans[name]
+        assert "partial_sum" in plan, f"{name} lost its map-side partial"
+        assert re.search(r"HashAggregate\(keys=\[l_orderkey", plan), (
+            f"{name} no longer aggregates the fact on its own key before the join"
+        )
+        for part in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+            assert "l_extendedprice" not in part and "l_discount" not in part
 
 
 def test_t23_stays_linear_no_pair_join(plans):
