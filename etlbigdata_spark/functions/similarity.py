@@ -295,7 +295,7 @@ def ivf_assign(
     return _assign_to_cents(corpus, cents, vec_col), cents
 
 
-def _assign_to_cents(df: DataFrame, cents: list, vec_col: str) -> DataFrame:
+def _assign_to_cents(df: DataFrame, cents: list, vec_col: str, method: str = "auto") -> DataFrame:
     """Cosine argmax assignment against a FIXED centroid list (the IVF
     metric — distinct from kmeans' Euclidean :func:`_assign_nearest`):
     shared by the initial build and every incremental append so one
@@ -304,14 +304,73 @@ def _assign_to_cents(df: DataFrame, cents: list, vec_col: str) -> DataFrame:
     argmax position is mapped through an id lookup array), so
     non-contiguous or out-of-order cell ids land in partitions that
     match the sidecar — the round-7 position-vs-id mismatch is closed
-    here, at the single assignment site."""
+    here, at the single assignment site.
+
+    ``method``: the expression face evaluates an interpreted HOF dot
+    per centroid PER ROW — fine at the test sizes, but at web-scale
+    centroid counts it is the documented interpreted-HOF trap (round-9
+    lesson; measured ~20x at 256 cents x 50k rows).  ``"blas"`` scores
+    each Arrow batch as ONE float64 matmul against the (pre-normalized)
+    centroid matrix; identical argmax-first-tie rule, NULL vectors
+    assign NULL on both faces (tested equal).  ``"auto"`` switches to
+    blas at >= 32 centroids, so every small fixture keeps the
+    expression plan it pinned."""
+    if method == "auto":
+        method = "blas" if len(cents) >= 32 else "expression"
+    if method == "blas":
+        return _assign_to_cents_blas(df, cents, vec_col)
+    if method != "expression":
+        raise ValueError(f"unknown method {method!r}")
     cent_arr = F.array(*[F.array(*[F.lit(x) for x in vec]) for _, vec in cents])
     id_arr = F.array(*[F.lit(int(i)) for i, _ in cents])
     scores = F.transform(
         cent_arr, lambda cv: _dot(F.col(vec_col).cast("array<double>"), cv) / (_norm(cv) + F.lit(1e-12))
     )
     best_pos = F.array_position(scores, F.array_max(scores)).cast("int")
-    return df.withColumn("centroid", F.element_at(id_arr, best_pos).cast("int"))
+    # NULL vector -> NULL centroid (round 10): without the guard the
+    # position arithmetic resolved a NULL score list to the LAST cell,
+    # silently polluting that partition with unscoreable rows
+    return df.withColumn(
+        "centroid",
+        F.when(
+            F.col(vec_col).isNotNull(), F.element_at(id_arr, best_pos).cast("int")
+        ),
+    )
+
+
+def _assign_to_cents_blas(df: DataFrame, cents: list, vec_col: str) -> DataFrame:
+    """BLAS face of :func:`_assign_to_cents`: per Arrow batch, one
+    ``X @ (C / (|C| + 1e-12)).T`` matmul + row argmax.  Scores equal
+    the expression face's ``dot / (norm + 1e-12)`` exactly as a
+    formula; only float summation order differs, which can flip only
+    exact-tie assignments (argmax takes the FIRST max on both faces)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    ids = np.array([int(i) for i, _ in cents], dtype=np.int64)
+    C = np.array([v for _, v in cents], dtype=np.float64)
+    Cn = C / (np.linalg.norm(C, axis=1) + 1e-12)[:, None]
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("centroid", T.IntegerType())]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vec = pdf[vec_col]
+            mask = vec.notna().to_numpy()
+            cent = np.full(len(pdf), np.nan)
+            if mask.any():
+                X = np.array(vec[mask].tolist(), dtype=np.float64)
+                cent[mask] = ids[np.argmax(X @ Cn.T, axis=1)]
+            out = pdf.copy()
+            out["centroid"] = pd.Series(cent).astype("Int32")
+            yield out
+
+    return df.mapInPandas(run, out_schema)
 
 
 def ivf_topk(
@@ -343,7 +402,8 @@ def ivf_topk(
 
 
 def _query_probes(
-    queries: DataFrame, cents: list, n_probe: int, id_col: str, vec_col: str
+    queries: DataFrame, cents: list, n_probe: int, id_col: str, vec_col: str,
+    method: str = "auto",
 ) -> DataFrame:
     """(query_id, __qvec, centroid) — each query exploded to its
     ``n_probe`` nearest centroids, ranked driver-free: score each
@@ -351,7 +411,52 @@ def _query_probes(
     slice the probe list.  Emitted ``centroid`` values are the
     caller-supplied cell ids from ``cents`` (positions mapped through
     an id lookup array) so probes line up with partitions written by
-    :func:`_assign_to_cents` for any id scheme."""
+    :func:`_assign_to_cents` for any id scheme.
+
+    ``method``: the expression face embeds cents x dim LITERALS in the
+    plan — at web-scale centroid counts plan analysis alone dominated
+    (measured 30 s at 256 x 64; the interpreted-HOF trap's plan-size
+    sibling).  ``"driver"`` ranks probes in numpy over the collected
+    query set — ALREADY driver-bounded by contract here (every caller
+    collects probed cells from this frame) — and returns a plain
+    createDataFrame, no giant plan.  Same score formula
+    (dot / (norm + 1e-12)), same (score desc, idx asc) order; ties
+    under float summation-order can differ, which ``"auto"`` confines
+    to >= 32 centroids so every small fixture keeps its pinned plan."""
+    if method == "auto":
+        method = "driver" if len(cents) >= 32 else "expression"
+    if method == "driver":
+        import numpy as np
+
+        ids = [int(i) for i, _ in cents]
+        C = np.array([v for _, v in cents], dtype=np.float64)
+        Cn = C / (np.linalg.norm(C, axis=1) + 1e-12)[:, None]
+        qrows = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        ).collect()
+        out = []
+        for r in qrows:
+            if r["__qvec"] is None:
+                continue
+            qv = np.array(list(r["__qvec"]), dtype=np.float64)
+            scores = Cn @ qv
+            order = np.argsort(-scores, kind="stable")[:n_probe]
+            for pos in order:
+                out.append((r["query_id"], [float(x) for x in qv], int(ids[pos])))
+        spark = queries.sparkSession
+        qid_type = queries.schema[id_col].dataType
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("query_id", qid_type),
+                T.StructField("__qvec", T.ArrayType(T.DoubleType())),
+                T.StructField("centroid", T.IntegerType()),
+            ]
+        )
+        return spark.createDataFrame(out, schema)
+    if method != "expression":
+        raise ValueError(f"unknown method {method!r}")
     cent_arr = F.array(*[F.array(*[F.lit(x) for x in vec]) for _, vec in cents])
     id_arr = F.array(*[F.lit(int(i)) for i, _ in cents])
     qv = F.col(vec_col).cast("array<double>")
@@ -481,6 +586,14 @@ def ivf_write_index(
         assigned = pq_encode(assigned, pq, vec_col=vec_col, assign="blas")
     elif quantize:
         assigned = quantize_embeddings(assigned, vec_col=vec_col)
+    # cluster rows by cell before the partitioned write (round 10):
+    # without it every input partition writes a sliver of every cell —
+    # cells x input-partitions tiny files whose per-file open cost
+    # dominated the probe at the 2M/256-cell scale point.  One shuffle
+    # of the (small, coded) rows buys ~one file per cell; a cell is the
+    # parallelism unit at probe time either way, and oversized cell
+    # files still split on read via parquet row groups.
+    assigned = assigned.repartition(F.col("centroid"))
     assigned.write.mode("overwrite").partitionBy("centroid").parquet(f"{path}/vectors")
     spark = corpus.sparkSession
     cdf = spark.createDataFrame(
@@ -534,6 +647,7 @@ def ivf_probe_index(
     round_to: int | None = None,
     threshold: float | None = None,
     exclude_self: bool = True,
+    vectorized: bool = False,
 ) -> DataFrame:
     """B24 — probe a persisted :func:`ivf_write_index` index.  Same
     semantics as :func:`ivf_topk` with the same centroid sample (so the
@@ -549,7 +663,21 @@ def ivf_probe_index(
     every (query, neighbor) in a probed cell with ``cosine >=
     threshold`` comes back (columns ``query_id, neighbor_id, centroid,
     cosine``), with NO window shuffle — the streaming-dedup probe shape
-    used by :func:`etlbigdata_spark.streaming.ops.foreach_batch_ann_probe`."""
+    used by :func:`etlbigdata_spark.streaming.ops.foreach_batch_ann_probe`.
+
+    ``vectorized=True`` scores each Arrow batch of probed vectors as
+    ONE BLAS matmul against the query matrix instead of an interpreted
+    HOF cosine per pair (the s01 precedent; required once probed cells
+    hold millions of vectors — measured ~20x at the 2M x 64d scale
+    point, IVFPQ_SCALE_r10.json).  Requires ``round_to`` — both faces
+    round JVM-side before the rank/threshold so float summation-order
+    differences are absorbed and the two faces are tested EQUAL.  For
+    a PQ index the vectorized face reconstructs codewords in numpy
+    from the sidecar books (the ADC table route) rather than through
+    the per-row reconstruction expression."""
+    if vectorized and round_to is None:
+        raise ValueError("vectorized probe requires round_to (rounding absorbs "
+                         "float summation-order differences; the s01 contract)")
     cents_rows = spark.read.parquet(f"{path}/centroids").orderBy("centroid").collect()
     cents = [(r["centroid"], list(r["vec"])) for r in cents_rows]
     q = _query_probes(queries, cents, n_probe, id_col, vec_col)
@@ -564,17 +692,149 @@ def ivf_probe_index(
     # carries m-byte codes scored against the codeword reconstruction
     # (for cosine that IS ADC — disjoint subspaces), with the codebooks
     # rebuilt from the sidecar so no caller-side state travels
+    books = None
     if "pq_code" in assigned.columns:
         books = _read_pq_codebooks(spark, path)
-        assigned = assigned.withColumn("__recon", pq_reconstruct_col("pq_code", books))
-        corpus_vec = "__recon"
+        corpus_vec = "pq_code"
+        if not vectorized:
+            assigned = assigned.withColumn(
+                "__recon", pq_reconstruct_col("pq_code", books)
+            )
+            corpus_vec = "__recon"
     elif vec_col in assigned.columns:
         corpus_vec = vec_col
     else:
         corpus_vec = "emb_q"
+    if vectorized:
+        return _probe_score_topk_blas(
+            assigned, q, k, id_col, corpus_vec, round_to, threshold,
+            exclude_self, pq_books=books,
+        )
     return _probe_score_topk(
         assigned, q, k, id_col, corpus_vec, round_to, threshold, exclude_self
     )
+
+
+def _probe_score_topk_blas(
+    assigned: DataFrame, q: DataFrame, k: int, id_col: str, vec_col: str,
+    round_to: int, threshold: float | None = None, exclude_self: bool = True,
+    pq_books: list | None = None,
+) -> DataFrame:
+    """BLAS face of :func:`_probe_score_topk` (round 10): the probe
+    pairs (query x probed cell) collect driver-side — bounded by
+    contract at |queries| x n_probe rows, the same collect the probed
+    partition filter already paid — and each Arrow batch of corpus
+    vectors is scored as one ``B x d @ d x Q`` float64 matmul with a
+    per-row cell mask (a pair scores ONLY if the query probed that
+    row's cell — identical candidate semantics to the join face).  The
+    per-batch candidate cut reuses the _matmul_scores slack rule
+    (lossless for the global top-k under JVM rounding); rounding,
+    self-exclusion, the threshold filter and the rank all run JVM-side,
+    exactly like the expression face, so the two faces agree row-for-row
+    (tested).  NULL/zero vectors: the kernel drops NULL rows (the
+    expression face ranks their NULL cosine last — same top-k) and a
+    zero-norm vector scores NaN on both faces."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    qrows = q.select("query_id", "__qvec", "centroid").collect()
+    by_qid: dict = {}
+    for r in qrows:
+        e = by_qid.setdefault(r["query_id"], {"vec": list(r["__qvec"]), "cells": set()})
+        e["cells"].add(r["centroid"])
+    qids_list = list(by_qid)
+    qm = np.array([by_qid[i]["vec"] for i in qids_list], dtype=np.float64)
+    qnorm = np.linalg.norm(qm, axis=1)
+    cells_sorted = sorted({c for e in by_qid.values() for c in e["cells"]})
+    cell_pos = {c: i for i, c in enumerate(cells_sorted)}
+    allow = np.zeros((len(cells_sorted), len(qids_list)), dtype=bool)
+    for qi, qid in enumerate(qids_list):
+        for c in by_qid[qid]["cells"]:
+            allow[cell_pos[c], qi] = True
+    qids = np.array(qids_list)
+    # PQ scores via the real ADC LUT route (round 10): per subspace s,
+    # dot_lut[s] = books[s] @ q_sub[s].T (k x Q) and a codeword-norm²
+    # table — score = gathered-sum over subspaces, NEVER a per-row
+    # reconstruct (subspaces are disjoint, so the LUT sums equal the
+    # reconstructed dot and norm exactly up to float order, which the
+    # JVM rounding absorbs).
+    dot_luts = norm2_luts = None
+    if pq_books is not None:
+        books_np = [np.array(b, dtype=np.float64) for b in pq_books]
+        dsub = books_np[0].shape[1]
+        dot_luts = [
+            books_np[s] @ qm[:, s * dsub : (s + 1) * dsub].T  # k×Q
+            for s in range(len(books_np))
+        ]
+        norm2_luts = [(b * b).sum(axis=1) for b in books_np]  # k
+    nid_type = assigned.schema[id_col].dataType
+    qid_type = q.schema["query_id"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", qid_type),
+            T.StructField("neighbor_id", nid_type),
+            T.StructField("centroid", T.IntegerType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    slack = 10.0 ** (-round_to)
+    kth = k + (1 if exclude_self else 0)
+    src = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v"), "centroid"
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            pdf = pdf[pdf["__v"].notna()]
+            if not len(pdf):
+                continue
+            if dot_luts is not None:
+                codes = np.array(pdf["__v"].tolist(), dtype=np.int64)
+                dot = dot_luts[0][codes[:, 0], :].copy()  # B×Q
+                n2 = norm2_luts[0][codes[:, 0]].copy()  # B
+                for s in range(1, len(dot_luts)):
+                    dot += dot_luts[s][codes[:, s], :]
+                    n2 += norm2_luts[s][codes[:, s]]
+                sims = dot / np.outer(np.sqrt(n2), qnorm)  # B×Q
+            else:
+                cm = np.array(pdf["__v"].tolist(), dtype=np.float64)
+                cnorm = np.linalg.norm(cm, axis=1)
+                sims = (cm @ qm.T) / np.outer(cnorm, qnorm)  # B×Q
+            cellrows = np.array([cell_pos[c] for c in pdf["centroid"].to_numpy()])
+            amask = allow[cellrows, :]  # B×Q
+            if threshold is not None:
+                keep = amask & (sims >= (threshold - slack))
+            else:
+                b = len(pdf)
+                if b > kth:
+                    masked = np.where(amask, sims, -np.inf)
+                    cut = np.sort(masked, axis=0)[b - kth, :]
+                    keep = amask & (sims >= (cut - slack))
+                else:
+                    keep = amask
+            rows, cols = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "query_id": qids[cols],
+                    "neighbor_id": pdf["neighbor_id"].to_numpy()[rows],
+                    "centroid": pdf["centroid"].to_numpy()[rows],
+                    "cosine": sims[rows, cols],
+                }
+            )
+
+    scored = src.mapInPandas(run, out_schema)
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    cos = F.round(F.col("cosine"), round_to)
+    if threshold is not None:
+        return scored.select(
+            "query_id", "neighbor_id", "centroid", cos.alias("cosine")
+        ).filter(F.col("cosine") >= threshold)
+    scored = scored.select("query_id", "neighbor_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def _assign_nearest(
@@ -834,6 +1094,8 @@ def ivf_append_index(
         )
     elif "emb_q" in existing_cols and vec_col not in existing_cols:
         assigned = quantize_embeddings(assigned, vec_col=vec_col)
+    # same cell-clustered layout rule as the initial build (round 10)
+    assigned = assigned.repartition(F.col("centroid"))
     assigned.write.mode("append").partitionBy("centroid").parquet(f"{path}/vectors")
     return {"n_centroids": len(cents), "path": path, "appended": True}
 

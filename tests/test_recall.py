@@ -1525,6 +1525,71 @@ def test_pq_validation_and_null_embeddings(emb, spark):
     assert len(cb2) == 8 and all(len(b) == 1 for b in cb2)
 
 
+def test_assign_to_cents_blas_matches_expression(emb, spark):
+    """Round-10: the BLAS assignment face (one matmul per Arrow batch)
+    must agree with the expression face vector-for-vector, including a
+    NULL embedding assigning NULL, and the auto cutover must route
+    >= 32 centroids to blas (the interpreted-HOF trap regime)."""
+    cents = [
+        (i, list(r["embedding"]))
+        for i, r in enumerate(emb.orderBy("vec_id").limit(40).collect())
+    ]
+    nulled = emb.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame([(999999, None)], "vec_id long, embedding array<float>")
+    )
+    expr = {
+        r.vec_id: r.centroid
+        for r in fsim._assign_to_cents(nulled, cents, "embedding", method="expression").collect()
+    }
+    blas = {
+        r.vec_id: r.centroid
+        for r in fsim._assign_to_cents(nulled, cents, "embedding", method="blas").collect()
+    }
+    assert expr == blas
+    assert blas[999999] is None
+    with pytest.raises(ValueError, match="unknown method"):
+        fsim._assign_to_cents(emb, cents, "embedding", method="plz")
+    # the driver probe-ranking face agrees with the expression face on
+    # the same 40-centroid list (query probes are (qid, cell) pairs)
+    queries = emb.orderBy("vec_id").limit(5)
+    pe = {(r.query_id, r.centroid)
+          for r in fsim._query_probes(queries, cents, 4, "vec_id", "embedding",
+                                      method="expression").collect()}
+    pd_ = {(r.query_id, r.centroid)
+           for r in fsim._query_probes(queries, cents, 4, "vec_id", "embedding",
+                                       method="driver").collect()}
+    assert pe == pd_
+    with pytest.raises(ValueError, match="unknown method"):
+        fsim._query_probes(queries, cents, 4, "vec_id", "embedding", method="plz")
+
+
+def test_ivf_probe_vectorized_matches_expression(emb, spark, tmp_path):
+    """Round-10: the vectorized probe (one BLAS matmul per batch with a
+    per-row probed-cell mask) is row-for-row equal to the expression
+    probe on all three index layouts (float / SQ8 / PQ) and on the
+    threshold (pair-emission) face; it refuses to run without round_to
+    (rounding is what absorbs summation-order differences)."""
+    queries = emb.orderBy("vec_id").limit(5)
+    cb = fsim.pq_fit(emb, n_subspaces=8, n_codes=16, method="sample")
+    paths = {}
+    for name, kw in (("f", {}), ("q", {"quantize": True}), ("p", {"pq": cb})):
+        paths[name] = str(tmp_path / f"ivf_{name}")
+        fsim.ivf_write_index(emb, paths[name], n_centroids=8, **kw)
+    key = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    for name, path in paths.items():
+        a = key(fsim.ivf_probe_index(spark, path, queries, k=7, n_probe=3, round_to=6))
+        b = key(fsim.ivf_probe_index(spark, path, queries, k=7, n_probe=3, round_to=6,
+                                     vectorized=True))
+        assert a == b, f"vectorized probe diverged on the {name} layout"
+    a = key(fsim.ivf_probe_index(spark, paths["f"], queries, n_probe=3, round_to=6,
+                                 threshold=0.2))
+    b = key(fsim.ivf_probe_index(spark, paths["f"], queries, n_probe=3, round_to=6,
+                                 threshold=0.2, vectorized=True))
+    assert a == b and len(a) > 0
+    with pytest.raises(ValueError, match="round_to"):
+        fsim.ivf_probe_index(spark, paths["f"], queries, vectorized=True)
+
+
 def test_pq_codebook_sidecar_dense_grid_check(emb, spark, tmp_path):
     """Round-10 (ADVICE r9): a duplicate (s, j) sidecar row plus a
     missing cell passes the total-row-count check but leaves a None
