@@ -29,10 +29,14 @@ def _norm(a: Column) -> Column:
 
 
 def cosine_sim(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array<numeric> columns, JVM-side."""
+    """Cosine similarity of two array<numeric> columns, JVM-side.
+    A zero-norm side yields NULL (``try_divide``) rather than an ANSI
+    divide-by-zero task failure — callers rank/filter NULL away
+    (round-10; the blas kernels apply the same exclude-unscoreable
+    rule to their NaN)."""
     a = a.cast("array<double>")
     b = b.cast("array<double>")
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def cosine_topk(
@@ -309,16 +313,20 @@ def _assign_to_cents(df: DataFrame, cents: list, vec_col: str, method: str = "au
     ``method``: the expression face evaluates an interpreted HOF dot
     per centroid PER ROW — fine at the test sizes, but at web-scale
     centroid counts it is the documented interpreted-HOF trap (round-9
-    lesson; measured ~20x at 256 cents x 50k rows).  ``"blas"`` scores
-    each Arrow batch as ONE float64 matmul against the (pre-normalized)
-    centroid matrix; identical argmax-first-tie rule, NULL vectors
-    assign NULL on both faces (tested equal).  ``"auto"`` switches to
-    blas at >= 32 centroids, so every small fixture keeps the
-    expression plan it pinned."""
+    lesson; measured ~20x at 256 cents x 50k rows).  ``"blas"``
+    delegates to :func:`_assign_cosine_argmax_blas` (one float64
+    matmul per Arrow batch; identical argmax-first-tie rule, NULL
+    vectors assign NULL on both faces — tested equal).  ``"auto"``
+    switches to blas at >= 32 centroids, so every small fixture keeps
+    the expression plan it pinned."""
     if method == "auto":
         method = "blas" if len(cents) >= 32 else "expression"
     if method == "blas":
-        return _assign_to_cents_blas(df, cents, vec_col)
+        # the library already has this exact kernel (round-8 SemDeDup
+        # twin: same C/(|C|+1e-12) normalization, same first-max
+        # tie-break, NULL -> NULL, caller-supplied ids, withColumn
+        # replace semantics) — reuse it instead of a parallel copy
+        return _assign_cosine_argmax_blas(df, cents, vec_col, out_col="centroid")
     if method != "expression":
         raise ValueError(f"unknown method {method!r}")
     cent_arr = F.array(*[F.array(*[F.lit(x) for x in vec]) for _, vec in cents])
@@ -338,39 +346,6 @@ def _assign_to_cents(df: DataFrame, cents: list, vec_col: str, method: str = "au
     )
 
 
-def _assign_to_cents_blas(df: DataFrame, cents: list, vec_col: str) -> DataFrame:
-    """BLAS face of :func:`_assign_to_cents`: per Arrow batch, one
-    ``X @ (C / (|C| + 1e-12)).T`` matmul + row argmax.  Scores equal
-    the expression face's ``dot / (norm + 1e-12)`` exactly as a
-    formula; only float summation order differs, which can flip only
-    exact-tie assignments (argmax takes the FIRST max on both faces)."""
-    import numpy as np
-    from pyspark.sql import types as T
-
-    ids = np.array([int(i) for i, _ in cents], dtype=np.int64)
-    C = np.array([v for _, v in cents], dtype=np.float64)
-    Cn = C / (np.linalg.norm(C, axis=1) + 1e-12)[:, None]
-    out_schema = T.StructType(
-        list(df.schema.fields) + [T.StructField("centroid", T.IntegerType())]
-    )
-
-    def run(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            vec = pdf[vec_col]
-            mask = vec.notna().to_numpy()
-            cent = np.full(len(pdf), np.nan)
-            if mask.any():
-                X = np.array(vec[mask].tolist(), dtype=np.float64)
-                cent[mask] = ids[np.argmax(X @ Cn.T, axis=1)]
-            out = pdf.copy()
-            out["centroid"] = pd.Series(cent).astype("Int32")
-            yield out
-
-    return df.mapInPandas(run, out_schema)
 
 
 def ivf_topk(
@@ -511,6 +486,11 @@ def _probe_score_topk(
     if round_to is not None:
         cos = F.round(cos, round_to)
     scored = joined.select("query_id", "neighbor_id", "centroid", cos.alias("cosine"))
+    # a zero-norm vector (either side) has NO defined cosine: its NaN
+    # would rank FIRST under Spark's desc ordering (NaN > everything)
+    # and pass any >= threshold — exclude unscoreable pairs instead
+    # (round-10; the blas face applies the identical rule kernel-side)
+    scored = scored.filter(F.col("cosine").isNotNull() & ~F.isnan("cosine"))
     if threshold is not None:
         return scored.filter(F.col("cosine") >= threshold)
     scored = scored.drop("centroid")
@@ -681,9 +661,12 @@ def ivf_probe_index(
     cents_rows = spark.read.parquet(f"{path}/centroids").orderBy("centroid").collect()
     cents = [(r["centroid"], list(r["vec"])) for r in cents_rows]
     q = _query_probes(queries, cents, n_probe, id_col, vec_col)
-    probed = sorted(
-        r["centroid"] for r in q.select("centroid").distinct().collect()
-    )  # ≤ n_centroids values
+    # ONE collect serves both the partition filter and (vectorized) the
+    # scoring kernel's query/probe tables — bounded by contract at
+    # |queries| x n_probe rows (round-10 review: the blas face used to
+    # re-collect q, re-running the query scan as a second job)
+    qrows = q.select("query_id", "__qvec", "centroid").collect()
+    probed = sorted({r["centroid"] for r in qrows})  # ≤ n_centroids values
     assigned = spark.read.parquet(f"{path}/vectors").filter(
         F.col("centroid").isin(probed)
     )
@@ -708,7 +691,7 @@ def ivf_probe_index(
     if vectorized:
         return _probe_score_topk_blas(
             assigned, q, k, id_col, corpus_vec, round_to, threshold,
-            exclude_self, pq_books=books,
+            exclude_self, pq_books=books, qrows=qrows,
         )
     return _probe_score_topk(
         assigned, q, k, id_col, corpus_vec, round_to, threshold, exclude_self
@@ -718,7 +701,7 @@ def ivf_probe_index(
 def _probe_score_topk_blas(
     assigned: DataFrame, q: DataFrame, k: int, id_col: str, vec_col: str,
     round_to: int, threshold: float | None = None, exclude_self: bool = True,
-    pq_books: list | None = None,
+    pq_books: list | None = None, qrows: list | None = None,
 ) -> DataFrame:
     """BLAS face of :func:`_probe_score_topk` (round 10): the probe
     pairs (query x probed cell) collect driver-side — bounded by
@@ -737,7 +720,8 @@ def _probe_score_topk_blas(
     import numpy as np
     from pyspark.sql import types as T
 
-    qrows = q.select("query_id", "__qvec", "centroid").collect()
+    if qrows is None:  # caller may pass its own collect (ivf_probe_index does)
+        qrows = q.select("query_id", "__qvec", "centroid").collect()
     by_qid: dict = {}
     for r in qrows:
         e = by_qid.setdefault(r["query_id"], {"vec": list(r["__qvec"]), "cells": set()})
@@ -804,16 +788,22 @@ def _probe_score_topk_blas(
                 sims = (cm @ qm.T) / np.outer(cnorm, qnorm)  # B×Q
             cellrows = np.array([cell_pos[c] for c in pdf["centroid"].to_numpy()])
             amask = allow[cellrows, :]  # B×Q
+            # zero-norm rows/queries score NaN: exclude them from BOTH
+            # the cut and the emission (np.sort ranks NaN largest, so
+            # an unguarded cut would be NaN and drop every real
+            # neighbor in the batch; the expression face filters the
+            # same rows JVM-side — see _probe_score_topk)
+            valid = amask & ~np.isnan(sims)
             if threshold is not None:
-                keep = amask & (sims >= (threshold - slack))
+                keep = valid & (sims >= (threshold - slack))
             else:
                 b = len(pdf)
                 if b > kth:
-                    masked = np.where(amask, sims, -np.inf)
+                    masked = np.where(valid, sims, -np.inf)
                     cut = np.sort(masked, axis=0)[b - kth, :]
-                    keep = amask & (sims >= (cut - slack))
+                    keep = valid & (sims >= (cut - slack))
                 else:
-                    keep = amask
+                    keep = valid
             rows, cols = np.nonzero(keep)
             yield pd.DataFrame(
                 {

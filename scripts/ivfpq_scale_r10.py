@@ -118,7 +118,7 @@ def main() -> None:
         app_name="ivfpq_scale_r10",
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
     )
-    corpus_path = f"{WORK}/corpus"
+    corpus_path = f"{WORK}/corpus_n{N}"  # keyed on N: a stale cache must not mislabel the artifact
     t0 = time.perf_counter()
     gen_corpus(spark, corpus_path)
     out["gen_sec"] = round(time.perf_counter() - t0, 1)

@@ -1590,6 +1590,52 @@ def test_ivf_probe_vectorized_matches_expression(emb, spark, tmp_path):
         fsim.ivf_probe_index(spark, paths["f"], queries, vectorized=True)
 
 
+def test_probe_zero_norm_vectors_excluded_both_faces(emb, spark, tmp_path):
+    """Round-10 review: a zero-norm vector has NO defined cosine.  Its
+    NaN used to rank FIRST under Spark's desc ordering on the
+    expression face (displacing real neighbors) and to POISON the
+    vectorized face's per-batch candidate cut (NaN cut drops every
+    real row in the batch).  Both faces now exclude unscoreable pairs
+    and stay row-for-row equal, with every real neighbor retained —
+    exercised with MORE zero vectors than k so the cut-poisoning class
+    can't regress silently."""
+    real = emb.select("vec_id", "embedding").limit(40)
+    zeros = spark.createDataFrame(
+        [(10_000 + i, [0.0] * 64) for i in range(15)],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = real.unionByName(zeros)
+    path = str(tmp_path / "ivf_zeros")
+    fsim.ivf_write_index(corpus, path, n_centroids=4)
+    queries = real.orderBy("vec_id").limit(3)
+    kw = dict(k=10, n_probe=4, round_to=6)
+    a = sorted(tuple(r) for r in fsim.ivf_probe_index(spark, path, queries, **kw).collect())
+    b = sorted(
+        tuple(r)
+        for r in fsim.ivf_probe_index(spark, path, queries, vectorized=True, **kw).collect()
+    )
+    assert a == b
+    ids = {r[1] for r in a}
+    assert ids and all(i < 10_000 for i in ids), "zero vectors leaked into top-k"
+    # per query all 10 slots fill from the 39 real non-self candidates
+    from collections import Counter
+
+    per_q = Counter(r[0] for r in a)
+    assert set(per_q.values()) == {10}, per_q
+    # threshold (pair) face: NaN pairs excluded on both faces too
+    at = sorted(
+        tuple(r)
+        for r in fsim.ivf_probe_index(spark, path, queries, n_probe=4, round_to=6,
+                                      threshold=-1.0).collect()
+    )
+    bt = sorted(
+        tuple(r)
+        for r in fsim.ivf_probe_index(spark, path, queries, n_probe=4, round_to=6,
+                                      threshold=-1.0, vectorized=True).collect()
+    )
+    assert at == bt and all(i < 10_000 for _q, i, _c, _s in at)
+
+
 def test_pq_codebook_sidecar_dense_grid_check(emb, spark, tmp_path):
     """Round-10 (ADVICE r9): a duplicate (s, j) sidecar row plus a
     missing cell passes the total-row-count check but leaves a None
