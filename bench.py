@@ -258,8 +258,12 @@ def main() -> None:
                 "loadavg_start": [round(x, 2) for x in load_start],
                 "loadavg_end": [round(x, 2) for x in load_end],
                 # read-rule (BASELINE.md): a run with noisy_window=true
-                # must not be read as a regression signal — re-pair it
-                "noisy_window": bool(drift is not None and drift > 1.5),
+                # must not be read as a regression signal — re-pair it.
+                # Two-sided (review r10): a box loaded at the START that
+                # quiets down inflates every query yet drifts < 1
+                "noisy_window": bool(
+                    drift is not None and max(drift, 1.0 / drift) > 1.5
+                ),
             }
         )
     )

@@ -425,8 +425,13 @@ def pack_shards(
 # -- packed-sequence final-pass dedup ---------------------------------
 
 # pack_id = group * stride + shard: one sortable 64-bit key per pack so
-# the span machinery (keyed on a single id column) composes unchanged
-_PACK_STRIDE = 1_000_000
+# the span machinery (keyed on a single id column) composes unchanged.
+# Stride 2^40: a group would need > budget * 2^40 tokens (~4.5e15 at the
+# default budget) before shard ids collide across groups — beyond the
+# 100 TB design point by orders of magnitude (review r10: the old 1e6
+# stride collided at ~4e9 tokens/group).  Decode uses shiftright/%, not
+# float division, so ids stay exact over the full long range.
+_PACK_STRIDE = 1 << 40
 
 
 def packed_sequences(
@@ -558,12 +563,16 @@ def packed_span_dedup(
         .filter(
             (F.col("doc_start") <= F.col("span_end"))
             & (F.col("doc_end") >= F.col("span_start"))
+            # a zero-token doc has an inverted (start, end) range; the
+            # two-sided predicate alone would still count it as touched
+            # by any span covering its splice point (review r10)
+            & (F.col("doc_end") >= F.col("doc_start"))
         )
         .groupBy("pack_id", "span_start", "span_end", "span_tokens")
         .agg(F.count_distinct(F.col(id_col)).alias("n_docs_touched"))
     )
     return touched.select(
-        F.floor(F.col("pack_id") / _PACK_STRIDE).cast("int").alias("group"),
+        F.shiftright(F.col("pack_id"), 40).cast("int").alias("group"),
         (F.col("pack_id") % _PACK_STRIDE).cast("int").alias("shard"),
         "span_start",
         "span_end",
@@ -592,8 +601,11 @@ def packed_span_cut(
     iterating find → cut converges exactly as cut_spans documents.
 
     Returns the :func:`packed_sequences` ``seqs`` frame with
-    ``packed_text`` rebuilt (cut packs shrink; the keeper pack and
-    span-free packs pass through in canonical token form).
+    ``packed_text`` rebuilt and ``n_tokens`` RECOMPUTED from the cut
+    text (review r10: a stale pre-cut count would poison any budget
+    accounting downstream); ``n_docs`` stays the PRE-cut provenance —
+    how many documents were packed — since cutting removes tokens,
+    not document membership.
     """
     from .dedup import _persist_scoped, cut_spans, duplicated_spans
     from .text import tokens_col
@@ -617,7 +629,8 @@ def packed_span_cut(
         .filter(F.col("__rk") > 1)
         .select("pack_id", "span_start", "span_end", "span_tokens")
     )
-    return cut_spans(seqs, to_cut, id_col="pack_id", text_col="packed_text")
+    out = cut_spans(seqs, to_cut, id_col="pack_id", text_col="packed_text")
+    return out.withColumn("n_tokens", F.size(tokens_col(F.col("packed_text"))).cast("long"))
 
 
 def c4_clean(

@@ -2208,16 +2208,19 @@ def d10_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the token stream: doc-freq agg on positional 5-gram hashes,
     semi-join back, per-doc gaps-and-islands merge — NO pair join.
     NON-VACUOUS: the corpus has no natural cross-doc 5-gram runs at
-    test SFs, so a slice (doc_id ≡ 0 mod 37) is re-ided +100000 with a
-    3-token preamble prepended — the original text becomes a shared
-    span of the new doc, offset by the preamble, exercising the island
-    merge at a non-trivial offset.  Oracle runs the identical
-    algorithm on shingle STRINGS (Spark uses xxhash64 keys — same
-    8-byte discipline as d02)."""
+    test SFs, so a slice (doc_id ≡ 0 mod 37) is re-ided to -(doc_id+1)
+    — negative ids are disjoint from the corpus at EVERY scale factor
+    (review r10: the old +100000 offset collided with real ids at
+    sf ≥ 2, the t23 lesson applied here too) — with a 3-token preamble
+    prepended: the original text becomes a shared span of the new doc,
+    offset by the preamble, exercising the island merge at a
+    non-trivial offset.  Oracle runs the identical algorithm on
+    shingle STRINGS (Spark uses xxhash64 keys — same 8-byte discipline
+    as d02)."""
     fdedup.release_cached()
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     planted = docs.filter(F.col("doc_id") % 37 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        (-(F.col("doc_id") + 1)).alias("doc_id"),
         F.concat(F.lit("planted preamble marker "), F.col("text")).alias("text"),
     )
     corpus = docs.unionByName(planted)
@@ -2230,7 +2233,7 @@ D10_SQL = f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 100000 AS doc_id, 'planted preamble marker ' || text AS text
+  SELECT -(doc_id + 1) AS doc_id, 'planted preamble marker ' || text AS text
   FROM documents WHERE doc_id % 37 = 0
 ),
 toked AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM corpus),
@@ -3227,15 +3230,18 @@ def t23_packed_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the d10 plan shape (doc-freq agg + semi-join + islands, NO pair
     join — pinned in tests/test_plans.py); the offset join is
     equi-keyed on pack_id and bounded by the span report.  NON-VACUOUS:
-    a doc slice (doc_id ≡ 0 mod 41) is re-ided +200000, so identical
-    token streams land in different packs and duplicate every window
-    they cover.  Oracle replays the identical pack → concat → span →
+    a doc slice (doc_id ≡ 0 mod 41) is re-ided to -(doc_id+1) —
+    NEGATIVE ids stay disjoint from the corpus at EVERY scale factor
+    (review r10: a fixed +200000 offset collided with real ids at
+    sf ≥ 4, making pack order nondeterministic) — so identical token
+    streams land in different packs and duplicate every window they
+    cover.  Oracle replays the identical pack → concat → span →
     offset-join pipeline on shingle STRINGS (Spark uses xxhash64 keys,
     the d02/d10 discipline)."""
     fdedup.release_cached()
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     planted = docs.filter(F.col("doc_id") % 41 == 0).select(
-        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+        (-(F.col("doc_id") + 1)).alias("doc_id"), "text"
     )
     corpus = docs.unionByName(planted)
     return fcorpus.packed_span_dedup(
@@ -3247,7 +3253,7 @@ T23_SQL = f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 41 = 0
+  SELECT -(doc_id + 1) AS doc_id, text FROM documents WHERE doc_id % 41 = 0
 ),
 sized AS (
   SELECT doc_id, {_TOKS_SQL} AS toks,
@@ -3291,7 +3297,7 @@ pos AS (
         FROM ptoks)
 ),
 dup AS (SELECT sh FROM pos GROUP BY sh
-        HAVING COUNT(DISTINCT grp * 1000000 + shard) >= 2),
+        HAVING COUNT(DISTINCT CAST(grp AS BIGINT) * 1099511627776 + shard) >= 2),
 hits AS (SELECT p.grp, p.shard, p.pos FROM pos p JOIN dup USING (sh)),
 isl AS (
   SELECT grp, shard, pos,
@@ -3313,6 +3319,7 @@ SELECT s.grp AS "group", s.shard,
 FROM spans s JOIN docoff d
   ON s.grp = d.grp AND s.shard = d.shard
  AND d.doc_start <= s.span_end AND d.doc_end >= s.span_start
+ AND d.doc_end >= d.doc_start
 GROUP BY s.grp, s.shard, s.span_start, s.span_end, s.span_tokens
 """
 

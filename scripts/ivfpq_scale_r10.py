@@ -145,7 +145,7 @@ def main() -> None:
         "pq": dict(pq=cb),
     }
     for name, kw in variants.items():
-        path = f"{WORK}/ivf_{name}"
+        path = f"{WORK}/ivf_{name}_n{N}"  # keyed on N, like the corpus (review r10)
         v: dict = {}
         if not os.path.exists(f"{path}/centroids"):
             t0 = time.perf_counter()

@@ -1489,9 +1489,12 @@ def test_packed_span_dedup_boundary_crossing_and_keep_first_cut(spark):
 
     a = "x1 x2 x3 x4 x5 x6"
     b = "y1 y2 y3 y4 y5 y6"
-    rows = [(1, a), (2, b), (3, a), (4, b)]
+    # a zero-token doc sits at the splice point of each pack: it must
+    # NOT count as span-touched (review r10: the two-sided overlap
+    # predicate alone matched its inverted empty range)
+    rows = [(1, a), (2, ""), (3, b), (4, a), (5, ""), (6, b)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    # n_groups=1, budget=12: ids 1-2 fill shard 0, ids 3-4 shard 1
+    # n_groups=1, budget=12: ids 1-3 fill shard 0, ids 4-6 shard 1
     kw = dict(budget=12, n_groups=1, n=3, min_tokens=4)
     rep = fcorpus.packed_span_dedup(df, **kw)
     got = {(r.group, r.shard): r for r in rep.collect()}
@@ -1502,9 +1505,13 @@ def test_packed_span_dedup_boundary_crossing_and_keep_first_cut(spark):
     # reshard-stable (content-addressed grouping, id-ordered packing)
     rep2 = {tuple(r) for r in fcorpus.packed_span_dedup(df.repartition(5), **kw).collect()}
     assert rep2 == {tuple(r) for r in rep.collect()}
-    cut = {r.pack_id: r.packed_text for r in fcorpus.packed_span_cut(df, **kw).collect()}
-    assert cut[0] == f"{a} {b}"  # keeper: lowest pack_id
-    assert cut[1] == ""          # duplicate occurrence fully cut
+    cut = {r.pack_id: r for r in fcorpus.packed_span_cut(df, **kw).collect()}
+    assert cut[0].packed_text == f"{a} {b}"  # keeper: lowest pack_id
+    assert cut[1].packed_text == ""          # duplicate occurrence fully cut
+    # n_tokens is recomputed from the CUT text (review r10), n_docs
+    # stays pre-cut provenance
+    assert cut[0].n_tokens == 12 and cut[1].n_tokens == 0
+    assert cut[0].n_docs == 3 and cut[1].n_docs == 3
 
 
 def test_chunk_documents_reshard_stable_and_shuffle_free(spark, sf_dir):
