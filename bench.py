@@ -203,7 +203,8 @@ def measure_floor(spark) -> float:
     (analysis is plan-size-proportional), so this is a conservative
     lower bound for the BASELINE.md gate."""
     fn = lambda: workload.load(spark, SF_DIR, "region").limit(1).toPandas()  # noqa: E731
-    fn()  # warm-up
+    for _ in range(3):  # enough warm-up that the START floor is not
+        fn()            # JIT-inflated vs the end-of-run re-probe
     samples = []
     for _ in range(max(RUNS, 3)):
         t0 = time.perf_counter()
@@ -259,10 +260,14 @@ def main() -> None:
                 "loadavg_end": [round(x, 2) for x in load_end],
                 # read-rule (BASELINE.md): a run with noisy_window=true
                 # must not be read as a regression signal — re-pair it.
-                # Two-sided (review r10): a box loaded at the START that
-                # quiets down inflates every query yet drifts < 1
+                # Floor drift catches load ARRIVING mid-run (one-sided:
+                # a fresh JVM's start floor always reads warmer by the
+                # end, so end<start is normal, not noise); a box that
+                # was ALREADY loaded at the start (the review-r10 case)
+                # shows in loadavg_start instead.
                 "noisy_window": bool(
-                    drift is not None and max(drift, 1.0 / drift) > 1.5
+                    (drift is not None and drift > 1.5)
+                    or load_start[0] > int(CPUS) / 4
                 ),
             }
         )
