@@ -258,16 +258,26 @@ def main() -> None:
                 "floor_drift": drift,
                 "loadavg_start": [round(x, 2) for x in load_start],
                 "loadavg_end": [round(x, 2) for x in load_end],
+                "physical_cores": os.cpu_count(),
                 # read-rule (BASELINE.md): a run with noisy_window=true
                 # must not be read as a regression signal — re-pair it.
                 # Floor drift catches load ARRIVING mid-run (one-sided:
                 # a fresh JVM's start floor always reads warmer by the
-                # end, so end<start is normal, not noise); a box that
-                # was ALREADY loaded at the start (the review-r10 case)
-                # shows in loadavg_start instead.
+                # end, so end<start is normal, not noise; mid-run loadavg
+                # sampling is useless here — the bench's own local[32]
+                # work dominates the 1-min average, so only the START
+                # reading and the floor re-probe carry signal).  A box
+                # ALREADY loaded at the start shows in loadavg_start:
+                # r10's artifact of record read load 6.79 under the old
+                # cores/4=8 trip wire yet inflated untouched queries
+                # 2-7x, so the threshold is cores/8 (6.79 trips at 4),
+                # scaled by os.cpu_count() — the quantity loadavg is
+                # relative to — not the configured Spark parallelism
+                # (ADVICE r10: SPARK_GRAFT_CPUS mis-scales on any host
+                # whose core count differs from the config).
                 "noisy_window": bool(
                     (drift is not None and drift > 1.5)
-                    or load_start[0] > int(CPUS) / 4
+                    or load_start[0] > (os.cpu_count() or 1) / 8
                 ),
             }
         )

@@ -422,6 +422,60 @@ def pack_shards(
     return out
 
 
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str = "pack_id",
+    n_shards: int = 64,
+    seed: int = 0,
+    shard_col: str = "out_shard",
+    key_col: str = "order_key",
+    materialize: bool = True,
+) -> DataFrame:
+    """Deterministic global training-order shuffle (round 11) — the step
+    between packing (:func:`pack_shards` / :func:`packed_sequences`) and
+    the sink: every training run wants its sequences in a shuffled order
+    that is (a) reproducible, (b) independent of how the corpus happened
+    to be partitioned, and (c) cheap to re-derive for a resume — an RNG
+    ``ORDER BY rand()`` fails all three.
+
+    The order key is a SEEDED CONTENT HASH, ``md5(id || ':' || seed)``
+    (the :func:`hash_split` discipline: RNG-free, reshard-stable,
+    map-side, cross-engine-exact — DuckDB computes the identical hex).
+    The global training order is the lexicographic ``(out_shard,
+    order_key, id)`` order, materialized scalably as two levels:
+
+    * ``out_shard`` — first 8 hex digits of the key mod ``n_shards``:
+      which output shard a sequence lands in (uniform by construction);
+    * within a shard, rows sort by ``(order_key, id)`` — the id
+      tie-break makes the order total even under (astronomically
+      unlikely) hex-prefix ties.
+
+    ``materialize=True`` applies the ONE total-order repartition this
+    op is allowed — ``repartition(n_shards, out_shard)`` +
+    ``sortWithinPartitions(out_shard, order_key, id)`` — so every
+    output partition holds its shard(s) contiguously in replay order
+    (hash partitioning may co-locate two shard values in one task;
+    the leading sort key keeps them contiguous rather than
+    interleaved, and a ``partitionBy(out_shard)`` parquet sink still
+    writes one directory per shard).  Reading shards 0, 1, … streams
+    the exact global order back.  No global window, no
+    single-partition sort: a new seed reshuffles 100 TB with one
+    hash-partitioned exchange.  ``materialize=False`` labels only
+    (pure map-side) for callers that route the layout themselves.  A
+    different ``seed`` yields an independent permutation (fresh epoch
+    order); the same seed replays bit-identically."""
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_shards
+    ).cast("int")
+    out = df.withColumn(key_col, key).withColumn(shard_col, shard)
+    if materialize:
+        out = out.repartition(n_shards, F.col(shard_col)).sortWithinPartitions(
+            F.col(shard_col).asc(), F.col(key_col).asc(), F.col(id_col).asc()
+        )
+    return out
+
+
 # -- packed-sequence final-pass dedup ---------------------------------
 
 # pack_id = group * stride + shard: one sortable 64-bit key per pack so

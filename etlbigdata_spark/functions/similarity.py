@@ -455,7 +455,14 @@ def _query_probes(
         # diverge (bigint) from the index's int partition column
         lambda p: F.element_at(id_arr, p["idx"].cast("int") + 1).cast("int"),
     )
-    return queries.select(
+    # NULL-vector queries emit NOTHING on either face (ADVICE r10): a
+    # NULL vector scores NULL against every centroid, which the sort
+    # comparator passes through to idx order — without the filter this
+    # face emits n_probe (query, NULL, centroid) rows the driver face
+    # skips, and the blas scorer's driver-side list(__qvec) crashes on.
+    # Downstream the rows were dead anyway (NULL cosine is filtered),
+    # so dropping them here is semantics-preserving and face-equal.
+    return queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
         F.explode(probes).alias("centroid"),
@@ -507,6 +514,7 @@ def ivf_write_index(
     quantize: bool = False,
     centroids: list | None = None,
     pq: list | None = None,
+    pq_residual: bool = False,
 ) -> dict:
     """B24 — build and PERSIST the IVF index (round 6): the similarity
     twin of the dedup family's ``minhash_signatures`` parquet index.
@@ -534,6 +542,19 @@ def ivf_write_index(
     rebuild scores from the sidecar.  Mutually exclusive with
     ``quantize``; recall bound vs the float index pinned in tests.
 
+    ``pq_residual=True`` encodes PER-CELL RESIDUALS ``x −
+    centroid[cell]`` instead of raw vectors — the standard IVF-PQ
+    formulation (FAISS ``IndexIVFPQ``): the coarse quantizer already
+    pins the cell, so the codewords spend entirely on the within-cell
+    offset and raw ADC recall recovers without over-retrieve (round-10
+    measured raw-vector ADC at 0.43 recall@10 on 2M×64d; the residual
+    variant's bound is pinned in tests and IVFPQ_SCALE_r11.json).
+    Requires explicit ``centroids`` (fit the codebooks with
+    :func:`pq_fit` over :func:`residualize`'s output against the SAME
+    set); the sidecar carries a ``residual`` marker so probe/append
+    self-describe, and pre-round-11 sidecars without the column read as
+    raw (back-compatible).
+
     ``centroids`` overrides the default xxhash64 sample — pass
     :func:`kmeans_fit` centers (a bare k×d vector list) for
     data-adaptive cells (the web-scale regime) or
@@ -548,6 +569,16 @@ def ivf_write_index(
         # argument-only check — must fire before the centroid-sampling
         # job, not after it (review: misuse used to cost a corpus scan)
         raise ValueError("ivf_write_index: pick ONE of quantize (SQ8) or pq")
+    if pq_residual and pq is None:
+        raise ValueError("ivf_write_index: pq_residual requires pq codebooks")
+    if pq_residual and centroids is None:
+        # residual codebooks are only meaningful against the EXACT
+        # centroid set they were trained on (pq_fit over residualize's
+        # output) — an internally-sampled set would silently mismatch
+        raise ValueError(
+            "ivf_write_index: pq_residual requires explicit centroids "
+            "(the set the residual codebooks were fit against)"
+        )
     if pq is not None:
         _pq_shape(pq)  # validate before any job or write lands
     if centroids is not None:
@@ -563,7 +594,17 @@ def ivf_write_index(
     else:
         assigned, cents = ivf_assign(corpus, n_centroids, id_col, vec_col)
     if pq is not None:
-        assigned = pq_encode(assigned, pq, vec_col=vec_col, assign="blas")
+        if pq_residual:
+            # encode x − centroid[cell], not x (FAISS IndexIVFPQ): the
+            # cell id already carries the coarse position, so codewords
+            # spend entirely on the within-cell offset — the fix for
+            # round-10's raw-ADC recall collapse (0.43 at 2M×64d)
+            assigned = residualize(assigned, cents, vec_col=vec_col)
+            assigned = pq_encode(
+                assigned, pq, vec_col="__resid", assign="blas"
+            ).drop(vec_col)
+        else:
+            assigned = pq_encode(assigned, pq, vec_col=vec_col, assign="blas")
     elif quantize:
         assigned = quantize_embeddings(assigned, vec_col=vec_col)
     # cluster rows by cell before the partitioned write (round 10):
@@ -585,11 +626,11 @@ def ivf_write_index(
         m, kk, _ = _pq_shape(pq)
         bdf = spark.createDataFrame(
             [
-                (s, j, [float(x) for x in pq[s][j]])
+                (s, j, [float(x) for x in pq[s][j]], bool(pq_residual))
                 for s in range(m)
                 for j in range(kk)
             ],
-            "s int, j int, vec array<double>",
+            "s int, j int, vec array<double>, residual boolean",
         )
         bdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/pq_codebooks")
     return {"n_centroids": len(cents), "path": path}
@@ -661,12 +702,22 @@ def ivf_probe_index(
     cents_rows = spark.read.parquet(f"{path}/centroids").orderBy("centroid").collect()
     cents = [(r["centroid"], list(r["vec"])) for r in cents_rows]
     q = _query_probes(queries, cents, n_probe, id_col, vec_col)
-    # ONE collect serves both the partition filter and (vectorized) the
-    # scoring kernel's query/probe tables — bounded by contract at
-    # |queries| x n_probe rows (round-10 review: the blas face used to
-    # re-collect q, re-running the query scan as a second job)
-    qrows = q.select("query_id", "__qvec", "centroid").collect()
-    probed = sorted({r["centroid"] for r in qrows})  # ≤ n_centroids values
+    if vectorized:
+        # ONE collect serves both the partition filter and the scoring
+        # kernel's query/probe tables — bounded by contract at
+        # |queries| x n_probe rows (round-10 review: the blas face used
+        # to re-collect q, re-running the query scan as a second job)
+        qrows = q.select("query_id", "__qvec", "centroid").collect()
+        probed = sorted({r["centroid"] for r in qrows})  # ≤ n_centroids values
+    else:
+        # the default face needs only the probed CELL SET for the
+        # partition filter — collect ≤ n_centroids ints, not
+        # |queries| x n_probe full vectors (ADVICE r10: the widened
+        # collect taxed driver memory on the path that never uses it)
+        qrows = None
+        probed = sorted(
+            r["centroid"] for r in q.select("centroid").distinct().collect()
+        )
     assigned = spark.read.parquet(f"{path}/vectors").filter(
         F.col("centroid").isin(probed)
     )
@@ -676,13 +727,28 @@ def ivf_probe_index(
     # (for cosine that IS ADC — disjoint subspaces), with the codebooks
     # rebuilt from the sidecar so no caller-side state travels
     books = None
+    residual_cents = None
     if "pq_code" in assigned.columns:
         books = _read_pq_codebooks(spark, path)
+        if _pq_sidecar_residual(spark, path):
+            # residual layout: x̂ = centroid[cell] + decode(code).  The
+            # cell vectors come back via a BROADCAST join against the
+            # tiny centroids sidecar (never a cells×dim literal table —
+            # the round-10 plan-size trap), then one zip_with add; the
+            # blas face instead folds the centroid terms into its ADC
+            # LUTs (dot(q,x̂) = q·c + Σ_s LUT, ‖x̂‖² via a per-(cell,
+            # code) cross table) so the kernel stays gather-shaped.
+            residual_cents = {int(i): list(v) for i, v in cents}
         corpus_vec = "pq_code"
         if not vectorized:
-            assigned = assigned.withColumn(
-                "__recon", pq_reconstruct_col("pq_code", books)
-            )
+            recon = pq_reconstruct_col("pq_code", books)
+            if residual_cents is not None:
+                cvecs = spark.read.parquet(f"{path}/centroids").select(
+                    "centroid", F.col("vec").alias("__centvec")
+                )
+                assigned = assigned.join(F.broadcast(cvecs), "centroid")
+                recon = F.zip_with(recon, F.col("__centvec"), lambda a, b: a + b)
+            assigned = assigned.withColumn("__recon", recon)
             corpus_vec = "__recon"
     elif vec_col in assigned.columns:
         corpus_vec = vec_col
@@ -692,6 +758,7 @@ def ivf_probe_index(
         return _probe_score_topk_blas(
             assigned, q, k, id_col, corpus_vec, round_to, threshold,
             exclude_self, pq_books=books, qrows=qrows,
+            pq_residual_cents=residual_cents,
         )
     return _probe_score_topk(
         assigned, q, k, id_col, corpus_vec, round_to, threshold, exclude_self
@@ -702,6 +769,7 @@ def _probe_score_topk_blas(
     assigned: DataFrame, q: DataFrame, k: int, id_col: str, vec_col: str,
     round_to: int, threshold: float | None = None, exclude_self: bool = True,
     pq_books: list | None = None, qrows: list | None = None,
+    pq_residual_cents: dict | None = None,
 ) -> DataFrame:
     """BLAS face of :func:`_probe_score_topk` (round 10): the probe
     pairs (query x probed cell) collect driver-side — bounded by
@@ -724,14 +792,36 @@ def _probe_score_topk_blas(
         qrows = q.select("query_id", "__qvec", "centroid").collect()
     by_qid: dict = {}
     for r in qrows:
+        if r["__qvec"] is None:  # NULL-vector query scores nothing on any face
+            continue
         e = by_qid.setdefault(r["query_id"], {"vec": list(r["__qvec"]), "cells": set()})
         e["cells"].add(r["centroid"])
+    nid_type = assigned.schema[id_col].dataType
+    qid_type = q.schema["query_id"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", qid_type),
+            T.StructField("neighbor_id", nid_type),
+            T.StructField("centroid", T.IntegerType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    if not by_qid:  # empty/all-NULL query set: 0×d matmul would crash
+        empty = assigned.sparkSession.createDataFrame([], out_schema)
+        if threshold is not None:
+            return empty  # (query_id, neighbor_id, centroid, cosine)
+        return empty.select("query_id", "neighbor_id", "cosine").withColumn(
+            "rank", F.lit(1).cast("int")
+        )
     qids_list = list(by_qid)
     qm = np.array([by_qid[i]["vec"] for i in qids_list], dtype=np.float64)
     qnorm = np.linalg.norm(qm, axis=1)
     cells_sorted = sorted({c for e in by_qid.values() for c in e["cells"]})
     cell_pos = {c: i for i, c in enumerate(cells_sorted)}
-    allow = np.zeros((len(cells_sorted), len(qids_list)), dtype=bool)
+    # one sentinel all-False row at index -1: a corpus row in a cell no
+    # query probed masks to no-candidates instead of a KeyError, so the
+    # kernel is safe even when a caller skips the probed-cell pre-filter
+    allow = np.zeros((len(cells_sorted) + 1, len(qids_list)), dtype=bool)
     for qi, qid in enumerate(qids_list):
         for c in by_qid[qid]["cells"]:
             allow[cell_pos[c], qi] = True
@@ -743,6 +833,7 @@ def _probe_score_topk_blas(
     # reconstructed dot and norm exactly up to float order, which the
     # JVM rounding absorbs).
     dot_luts = norm2_luts = None
+    qc_dot = cnorm2 = cross = s_idx = None
     if pq_books is not None:
         books_np = [np.array(b, dtype=np.float64) for b in pq_books]
         dsub = books_np[0].shape[1]
@@ -751,16 +842,28 @@ def _probe_score_topk_blas(
             for s in range(len(books_np))
         ]
         norm2_luts = [(b * b).sum(axis=1) for b in books_np]  # k
-    nid_type = assigned.schema[id_col].dataType
-    qid_type = q.schema["query_id"].dataType
-    out_schema = T.StructType(
-        [
-            T.StructField("query_id", qid_type),
-            T.StructField("neighbor_id", nid_type),
-            T.StructField("centroid", T.IntegerType()),
-            T.StructField("cosine", T.DoubleType()),
-        ]
-    )
+        if pq_residual_cents is not None:
+            # residual ADC: x̂ = c_cell + decode(code), so per probed cell
+            #   dot(q, x̂)  = q·c_cell            + Σ_s dot_lut
+            #   ‖x̂‖²       = ‖c_cell‖² + 2·Σ_s (c_cell,s·cw_s,code) + Σ_s ‖cw‖²
+            # — three small tables (cells×Q, cells, cells×m×k ≲ 8 MB at
+            # 256×32×128) built once driver-side; the kernel stays pure
+            # gathers.  Row +1 is the all-zero sentinel (unprobed cells
+            # mask out, but their gathers must not crash or go NaN).
+            m_sub = len(books_np)
+            Cc = np.zeros((len(cells_sorted) + 1, qm.shape[1]), dtype=np.float64)
+            for c in cells_sorted:
+                Cc[cell_pos[c]] = pq_residual_cents[c]
+            qc_dot = Cc @ qm.T  # (cells+1)×Q
+            cnorm2 = (Cc * Cc).sum(axis=1)  # cells+1
+            cross = np.stack(
+                [
+                    Cc[:, s * dsub : (s + 1) * dsub] @ books_np[s].T
+                    for s in range(m_sub)
+                ],
+                axis=1,
+            )  # (cells+1)×m×k
+            s_idx = np.arange(m_sub)[None, :]
     slack = 10.0 ** (-round_to)
     kth = k + (1 if exclude_self else 0)
     src = assigned.select(
@@ -774,6 +877,9 @@ def _probe_score_topk_blas(
             pdf = pdf[pdf["__v"].notna()]
             if not len(pdf):
                 continue
+            cellrows = np.array(
+                [cell_pos.get(c, -1) for c in pdf["centroid"].to_numpy()]
+            )
             if dot_luts is not None:
                 codes = np.array(pdf["__v"].tolist(), dtype=np.int64)
                 dot = dot_luts[0][codes[:, 0], :].copy()  # B×Q
@@ -781,13 +887,22 @@ def _probe_score_topk_blas(
                 for s in range(1, len(dot_luts)):
                     dot += dot_luts[s][codes[:, s], :]
                     n2 += norm2_luts[s][codes[:, s]]
+                if cross is not None:  # residual layout: add centroid terms
+                    dot += qc_dot[cellrows, :]
+                    n2 += cnorm2[cellrows] + 2.0 * cross[
+                        cellrows[:, None], s_idx, codes
+                    ].sum(axis=1)
+                # a zero-norm reconstruction must score NaN (unscoreable,
+                # the expression face's try_divide NULL), not dot/0=inf;
+                # float cancellation in the residual sum can also land
+                # epsilon-negative, which sqrt maps to NaN on its own
+                n2[n2 <= 0.0] = np.nan
                 sims = dot / np.outer(np.sqrt(n2), qnorm)  # B×Q
             else:
                 cm = np.array(pdf["__v"].tolist(), dtype=np.float64)
                 cnorm = np.linalg.norm(cm, axis=1)
                 sims = (cm @ qm.T) / np.outer(cnorm, qnorm)  # B×Q
-            cellrows = np.array([cell_pos[c] for c in pdf["centroid"].to_numpy()])
-            amask = allow[cellrows, :]  # B×Q
+            amask = allow[cellrows, :]  # B×Q; -1 hits the sentinel row
             # zero-norm rows/queries score NaN: exclude them from BOTH
             # the cut and the emission (np.sort ranks NaN largest, so
             # an unguarded cut would be NaN and drop every real
@@ -1078,10 +1193,17 @@ def ivf_append_index(
     existing_cols = spark.read.parquet(f"{path}/vectors").columns
     if "pq_code" in existing_cols:
         # PQ index: encode the batch with the FROZEN sidecar codebooks
-        # (same frozen-vocabulary trade as the frozen centroids above)
-        assigned = pq_encode(
-            assigned, _read_pq_codebooks(spark, path), vec_col=vec_col, assign="blas"
-        )
+        # (same frozen-vocabulary trade as the frozen centroids above);
+        # a residual index residualizes against the SAME frozen
+        # centroids first, so appended rows stay layout-homogeneous
+        books = _read_pq_codebooks(spark, path)
+        if _pq_sidecar_residual(spark, path):
+            assigned = residualize(assigned, cents, vec_col=vec_col)
+            assigned = pq_encode(
+                assigned, books, vec_col="__resid", assign="blas"
+            ).drop(vec_col)
+        else:
+            assigned = pq_encode(assigned, books, vec_col=vec_col, assign="blas")
     elif "emb_q" in existing_cols and vec_col not in existing_cols:
         assigned = quantize_embeddings(assigned, vec_col=vec_col)
     # same cell-clustered layout rule as the initial build (round 10)
@@ -1773,6 +1895,62 @@ def pq_fit(
                     C[j] = S[mask].mean(axis=0)
         books.append([[float(x) for x in C[j]] for j in range(n_codes)])
     return books
+
+
+def residualize(
+    df: DataFrame,
+    cents: list,
+    vec_col: str = "embedding",
+    out_col: str = "__resid",
+    cell_col: str = "centroid",
+) -> DataFrame:
+    """``x − centroid[cell]`` as a new ``array<double>`` column — the
+    residual the IVF-PQ residual variant quantizes (public FAISS
+    ``IndexIVFPQ`` formulation: per-cell residuals are far tighter than
+    raw vectors, so the same m-byte budget spends its codewords on the
+    informative part; round-10's raw-vector PQ burned most codewords
+    re-describing which cell a vector sits in, collapsing raw ADC
+    recall to 0.43 at 2M×64d).  Map-side only: the cell→vector table
+    travels in the UDF closure, each Arrow batch is one gather +
+    subtract, nothing shuffles, and the output is reshard-stable.
+    ``cents`` is the ``[(cell_id, [floats]), ...]`` list every IVF face
+    here shares; rows whose vector OR cell is NULL (and rows assigned a
+    cell missing from ``cents`` — impossible for an index-internal
+    caller, guarded anyway) residualize to NULL, matching
+    :func:`pq_encode`'s NULL discipline downstream."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    pos = {int(i): p for p, (i, _v) in enumerate(cents)}
+    C = np.array([v for _i, v in cents], dtype=np.float64)
+
+    def _sub(v, c):  # two pd.Series -> pd.Series (see b18 note on hints)
+        out = pd.Series([None] * len(v), dtype=object)
+        known = c.map(lambda x: x in pos if x is not None else False)
+        mask = (v.notna() & c.notna() & known).to_numpy(dtype=bool)
+        if mask.any():
+            X = np.array(v[mask].tolist(), dtype=np.float64)
+            idx = np.array([pos[int(x)] for x in c[mask]], dtype=np.int64)
+            R = X - C[idx]
+            out[np.flatnonzero(mask)] = list(R)
+        return out
+
+    sub = pandas_udf(_sub, returnType=T.ArrayType(T.DoubleType()))
+    return df.withColumn(out_col, sub(F.col(vec_col), F.col(cell_col)))
+
+
+def _pq_sidecar_residual(spark, path: str) -> bool:
+    """True iff the ``pq_codebooks`` sidecar marks the index as
+    residual-encoded.  Pre-round-11 sidecars lack the column — they are
+    raw-vector PQ by construction, so absent means False (the layout
+    stays self-describing across versions)."""
+    df = spark.read.parquet(f"{path}/pq_codebooks")
+    if "residual" not in df.columns:
+        return False
+    return bool(df.select("residual").first()[0])
 
 
 def _pq_shape(codebooks: list) -> tuple[int, int, int]:

@@ -3324,6 +3324,87 @@ GROUP BY s.grp, s.shard, s.span_start, s.span_end, s.span_tokens
 """
 
 
+def t24_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B23+ — deterministic global training-order shuffle
+    (corpus.shuffle_shards, VERDICT r10 item 6): the step between
+    packing (t12/t23) and the sink.  Packs get a SEEDED CONTENT-HASH
+    order key (md5(pack_id||':42') — RNG-free, reshard-stable,
+    cross-engine-exact) and land in 8 output shards by hash prefix; the
+    global training order is (out_shard, order_key, pack_id), realized
+    as ONE hash repartition + per-shard sort — no global window, no
+    single-partition sort, so a new seed reshuffles 100 TB with one
+    exchange.  The report pins the PERMUTATION itself, not just
+    membership: order_checksum = Σ rank·pack_id over each shard's
+    replay order changes if any two packs swap places.  Oracle replays
+    the identical pack → key → shard → rank pipeline in SQL."""
+    docs = load(spark, sf_dir, "documents")
+    n_tok = ftext.token_count_col(F.lower(F.col("text")), pattern="[a-z0-9]+")
+    sized = docs.select("doc_id", n_tok.cast("long").alias("n_tokens"))
+    packed = fcorpus.pack_shards(
+        sized, id_col="doc_id", token_col="n_tokens", budget=2000, n_groups=4
+    )
+    packs = (
+        packed.groupBy("group", "shard")
+        .agg(F.sum("n_tokens").alias("n_tokens"))
+        .select(
+            (F.col("group").cast("long") * fcorpus._PACK_STRIDE + F.col("shard"))
+            .alias("pack_id"),
+            "n_tokens",
+        )
+    )
+    shuffled = fcorpus.shuffle_shards(packs, id_col="pack_id", n_shards=8, seed=42)
+    w = Window.partitionBy("out_shard").orderBy(
+        F.col("order_key").asc(), F.col("pack_id").asc()
+    )
+    return (
+        shuffled.withColumn("pos", F.row_number().over(w))
+        .groupBy("out_shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(F.col("pos") * F.col("pack_id")).alias("order_checksum"),
+        )
+    )
+
+
+T24_SQL = """
+WITH sized AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+         CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 4 AS INTEGER) AS grp
+  FROM documents
+),
+packed AS (
+  SELECT grp, n_tokens,
+         CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY grp ORDER BY doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) / 2000) AS INTEGER) AS shard
+  FROM sized
+),
+packs AS (
+  SELECT CAST(grp AS BIGINT) * 1099511627776 + shard AS pack_id,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+  FROM packed GROUP BY 1
+),
+keyed AS (
+  SELECT pack_id, n_tokens,
+         md5(CAST(pack_id AS VARCHAR) || ':42') AS order_key,
+         CAST(CAST(('0x' || substring(md5(CAST(pack_id AS VARCHAR) || ':42'), 1, 8)) AS BIGINT) % 8 AS INTEGER) AS out_shard
+  FROM packs
+),
+ranked AS (
+  SELECT out_shard, n_tokens, pack_id,
+         row_number() OVER (PARTITION BY out_shard ORDER BY order_key ASC, pack_id ASC) AS pos
+  FROM keyed
+)
+SELECT out_shard, CAST(COUNT(*) AS BIGINT) AS n_seqs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(pos * pack_id) AS BIGINT) AS order_checksum
+FROM ranked GROUP BY 1
+"""
+
+
 def t05_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B25 — polynomial rolling-hash document fingerprint (the
     cross-engine oracle twin).  Oracle-checked since round 3: the
@@ -4369,6 +4450,191 @@ hits AS (
     ON a.cluster = b.cluster
 )
 SELECT id_stream, id_corpus, centroid, cosine FROM hits WHERE cosine >= 0.99
+"""
+
+
+def st15_stream_packed_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19+B23 — packed-span dedup ON A STREAM (round 11, VERDICT r10
+    item 7): the streaming twin of t23, completing the export chain's
+    streaming face.  The t23 corpus (documents ∪ the −(id+1) planted
+    slice) is packed once — packing is corpus-global by construction —
+    and the PACKS split: existing packs (pack_id ≢ 0 mod 3) persist
+    their positional-shingle-hash index as parquet (st09's signature-
+    index discipline at span granularity: build once, probe batches);
+    arriving packs (≡ 0 mod 3) flow through the REAL engine (file
+    source → foreachBatch).  Each micro-batch replays the d10 linear
+    plan AGAINST THE INDEX — positional shingles, semi-join on the
+    8-byte hash (hit = this window's content already exists in a
+    persisted pack), per-pack islands window, offsets join for
+    n_docs_touched — and appends its spans.  Cost per batch is
+    O(batch tokens) + one bounded semi-join; the corpus index is never
+    re-read as rows, never shuffled.  The oracle replays the identical
+    cross-split restriction in SQL (t23's pipeline with hits limited to
+    arriving-pack positions whose shingle exists in an existing pack),
+    so hash equality proves the stream face computes exactly the batch
+    semantics on the split."""
+    import shutil
+    import tempfile
+
+    from .streaming import ops as stops
+
+    fdedup.release_cached()
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 41 == 0).select(
+        (-(F.col("doc_id") + 1)).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(planted)
+    seqs, offs = fcorpus.packed_sequences(
+        corpus, "doc_id", "text", budget=2000, n_groups=4
+    )
+    existing = seqs.filter(F.col("pack_id") % 3 != 0)
+    arriving = seqs.filter(F.col("pack_id") % 3 == 0)
+
+    base = tempfile.mkdtemp(prefix="st15_")
+    idx, stage, results, ckpt = (f"{base}/{d}" for d in ("idx", "src", "out", "ckpt"))
+    try:
+        # span index of the EXISTING packs: distinct 64-bit window
+        # hashes — at 100 TB this is the persisted artifact new packs
+        # probe; positions are not needed index-side (a hit only needs
+        # existence), so it stays 8 bytes per distinct window
+        fdedup.positional_shingles(existing, "pack_id", "packed_text", 5).select(
+            "h"
+        ).distinct().write.mode("overwrite").parquet(idx)
+        arriving.coalesce(1).write.mode("append").parquet(stage)
+        offs_static = offs.filter(F.col("pack_id") % 3 == 0)
+
+        def span_sink(batch_df, epoch_id):
+            pos = fdedup.positional_shingles(batch_df, "pack_id", "packed_text", 5)
+            index = spark.read.parquet(idx)
+            hits = pos.join(index, "h", "left_semi").select(
+                F.col("doc_id").alias("pack_id"), "pos"
+            )
+            w = Window.partitionBy("pack_id").orderBy("pos")
+            spans = (
+                hits.withColumn("__grp", F.col("pos") - F.row_number().over(w))
+                .groupBy("pack_id", "__grp")
+                .agg(
+                    F.min("pos").alias("span_start"),
+                    (F.max("pos") + F.lit(4)).alias("span_end"),
+                    (F.max("pos") - F.min("pos") + F.lit(5)).alias("span_tokens"),
+                )
+                .filter(F.col("span_tokens") >= 8)
+                .drop("__grp")
+            )
+            touched = (
+                spans.join(offs_static, "pack_id")
+                .filter(
+                    (F.col("doc_start") <= F.col("span_end"))
+                    & (F.col("doc_end") >= F.col("span_start"))
+                    & (F.col("doc_end") >= F.col("doc_start"))
+                )
+                .groupBy("pack_id", "span_start", "span_end", "span_tokens")
+                .agg(F.count_distinct("doc_id").alias("n_docs_touched"))
+            )
+            touched.select(
+                F.shiftright(F.col("pack_id"), 40).cast("int").alias("group"),
+                (F.col("pack_id") % fcorpus._PACK_STRIDE).cast("int").alias("shard"),
+                F.col("span_start").cast("int").alias("span_start"),
+                F.col("span_end").cast("int").alias("span_end"),
+                F.col("span_tokens").cast("int").alias("span_tokens"),
+                "n_docs_touched",
+                (F.col("n_docs_touched") >= 2).alias("crosses_boundary"),
+            ).write.mode("append").parquet(results)
+
+        stream = stops.read_file_stream(spark, stage, arriving.schema)
+        stops.run_available_now(
+            stops.write_stream_foreach_batch(stream, span_sink, "append").queryName(
+                "st15"
+            ),
+            ckpt,
+        )
+        rows = spark.read.parquet(results).collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        while _PENDING_STAGE_DIRS:
+            shutil.rmtree(_PENDING_STAGE_DIRS.pop(), ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "group int, shard int, span_start int, span_end int, span_tokens int, "
+        "n_docs_touched long, crosses_boundary boolean",
+    )
+
+
+ST15_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT -(doc_id + 1) AS doc_id, text FROM documents WHERE doc_id % 41 = 0
+),
+sized AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks,
+         CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 4 AS INTEGER) AS grp
+  FROM corpus
+),
+packed AS (
+  SELECT doc_id, toks, grp,
+         COALESCE(SUM(CAST(len(toks) AS BIGINT)) OVER (
+           PARTITION BY grp ORDER BY doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS before
+  FROM sized
+),
+sharded AS (
+  SELECT doc_id, toks, grp,
+         CAST(FLOOR(before / 2000) AS INTEGER) AS shard, before
+  FROM packed
+),
+docoff AS (
+  SELECT doc_id, grp, shard,
+         before - MIN(before) OVER (PARTITION BY grp, shard) + 1 AS doc_start,
+         before - MIN(before) OVER (PARTITION BY grp, shard) + len(toks) AS doc_end
+  FROM sharded
+),
+seqs AS (
+  SELECT grp, shard,
+         string_agg(array_to_string(toks, ' '), ' ' ORDER BY doc_id) AS ptext
+  FROM sharded GROUP BY grp, shard
+),
+ptoks AS (
+  SELECT grp, shard,
+         list_filter(string_split_regex(lower(ptext), '\\s+'), x -> x <> '') AS toks
+  FROM seqs
+),
+pos AS (
+  SELECT grp, shard, u.p AS pos, u.sh AS sh,
+         CAST(grp AS BIGINT) * 1099511627776 + shard AS pack_id
+  FROM (SELECT grp, shard,
+               unnest([{{'p': i, 'sh': array_to_string(toks[i:i+4], ' ')}}
+                       FOR i IN generate_series(1, greatest(len(toks) - 4, 0))]) AS u
+        FROM ptoks)
+),
+-- the split: shingles persisted from the EXISTING packs' index
+idx AS (SELECT DISTINCT sh FROM pos WHERE pack_id % 3 <> 0),
+-- hits: arriving-pack positions whose window exists in the index
+hits AS (SELECT p.grp, p.shard, p.pos FROM pos p JOIN idx USING (sh)
+         WHERE p.pack_id % 3 = 0),
+isl AS (
+  SELECT grp, shard, pos,
+         pos - row_number() OVER (PARTITION BY grp, shard ORDER BY pos) AS ig
+  FROM hits
+),
+spans AS (
+  SELECT grp, shard, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end,
+         MAX(pos) - MIN(pos) + 5 AS span_tokens
+  FROM isl GROUP BY grp, shard, ig
+  HAVING MAX(pos) - MIN(pos) + 5 >= 8
+)
+SELECT s.grp AS "group", s.shard,
+       CAST(s.span_start AS INTEGER) AS span_start,
+       CAST(s.span_end AS INTEGER) AS span_end,
+       CAST(s.span_tokens AS INTEGER) AS span_tokens,
+       CAST(COUNT(DISTINCT d.doc_id) AS BIGINT) AS n_docs_touched,
+       COUNT(DISTINCT d.doc_id) >= 2 AS crosses_boundary
+FROM spans s JOIN docoff d
+  ON s.grp = d.grp AND s.shard = d.shard
+ AND d.doc_start <= s.span_end AND d.doc_end >= s.span_start
+ AND d.doc_end >= d.doc_start
+GROUP BY s.grp, s.shard, s.span_start, s.span_end, s.span_tokens
 """
 
 
@@ -5875,7 +6141,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # repetition filters), b31 (MERGE upsert).
     "st09_stream_incremental_dedup": st09_stream_incremental_dedup,
     "t13_repetition": t13_repetition,
-    "b31_merge_upsert": b31_merge_upsert,
+    # round-11 window rotation (VERDICT r10 item 5): b31_merge_upsert,
+    # q21_sole_failing_supplier, d01_dup_groups, d02_jaccard_pairs,
+    # st05_stream_replay, st06_stateful rotate out after 5-8
+    # driver-green rounds each (all stay oracle-checked by
+    # tests/test_oracle.py past the window); their slots promote four
+    # never-slotted oracle-proven rows — evt06 (gap-fill), evt07
+    # (interpolation), b37 (ordered LISTAGG), st10 (streaming DQ
+    # monitor) — plus the two round-11 newcomers proving themselves at
+    # the driver gate in their first round: t24 (deterministic
+    # training-order shuffle) and st15 (streaming packed-span dedup).
+    "evt06_gapfill": evt06_gapfill,
+    "evt07_interpolate": evt07_interpolate,
+    "b37_string_agg": b37_string_agg,
+    "st10_stream_dq_monitor": st10_stream_dq_monitor,
+    "t24_shuffle_shards": t24_shuffle_shards,
+    "st15_stream_packed_span_dedup": st15_stream_packed_span_dedup,
     # round-5 window rotation (VERDICT r4 item 6): a09_count (A9),
     # a12_transpose (A12), a13_split_merge (A13/A14) were driver-green
     # for three straight rounds and stay oracle-checked by
@@ -5885,7 +6166,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # single-pass plan, and d07's incremental-vs-persisted-index dedup
     # (the production 100 TB dedup shape).
     "q05_region_revenue": q05_region_revenue,
-    "q21_sole_failing_supplier": q21_sole_failing_supplier,
     "d07_incremental_dedup": d07_incremental_dedup,
     # Part B relational core
     # round-9 window rotation (VERDICT r8 item 6): the relational-core
@@ -5951,11 +6231,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t19_vocab_overlap": t19_vocab_overlap,
     "s08_hard_negatives": s08_hard_negatives,
     "st11_stream_rollup": st11_stream_rollup,
-    "st05_stream_replay": st05_stream_replay,
-    "st06_stateful": st06_stateful,
     # LLM-pipeline: dedup / similarity / text / multimodal / profiling
-    "d01_dup_groups": d01_dup_groups,
-    "d02_jaccard_pairs": d02_jaccard_pairs,
     "d03v_minhash_verified": d03v_minhash_verified,
     "d04v_simhash_verified": d04v_simhash_verified,
     "d09_semantic_dedup": d09_semantic_dedup,
@@ -5983,7 +6259,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st04_sliding": st04_sliding,
     "st07_stream_join": st07_stream_join,
     "st08_stream_dedup": st08_stream_dedup,
-    "st10_stream_dq_monitor": st10_stream_dq_monitor,
+    # round-11: b31/q21/d01/d02/st05/st06 rotated out after 5-8
+    # driver-green rounds; still oracle-checked here
+    "b31_merge_upsert": b31_merge_upsert,
+    "q21_sole_failing_supplier": q21_sole_failing_supplier,
+    "d01_dup_groups": d01_dup_groups,
+    "d02_jaccard_pairs": d02_jaccard_pairs,
+    "st05_stream_replay": st05_stream_replay,
+    "st06_stateful": st06_stateful,
     # round-10: a01/b10_ranks/evt08/t01/t03/t04 rotated out after 4+
     # driver-green rounds; still oracle-checked here
     "t04_language_id": t04_language_id,
@@ -6079,7 +6362,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "b32_keep_latest": b32_keep_latest,
     "b35_histogram": b35_histogram,
     "b36_outliers": b36_outliers,
-    "b37_string_agg": b37_string_agg,
     "b38_cms_frequencies": b38_cms_frequencies,
     "b14p_posexplode": b14p_posexplode,
     "b05h_hll_merge": b05h_hll_merge,
@@ -6087,9 +6369,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "evt02_funnel": evt02_funnel,
     "evt03_sessionize": evt03_sessionize,
     "evt04_transitions": evt04_transitions,
-    "evt06_gapfill": evt06_gapfill,
-    "evt07_interpolate": evt07_interpolate,
     # corpus curation (round 4): split / contamination / PII / quota
+    # (evt06/evt07/b37/st10 promoted into the driver window in round 11)
     "t07_hash_split": t07_hash_split,
     "t09_pii_redact": t09_pii_redact,
     "t10_quota_sample": t10_quota_sample,
@@ -6241,12 +6522,14 @@ ORACLE_SQL: dict[str, str] = {
     "t21_chunking": T21_SQL,
     "t22_epoch_mix": T22_SQL,
     "t23_packed_span_dedup": T23_SQL,
+    "st15_stream_packed_span_dedup": ST15_SQL,
     "s07_prototype_prune": S07_SQL,
     "s08_hard_negatives": S08_SQL,
     "s09_pq_topk": S09_SQL,
     "t05_fingerprint": T05_SQL,
     "t11_normalize": T11_SQL,
     "t12_pack_shards": T12_SQL,
+    "t24_shuffle_shards": T24_SQL,
     "t13_repetition": T13_SQL,
     "t14_surprisal": T14_SQL,
     "t15_mixture": T15_SQL,

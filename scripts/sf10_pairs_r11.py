@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Fresh sf10 16-query same-session Spark/DuckDB pair under ROUND-11
+code (round-11 brief item 2): the last full sf10 pair
+(BENCH_sf10_r09.json) measured round-9 binaries; round 10 shipped the
+q03/q05 reduce-first rewrites and the IVF BLAS faces without
+refreshing it.
+
+Protocol = the r9 artifact's: one Spark session, per-query min of
+BENCH_RUNS (default 2) after one warm-up, light queries first, the two
+heavy dedup rows (d02, d08) last; DuckDB back-to-back in the same
+process on the identical oracle SQL; loadavg + floor stamps and the
+bench.py noisy_window rule (cores/8 threshold, round-11).
+
+Usage: python scripts/sf10_pairs_r11.py [sf_dir] [out_json]
+Defaults: /tmp/scaled/sf10  BENCH_sf10_r11.json
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+from etlbigdata_spark import workload  # noqa: E402
+from etlbigdata_spark.session import build_session  # noqa: E402
+
+LIGHT = [
+    "q01_pricing_summary", "q03_top_orders", "q05_region_revenue",
+    "q07_nation_volume", "q18_large_orders", "q21_sole_failing_supplier",
+    "b07_topk_group", "b10_running_sum", "evt03_sessionize",
+    "t01_text_stats", "t02_token_count", "d01_dup_groups",
+    "t14_surprisal", "s01_cosine_topk",
+]
+HEAVY = ["d02_jaccard_pairs", "d08_containment_pairs"]
+SF = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scaled/sf10"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "BENCH_sf10_r11.json"
+RUNS = int(os.environ.get("BENCH_RUNS", "2"))
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def main() -> None:
+    load_start = os.getloadavg()
+    out: dict = {
+        "metric": "sf10_16query_pair", "sf": 10.0, "runs": RUNS,
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "physical_cores": os.cpu_count(),
+        "spark": {}, "duckdb": {},
+    }
+    spark = build_session(
+        app_name="sf10_pairs_r11", master="local[32]", shuffle_partitions=32
+    )
+    for name in LIGHT + HEAVY:
+        fn = workload.QUERIES[name]
+        fn(spark, SF).toPandas()  # warm-up: plan, codegen, IO cache
+        ts = []
+        for _ in range(RUNS):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            fn(spark, SF).toPandas()
+            ts.append(round(time.time() - t0, 3))
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        out["spark"][name] = min(ts)
+        print(name, "spark", ts, flush=True)
+    spark.stop()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    for name in LIGHT + HEAVY:
+        sql = workload.ORACLE_SQL[name]
+        con.sql(sql).fetchall()
+        ts = []
+        for _ in range(RUNS):
+            t0 = time.time()
+            con.sql(sql).fetchall()
+            ts.append(round(time.time() - t0, 3))
+        out["duckdb"][name] = min(ts)
+        print(name, "duck", ts, flush=True)
+
+    out["spark_total"] = round(sum(out["spark"].values()), 2)
+    out["duck_total"] = round(sum(out["duckdb"].values()), 2)
+    out["ratio"] = round(out["spark_total"] / out["duck_total"], 3)
+    out["ratios"] = {
+        k: round(out["spark"][k] / out["duckdb"][k], 2) for k in out["spark"]
+    }
+    load_end = os.getloadavg()
+    out["loadavg_end"] = [round(x, 2) for x in load_end]
+    out["noisy_window"] = bool(load_start[0] > (os.cpu_count() or 1) / 8)
+    out["protocol_note"] = (
+        "single session, light-14 then heavy-2, min of BENCH_RUNS=%d after "
+        "warm-up; round-11 code (q03/q05 reduce-first from r10, ADVICE r10 "
+        "fixes); DuckDB same protocol back-to-back in-process" % RUNS
+    )
+    with open(OUT, "w") as f:
+        f.write(json.dumps(out) + "\n")
+    print(json.dumps({"ratio": out["ratio"], "noisy": out["noisy_window"]}))
+
+
+if __name__ == "__main__":
+    main()

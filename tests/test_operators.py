@@ -377,6 +377,45 @@ def test_hash_split_rejects_bad_spec(spark):
         fcorpus.hash_split(df, "doc_id", buckets={"train": 10, "val": 2})
 
 
+def test_shuffle_shards_deterministic_and_reshard_stable(spark, sf_dir):
+    """Round-11 (t24): the training-order shuffle is content-addressed —
+    (a) shard + order key identical under any input partitioning (the
+    t07 discipline); (b) same seed replays the identical permutation,
+    a different seed yields a different one; (c) materialize=True lands
+    each shard in its own partition sorted in replay order; (d) every
+    row keeps exactly one shard in [0, n_shards)."""
+    from etlbigdata_spark import workload
+    from etlbigdata_spark.functions import corpus as fcorpus
+
+    docs = workload.load(spark, sf_dir, "documents").select("doc_id").limit(200)
+    lab = fcorpus.shuffle_shards(docs, "doc_id", n_shards=8, seed=1, materialize=False)
+    a = {r["doc_id"]: (r["out_shard"], r["order_key"]) for r in lab.collect()}
+    relab = fcorpus.shuffle_shards(
+        docs.repartition(7), "doc_id", n_shards=8, seed=1, materialize=False
+    )
+    b = {r["doc_id"]: (r["out_shard"], r["order_key"]) for r in relab.collect()}
+    assert a == b and len(a) == 200
+    assert all(0 <= s < 8 for s, _k in a.values())
+    other = {
+        r["doc_id"]: (r["out_shard"], r["order_key"])
+        for r in fcorpus.shuffle_shards(
+            docs, "doc_id", n_shards=8, seed=2, materialize=False
+        ).collect()
+    }
+    assert other != a  # a new seed is a fresh permutation
+    # materialized layout: hash partitioning may co-locate two shard
+    # values in one task, but rows must be contiguous per shard and in
+    # (shard, key, id) replay order within every partition
+    mat = fcorpus.shuffle_shards(docs, "doc_id", n_shards=8, seed=1)
+    parts = mat.select("out_shard", "order_key", "doc_id").rdd.glom().collect()
+    seen = []
+    for p in parts:
+        keys = [(r["out_shard"], r["order_key"], r["doc_id"]) for r in p]
+        assert keys == sorted(keys), "partition not in replay order"
+        seen.extend(r["doc_id"] for r in p)
+    assert sorted(seen) == sorted(a)  # nothing lost or duplicated
+
+
 def test_mixture_sample_monotone_and_stable(spark, sf_dir):
     """Raising a source's rate strictly grows its kept set (the property
     incremental mix re-weights rely on); rate 0 keeps nothing, rate 1

@@ -89,20 +89,15 @@ def test_driver_window_covers_expected_components():
     assert len(DRIVER_WINDOW) == workload.DRIVER_WINDOW_SIZE
     for required in (
         "s02v_lsh_verified",
-        "d01_dup_groups",
-        "st05_stream_replay",
-        "st06_stateful",
         "d04v_simhash_verified",
         "d06_dup_clusters",
         # round-5 rotation: the flagship plans now spend driver slots
         "q05_region_revenue",
-        "q21_sole_failing_supplier",
         "d07_incremental_dedup",
         # round-6 rotation: never-windowed components now spend slots
         # (evt08_scd2 rotated out in r10 after 4 green rounds)
         "st09_stream_incremental_dedup",
         "t13_repetition",
-        "b31_merge_upsert",
         # late round-6: the oracle-backed image-dedup face (real codec
         # chain under a SQL ground truth) takes b27_profile's slot
         "mm02_image_neardup",
@@ -151,6 +146,15 @@ def test_driver_window_covers_expected_components():
         # round-10 new op (VERDICT r9 item 7): packed-shard span dedup
         # proves itself at the driver gate in its first round
         "t23_packed_span_dedup",
+        # round-11 rotation (VERDICT r10 item 5): four never-slotted
+        # oracle-proven rows promoted, plus the two round-11 newcomers
+        # in their first driver round
+        "evt06_gapfill",
+        "evt07_interpolate",
+        "b37_string_agg",
+        "st10_stream_dq_monitor",
+        "t24_shuffle_shards",
+        "st15_stream_packed_span_dedup",
     ):
         assert required in DRIVER_WINDOW
     # rotations: rows demoted after multiple driver-green rounds stay
@@ -175,6 +179,11 @@ def test_driver_window_covers_expected_components():
         # promotion; t03 rotates in its place per the 4+-round rule)
         "a01_csv_scan", "b10_ranks", "evt08_scd2",
         "t01_text_stats", "t03_quality", "t04_language_id",
+        # r11: long-green rows (5-8 driver rounds) freeing slots for
+        # evt06/evt07/b37/st10/t24/st15
+        "b31_merge_upsert", "q21_sole_failing_supplier",
+        "d01_dup_groups", "d02_jaccard_pairs",
+        "st05_stream_replay", "st06_stateful",
     ):
         assert rotated_out not in DRIVER_WINDOW
         assert rotated_out in workload.QUERIES and rotated_out in workload.ORACLE_SQL
@@ -187,8 +196,8 @@ def test_driver_window_covers_expected_components():
 def test_registry_counts_match_documentation():
     """README/COVERAGE cite these exact counts (round-3 verdict flagged
     drift); changing the registry must update the docs with it."""
-    assert len(workload.QUERIES) == 157
-    assert len(workload.ORACLE_SQL) == 144
+    assert len(workload.QUERIES) == 159
+    assert len(workload.ORACLE_SQL) == 146
 
 
 # DuckDB types the driver's canonicalization maps differently from the

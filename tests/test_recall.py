@@ -1636,6 +1636,51 @@ def test_probe_zero_norm_vectors_excluded_both_faces(emb, spark, tmp_path):
     assert at == bt and all(i < 10_000 for _q, i, _c, _s in at)
 
 
+def test_probe_null_and_empty_query_sets_both_faces(emb, spark, tmp_path):
+    """Round-11 (ADVICE r10): (a) a NULL query vector emits NOTHING on
+    either probe face — the < 32-centroid expression _query_probes face
+    used to emit n_probe NULL-__qvec rows that hard-crashed the blas
+    scorer's driver-side list(); (b) an empty or all-NULL query set
+    returns an empty frame on the vectorized face instead of a 0-d
+    matmul crash; (c) the blas kernel masks corpus rows whose cell no
+    query probed (sentinel row) instead of a KeyError, so it no longer
+    depends on the caller's probed-cell pre-filter."""
+    real = emb.select("vec_id", "embedding").limit(40)
+    path = str(tmp_path / "ivf_nullq")
+    fsim.ivf_write_index(real, path, n_centroids=8)  # < 32: expression faces
+    nullq = spark.createDataFrame(
+        [(77_001, None)], "vec_id long, embedding array<float>"
+    )
+    queries = real.orderBy("vec_id").limit(3).unionByName(nullq)
+    kw = dict(k=5, n_probe=3, round_to=6)
+    a = sorted(tuple(r) for r in fsim.ivf_probe_index(spark, path, queries, **kw).collect())
+    b = sorted(
+        tuple(r)
+        for r in fsim.ivf_probe_index(spark, path, queries, vectorized=True, **kw).collect()
+    )
+    assert a == b and len(a) == 15  # 3 real queries x k, nothing for the NULL
+    assert all(q != 77_001 for q, *_rest in a)
+    for qset in (queries.limit(0), nullq):  # empty and all-NULL
+        for vec in (False, True):
+            got = fsim.ivf_probe_index(spark, path, qset, vectorized=vec, **kw)
+            assert got.count() == 0
+            assert got.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+    # (c) kernel-level: an UNFILTERED corpus (cells nobody probed) scores
+    # identically to the pre-filtered one the production caller passes
+    cents = [
+        (r["centroid"], list(r["vec"]))
+        for r in spark.read.parquet(f"{path}/centroids").orderBy("centroid").collect()
+    ]
+    q = fsim._query_probes(queries, cents, 2, "vec_id", "embedding")
+    assigned_all = spark.read.parquet(f"{path}/vectors")
+    probed = {r["centroid"] for r in q.select("centroid").distinct().collect()}
+    assigned_cut = assigned_all.filter(F.col("centroid").isin(sorted(probed)))
+    key = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    full = key(fsim._probe_score_topk_blas(assigned_all, q, 5, "vec_id", "embedding", 6))
+    cut = key(fsim._probe_score_topk_blas(assigned_cut, q, 5, "vec_id", "embedding", 6))
+    assert full == cut and len(full) > 0
+
+
 def test_pq_codebook_sidecar_dense_grid_check(emb, spark, tmp_path):
     """Round-10 (ADVICE r9): a duplicate (s, j) sidecar row plus a
     missing cell passes the total-row-count check but leaves a None
@@ -1717,6 +1762,110 @@ def test_ivf_pq_index_smallest_pruned_recall_and_append(emb, spark, tmp_path):
     recalls = [len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth]
     avg = sum(recalls) / len(recalls)
     assert avg >= 0.8, f"IVF-PQ recall@5 vs float index {avg:.2f}"
+
+
+def test_ivf_pq_residual_encoding(emb, spark, tmp_path):
+    """Round-11 (VERDICT r10 item 3): residual-encoded IVF-PQ (FAISS
+    IndexIVFPQ formulation — codes quantize x − centroid[cell]).
+    (a) Both probe faces agree row-for-row on the residual layout;
+    (b) the sidecar self-describes (marker true; a raw index reads
+    false) and the vectors dir stays code-only; (c) an append
+    residualizes against the frozen centroids — a half+append index
+    probes IDENTICALLY to the all-at-once build; (d) misuse refused
+    argument-side.  The recall-recovery evidence lives in
+    test_ivf_pq_residual_beats_raw_when_cells_exceed_codes and
+    IVFPQ_SCALE_r11.json (2M x 64d)."""
+    real = emb.select("vec_id", "embedding").limit(60)
+    assigned, cents = fsim.ivf_assign(real, 8)
+    residf = fsim.residualize(assigned, cents)
+    cb = fsim.pq_fit(residf, n_subspaces=8, n_codes=16, method="kmeans",
+                     train_n=64, vec_col="__resid")
+    path = str(tmp_path / "ivf_res")
+    fsim.ivf_write_index(real, path, centroids=cents, pq=cb, pq_residual=True)
+    assert fsim._pq_sidecar_residual(spark, path)
+    vecs = spark.read.parquet(f"{path}/vectors")
+    assert "pq_code" in vecs.columns and "embedding" not in vecs.columns
+    queries = real.orderBy("vec_id").limit(4)
+    kw = dict(k=5, n_probe=3, round_to=6)
+    key = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    a = key(fsim.ivf_probe_index(spark, path, queries, **kw))
+    b = key(fsim.ivf_probe_index(spark, path, queries, vectorized=True, **kw))
+    assert a == b and len(a) == 20
+    # (c) append homogeneity: half-build + append == all-at-once build
+    apath = str(tmp_path / "ivf_res_app")
+    fsim.ivf_write_index(
+        real.filter(F.col("vec_id") % 2 == 0), apath,
+        centroids=cents, pq=cb, pq_residual=True,
+    )
+    fsim.ivf_append_index(real.filter(F.col("vec_id") % 2 == 1), apath)
+    assert key(fsim.ivf_probe_index(spark, apath, queries, **kw)) == a
+    # (d) argument-side refusals, before any job runs
+    with pytest.raises(ValueError, match="requires pq"):
+        fsim.ivf_write_index(real, str(tmp_path / "x1"), pq_residual=True)
+    with pytest.raises(ValueError, match="explicit centroids"):
+        fsim.ivf_write_index(real, str(tmp_path / "x2"), pq=cb, pq_residual=True)
+
+
+def test_ivf_pq_residual_beats_raw_when_cells_exceed_codes(spark, tmp_path):
+    """The regime residual encoding exists for: when distinct cell
+    centers per subspace exceed the codeword budget, raw PQ spends its
+    codewords re-describing WHICH cell a vector sits in and ADC recall
+    collapses (round-10 measured 0.43 at 2M x 64d / 256 cells); the
+    residual variant spends them on the within-cell offset and recalls
+    the same neighbors at the same byte budget.  Deterministic
+    hash-generated hierarchical corpus (no RNG), so the recall values
+    are exact constants — the bounds pin the ordering, not noise."""
+    N, D, NC = 4000, 32, 8
+    ids = spark.range(N).select(F.col("id").alias("vec_id"))
+    sg = (F.abs(F.xxhash64(F.col("vec_id"))) % 64)
+    dims = []
+    for j in range(D):
+        center = (
+            (F.abs(F.xxhash64(F.concat((F.col("sg") % NC).cast("string"), F.lit(f"_c{j}")))) % 2000)
+            / F.lit(1000.0) - F.lit(1.0)
+        )
+        sub = (
+            (F.abs(F.xxhash64(F.concat(F.col("sg").cast("string"), F.lit(f"_s{j}")))) % 2000)
+            / F.lit(2000.0) - F.lit(0.5)
+        )
+        noise = (
+            (F.abs(F.xxhash64(F.concat(F.col("vec_id").cast("string"), F.lit(f"_n{j}")))) % 1000)
+            / F.lit(1000.0) - F.lit(0.5)
+        ) * F.lit(0.3)
+        dims.append((center + F.lit(0.5) * sub + F.lit(0.15) * noise).cast("float"))
+    corpus = ids.withColumn("sg", sg).select("vec_id", F.array(*dims).alias("embedding"))
+    corpus = corpus.cache()
+    corpus.count()
+    queries = corpus.orderBy("vec_id").limit(5)
+    assigned, cents = fsim.ivf_assign(corpus, NC)
+    residf = fsim.residualize(assigned, cents)
+    cb_res = fsim.pq_fit(residf, n_subspaces=16, n_codes=128, method="kmeans",
+                         train_n=1000, vec_col="__resid")
+    cb_raw = fsim.pq_fit(corpus, n_subspaces=16, n_codes=128, method="kmeans",
+                         train_n=1000)
+    paths = {}
+    for name, kwargs in (
+        ("f", {}),
+        ("raw", dict(pq=cb_raw)),
+        ("res", dict(pq=cb_res, pq_residual=True)),
+    ):
+        paths[name] = str(tmp_path / f"ivf_{name}")
+        fsim.ivf_write_index(corpus, paths[name], centroids=cents, **kwargs)
+    kw = dict(k=5, n_probe=3, round_to=6)
+
+    def recall(path):
+        truth, got = {}, {}
+        for r in fsim.ivf_probe_index(spark, paths["f"], queries, **kw).collect():
+            truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+        for r in fsim.ivf_probe_index(spark, path, queries, **kw).collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        rs = [len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth]
+        return sum(rs) / len(rs)
+
+    raw, res = recall(paths["raw"]), recall(paths["res"])
+    corpus.unpersist()
+    assert res > raw + 0.1, f"residual {res:.2f} must clearly beat raw {raw:.2f}"
+    assert res >= 0.4, f"residual recall {res:.2f}"
 
 
 def test_pq_topk_survives_null_codes_and_null_queries(emb, spark):
