@@ -116,6 +116,7 @@ HEADLINE = [
     "d08_containment_pairs",
     "d10_duplicated_spans",
     "t23_packed_span_dedup",
+    "t24_shuffle_shards",
     "t14_surprisal",
     "d03_minhash",
     "d04_simhash",
@@ -152,6 +153,11 @@ EXCLUDED_FROM_HEADLINE = {
         "oracle face re-runs the md5-sampled-codebook expression encode "
         "(an index BUILD) per query; production encodes once via BLAS "
         "and probes persisted codes — pinned in tests/test_recall.py"
+    ),
+    "st15_stream_packed_span_dedup": (
+        "declared face re-packs the corpus and re-builds the persisted "
+        "span index inline every run (the d07 rebuild-inline class); "
+        "production probes a PRE-BUILT index per micro-batch"
     ),
 }
 

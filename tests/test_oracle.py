@@ -268,6 +268,7 @@ def test_bench_exclusion_list_is_pinned():
         "d07_incremental_dedup",
         "d09_semantic_dedup",
         "s09_pq_topk",
+        "st15_stream_packed_span_dedup",
     }
     for name, reason in bench.EXCLUDED_FROM_HEADLINE.items():
         assert name in workload.QUERIES
