@@ -62,6 +62,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from etlbigdata_spark import workload  # noqa: E402
+from etlbigdata_spark.benchutil import noisy_start  # noqa: E402
 from etlbigdata_spark.session import build_session  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -264,7 +265,7 @@ def main() -> None:
                 "floor_drift": drift,
                 "loadavg_start": [round(x, 2) for x in load_start],
                 "loadavg_end": [round(x, 2) for x in load_end],
-                "physical_cores": os.cpu_count(),
+                "logical_cpus": os.cpu_count(),
                 # read-rule (BASELINE.md): a run with noisy_window=true
                 # must not be read as a regression signal — re-pair it.
                 # Floor drift catches load ARRIVING mid-run (one-sided:
@@ -276,14 +277,13 @@ def main() -> None:
                 # ALREADY loaded at the start shows in loadavg_start:
                 # r10's artifact of record read load 6.79 under the old
                 # cores/4=8 trip wire yet inflated untouched queries
-                # 2-7x, so the threshold is cores/8 (6.79 trips at 4),
-                # scaled by os.cpu_count() — the quantity loadavg is
-                # relative to — not the configured Spark parallelism
-                # (ADVICE r10: SPARK_GRAFT_CPUS mis-scales on any host
-                # whose core count differs from the config).
+                # 2-7x; the start-load rule now lives in ONE place
+                # (benchutil.noisy_start — cpus/8, scaled by
+                # os.cpu_count(), ADVICE r10) shared with every pair
+                # runner in scripts/.
                 "noisy_window": bool(
                     (drift is not None and drift > 1.5)
-                    or load_start[0] > (os.cpu_count() or 1) / 8
+                    or noisy_start(load_start)
                 ),
             }
         )

@@ -640,7 +640,19 @@ def _read_pq_codebooks(spark, path: str) -> list[list[list[float]]]:
     """Rebuild the nested codebook list from the ``pq_codebooks``
     sidecar (written by :func:`ivf_write_index(pq=...)`); validates the
     (s, j) grid is dense so a torn sidecar fails loudly."""
-    rows = spark.read.parquet(f"{path}/pq_codebooks").orderBy("s", "j").collect()
+    books, _residual = _read_pq_sidecar(spark, path)
+    return books
+
+
+def _read_pq_sidecar(spark, path: str) -> tuple[list, bool]:
+    """ONE sidecar read serving both the codebooks and the residual
+    marker (review r11: probe/append used to scan the same file twice).
+    Pre-round-11 sidecars lack the ``residual`` column — raw by
+    construction, so absent reads False."""
+    sdf = spark.read.parquet(f"{path}/pq_codebooks")
+    has_flag = "residual" in sdf.columns
+    rows = sdf.orderBy("s", "j").collect()
+    residual = bool(has_flag and rows and rows[0]["residual"])
     m = max(r["s"] for r in rows) + 1
     k = max(r["j"] for r in rows) + 1
     if len(rows) != m * k:
@@ -654,7 +666,7 @@ def _read_pq_codebooks(spark, path: str) -> list[list[list[float]]]:
     missing = [(s, j) for s in range(m) for j in range(k) if books[s][j] is None]
     if missing:
         raise ValueError(f"pq_codebooks sidecar is torn: missing cells {missing[:4]}")
-    return books
+    return books, residual
 
 
 def ivf_probe_index(
@@ -729,8 +741,8 @@ def ivf_probe_index(
     books = None
     residual_cents = None
     if "pq_code" in assigned.columns:
-        books = _read_pq_codebooks(spark, path)
-        if _pq_sidecar_residual(spark, path):
+        books, is_residual = _read_pq_sidecar(spark, path)
+        if is_residual:
             # residual layout: x̂ = centroid[cell] + decode(code).  The
             # cell vectors come back via a BROADCAST join against the
             # tiny centroids sidecar (never a cells×dim literal table —
@@ -1196,8 +1208,8 @@ def ivf_append_index(
         # (same frozen-vocabulary trade as the frozen centroids above);
         # a residual index residualizes against the SAME frozen
         # centroids first, so appended rows stay layout-homogeneous
-        books = _read_pq_codebooks(spark, path)
-        if _pq_sidecar_residual(spark, path):
+        books, is_residual = _read_pq_sidecar(spark, path)
+        if is_residual:
             assigned = residualize(assigned, cents, vec_col=vec_col)
             assigned = pq_encode(
                 assigned, books, vec_col="__resid", assign="blas"
@@ -1944,13 +1956,11 @@ def residualize(
 
 def _pq_sidecar_residual(spark, path: str) -> bool:
     """True iff the ``pq_codebooks`` sidecar marks the index as
-    residual-encoded.  Pre-round-11 sidecars lack the column — they are
-    raw-vector PQ by construction, so absent means False (the layout
-    stays self-describing across versions)."""
-    df = spark.read.parquet(f"{path}/pq_codebooks")
-    if "residual" not in df.columns:
-        return False
-    return bool(df.select("residual").first()[0])
+    residual-encoded (thin face over :func:`_read_pq_sidecar` — the
+    index-internal callers read the flag from the same collect that
+    rebuilds the codebooks)."""
+    _books, residual = _read_pq_sidecar(spark, path)
+    return residual
 
 
 def _pq_shape(codebooks: list) -> tuple[int, int, int]:

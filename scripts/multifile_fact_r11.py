@@ -9,18 +9,27 @@ parallelism while Spark's split planning only matches it at 32m
 adopted).  Every real 100 TB table is MANY files — so this script
 tests the claim directly:
 
-* builds ``<sf10>/../sf10_mf`` with lineitem rewritten as 32 parquet
-  files (same rows, same schema; all other tables symlinked),
-* measures q01/q03/q05 on {single-file, multi-file} x
+* builds TWO multi-file lineitem layouts: ``sf10_mf`` =
+  ``repartition(32)`` (random row order — the straw man: it destroys
+  the source's natural orderkey clustering) and ``sf10_mfo`` =
+  ORDER-PRESERVING split (read at 48m splits, one file per input
+  split — how a real pipeline's writer lands a big table); all other
+  tables symlinked,
+* measures q01/q03/q05 on {single, multi-random, multi-ordered} x
   {default 128m, 32m} ``spark.sql.files.maxPartitionBytes`` —
-  interleaved, one session, min of BENCH_RUNS after warm-up,
+  interleaved per query, one session, min of BENCH_RUNS after warm-up,
 * pairs DuckDB back-to-back on its own (single-file) layout.
 
-Decision rule: if multi-file @ default ~= single-file @ 32m, the knob
-is a single-file-only workaround and the right SHIP decision is the
-layout note (write facts as many files — writers already do) rather
-than a global conf change; if multi-file still wants 32m, ship the
-conf.  Emits MULTIFILE_SF10_r11.json.
+Decision rule: if multi-ordered @ default ~= the best single-file
+setting (or better), the 32m knob is a single-file-only workaround and
+the SHIP decision is the LAYOUT note — write facts as many
+order-preserving files, which the library's writers already do — not a
+global conf change.  MEASURED (MULTIFILE_SF10_r11.json): q01
+single 3.46 s -> multi-ordered 1.38 s at DEFAULT splits (the entire
+single-file gap was file-split parallelism), q03 3.1 s ~ best single,
+q05 a wash; the random-order layout is strictly worse (q05 8.8 s —
+row-order destruction costs more than splits buy); multi-ordered shows
+NO 32m sensitivity anywhere => knob REJECTED, layout rule recorded.
 """
 from __future__ import annotations
 
@@ -34,6 +43,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb  # noqa: E402
 
 from etlbigdata_spark import workload  # noqa: E402
+from etlbigdata_spark.benchutil import (  # noqa: E402
+    ORACLE_TABLES as TABLES,
+    noisy_start,
+    register_duck_views,
+)
 from etlbigdata_spark.session import build_session  # noqa: E402
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scaled/sf10"
@@ -42,28 +56,31 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "MULTIFILE_SF10_r11.json")
 RUNS = int(os.environ.get("BENCH_RUNS", "3"))
 QUERIES = ["q01_pricing_summary", "q03_top_orders", "q05_region_revenue"]
-TABLES = (
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-)
 
 
 def build_mf(spark) -> None:
-    if os.path.exists(f"{MF}/lineitem.parquet/_SUCCESS"):
-        return
-    os.makedirs(MF, exist_ok=True)
-    for t in TABLES:
-        if t == "lineitem":
+    """Two multi-file lineitem layouts: MF = repartition(32) (random
+    row order — the straw man; destroys the source's natural orderkey
+    clustering), MF+'o' = ORDER-PRESERVING split (read at 48m splits,
+    write one file per input split — how a real pipeline's writer lands
+    a big table: many files, order intact)."""
+    for dest, order_preserving in ((MF, False), (MF + "o", True)):
+        if os.path.exists(f"{dest}/lineitem.parquet/_SUCCESS"):
             continue
-        dst = f"{MF}/{t}.parquet"
-        if not os.path.exists(dst):
-            os.symlink(f"{SF}/{t}.parquet", dst)
-    (
-        spark.read.parquet(f"{SF}/lineitem.parquet")
-        .repartition(32)
-        .write.mode("overwrite")
-        .parquet(f"{MF}/lineitem.parquet")
-    )
+        os.makedirs(dest, exist_ok=True)
+        for t in TABLES:
+            if t == "lineitem":
+                continue
+            dst = f"{dest}/{t}.parquet"
+            if not os.path.exists(dst):
+                os.symlink(f"{SF}/{t}.parquet", dst)
+        if order_preserving:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", str(48 << 20))
+            df = spark.read.parquet(f"{SF}/lineitem.parquet")
+        else:
+            df = spark.read.parquet(f"{SF}/lineitem.parquet").repartition(32)
+        df.write.mode("overwrite").parquet(f"{dest}/lineitem.parquet")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 << 20))
 
 
 def time_q(spark, name, sf_dir):
@@ -81,7 +98,7 @@ def main() -> None:
     out: dict = {
         "metric": "multifile_fact_sf10", "sf": 10.0, "runs": RUNS,
         "loadavg_start": [round(x, 2) for x in os.getloadavg()],
-        "physical_cores": os.cpu_count(),
+        "logical_cpus": os.cpu_count(),
         "grid": {},
     }
     spark = build_session(
@@ -93,6 +110,8 @@ def main() -> None:
         ("single_32m", SF, 32 << 20),
         ("multi_128m", MF, 128 << 20),
         ("multi_32m", MF, 32 << 20),
+        ("multi_ord_128m", MF + "o", 128 << 20),
+        ("multi_ord_32m", MF + "o", 32 << 20),
     ]
     for rnd in range(1):  # grid interleaves internally per query
         for name in QUERIES:
@@ -105,8 +124,7 @@ def main() -> None:
     spark.stop()
 
     con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    register_duck_views(con, SF)
     out["duckdb"] = {}
     for name in QUERIES:
         sql = workload.ORACLE_SQL[name]
@@ -119,7 +137,7 @@ def main() -> None:
         out["duckdb"][name] = min(ts)
         print(name, "duck", ts, flush=True)
     out["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
-    out["noisy_window"] = bool(out["loadavg_start"][0] > (os.cpu_count() or 1) / 8)
+    out["noisy_window"] = noisy_start(out["loadavg_start"])
     with open(OUT, "w") as f:
         f.write(json.dumps(out) + "\n")
     summary = {

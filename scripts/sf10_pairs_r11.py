@@ -8,8 +8,10 @@ refreshing it.
 Protocol = the r9 artifact's: one Spark session, per-query min of
 BENCH_RUNS (default 2) after one warm-up, light queries first, the two
 heavy dedup rows (d02, d08) last; DuckDB back-to-back in the same
-process on the identical oracle SQL; loadavg + floor stamps and the
-bench.py noisy_window rule (cores/8 threshold, round-11).
+process on the identical oracle SQL.  Noise stamps = bench.py's full
+rule: loadavg at start/end, the 1-row-scan FLOOR probed at start and
+re-probed after the Spark leg (drift > 1.5 = load arrived mid-run),
+and the shared benchutil.noisy_start threshold (cpus/8).
 
 Usage: python scripts/sf10_pairs_r11.py [sf_dir] [out_json]
 Defaults: /tmp/scaled/sf10  BENCH_sf10_r11.json
@@ -26,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb  # noqa: E402
 
 from etlbigdata_spark import workload  # noqa: E402
+from etlbigdata_spark.benchutil import noisy_start, register_duck_views  # noqa: E402
 from etlbigdata_spark.session import build_session  # noqa: E402
 
 LIGHT = [
@@ -39,10 +42,18 @@ HEAVY = ["d02_jaccard_pairs", "d08_containment_pairs"]
 SF = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scaled/sf10"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "BENCH_sf10_r11.json"
 RUNS = int(os.environ.get("BENCH_RUNS", "2"))
-TABLES = (
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-)
+
+
+def measure_floor(spark) -> float:
+    fn = lambda: workload.load(spark, SF, "region").limit(1).toPandas()  # noqa: E731
+    for _ in range(3):
+        fn()
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return round(min(ts), 4)
 
 
 def main() -> None:
@@ -50,12 +61,14 @@ def main() -> None:
     out: dict = {
         "metric": "sf10_16query_pair", "sf": 10.0, "runs": RUNS,
         "loadavg_start": [round(x, 2) for x in load_start],
-        "physical_cores": os.cpu_count(),
+        "logical_cpus": os.cpu_count(),
         "spark": {}, "duckdb": {},
     }
     spark = build_session(
         app_name="sf10_pairs_r11", master="local[32]", shuffle_partitions=32
     )
+    floor = measure_floor(spark)
+    out["floor_sec"] = floor
     for name in LIGHT + HEAVY:
         fn = workload.QUERIES[name]
         fn(spark, SF).toPandas()  # warm-up: plan, codegen, IO cache
@@ -69,11 +82,13 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
         out["spark"][name] = min(ts)
         print(name, "spark", ts, flush=True)
+    floor_end = measure_floor(spark)
+    out["floor_end_sec"] = floor_end
+    out["floor_drift"] = round(floor_end / floor, 2) if floor > 0 else None
     spark.stop()
 
     con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    register_duck_views(con, SF)
     for name in LIGHT + HEAVY:
         sql = workload.ORACLE_SQL[name]
         con.sql(sql).fetchall()
@@ -91,13 +106,16 @@ def main() -> None:
     out["ratios"] = {
         k: round(out["spark"][k] / out["duckdb"][k], 2) for k in out["spark"]
     }
-    load_end = os.getloadavg()
-    out["loadavg_end"] = [round(x, 2) for x in load_end]
-    out["noisy_window"] = bool(load_start[0] > (os.cpu_count() or 1) / 8)
+    out["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
+    out["noisy_window"] = bool(
+        (out["floor_drift"] is not None and out["floor_drift"] > 1.5)
+        or noisy_start(load_start)
+    )
     out["protocol_note"] = (
         "single session, light-14 then heavy-2, min of BENCH_RUNS=%d after "
         "warm-up; round-11 code (q03/q05 reduce-first from r10, ADVICE r10 "
-        "fixes); DuckDB same protocol back-to-back in-process" % RUNS
+        "fixes); DuckDB same protocol back-to-back in-process; bench.py "
+        "noise rule (floor drift + benchutil.noisy_start)" % RUNS
     )
     with open(OUT, "w") as f:
         f.write(json.dumps(out) + "\n")

@@ -1693,9 +1693,9 @@ def test_pq_codebook_sidecar_dense_grid_check(emb, spark, tmp_path):
     # drop cell (0, 0), duplicate cell (0, 1): same total count, torn grid
     torn = [r for r in rows if not (r["s"] == 0 and r["j"] == 0)]
     torn.append([r for r in torn if r["s"] == 0 and r["j"] == 1][0])
-    spark.createDataFrame(torn, "s int, j int, vec array<double>").coalesce(
-        1
-    ).write.mode("overwrite").parquet(side)
+    spark.createDataFrame(
+        torn, "s int, j int, vec array<double>, residual boolean"
+    ).coalesce(1).write.mode("overwrite").parquet(side)
     with pytest.raises(ValueError, match="torn"):
         fsim._read_pq_codebooks(spark, path)
 
