@@ -45,6 +45,11 @@ HEADLINE = [
     "d08_containment_pairs", "d10_duplicated_spans",
     "t14_surprisal",
     "s01_cosine_topk", "st02_sessions", "st03_watermark",
+    # round-11: pair the bench headline's newer rows too (they were
+    # covered only by NEWOPS_SF1_r09.json point measurements before)
+    "t20_c4_clean", "t21_chunking", "t22_epoch_mix",
+    "t23_packed_span_dedup", "t24_shuffle_shards",
+    "d03_minhash", "d04_simhash",
 ]
 
 # Same subset filter as bench.py (targeted scale points, e.g. sf10).
