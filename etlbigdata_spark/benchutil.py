@@ -21,14 +21,20 @@ def noisy_start(load_start) -> bool:
     loadavg is relative to, NOT the configured Spark parallelism
     (ADVICE r10) — and tightened from cores/4 after round-10's
     contaminated artifact of record read load 6.79 under the old wire
-    yet inflated untouched queries 2-7x."""
-    return bool(load_start[0] > (os.cpu_count() or 1) / 8)
+    yet inflated untouched queries 2-7x.  When ``os.cpu_count()``
+    returns None (containers with unreadable affinity), fall back to 8
+    logical CPUs — a /1 fallback would make the wire 0.125 and flag
+    essentially every run (ADVICE r11)."""
+    return bool(load_start[0] > (os.cpu_count() or 8) / 8)
 
 
 def register_duck_views(con, sf_dir: str) -> None:
     """Register the oracle tables as DuckDB views over a testdata dir
-    (the driver's exact naming contract)."""
+    (the driver's exact naming contract).  The path is quoted into the
+    SQL literal with single-quote doubling so a directory containing
+    ``'`` cannot silently break view registration (ADVICE r11)."""
+    safe_dir = sf_dir.replace("'", "''")
     for t in ORACLE_TABLES:
         con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{safe_dir}/{t}.parquet')"
         )

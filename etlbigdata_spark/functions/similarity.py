@@ -653,6 +653,16 @@ def _read_pq_sidecar(spark, path: str) -> tuple[list, bool]:
     has_flag = "residual" in sdf.columns
     rows = sdf.orderBy("s", "j").collect()
     residual = bool(has_flag and rows and rows[0]["residual"])
+    if has_flag:
+        # the flag is a per-INDEX property stamped on every row; mixed
+        # values mean a partial rewrite — reject like a torn grid
+        # instead of silently trusting rows[0] (ADVICE r11)
+        flags = {bool(r["residual"]) for r in rows}
+        if len(flags) > 1:
+            raise ValueError(
+                "pq_codebooks sidecar is torn: mixed residual flags "
+                f"{sorted(flags)}"
+            )
     m = max(r["s"] for r in rows) + 1
     k = max(r["j"] for r in rows) + 1
     if len(rows) != m * k:

@@ -124,10 +124,17 @@ def sessionize(
     (plan-verified by the evt03 workload query). Gap arithmetic is in
     integer microseconds so engines never disagree on boundaries; pass
     ``tiebreakers`` (e.g. an event id) to pin ordering of same-
-    timestamp rows."""
+    timestamp rows.
+
+    ``ts_col`` may be a TimestampType column OR an already-encoded
+    integer epoch-microseconds column (round 12: callers that narrow
+    the shuffled row map-side — ``F.unix_micros`` before the exchange —
+    pass the long straight through; sessionization order and gap
+    arithmetic are identical because ``unix_micros`` is monotone)."""
     order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in (tiebreakers or [])]
     w = Window.partitionBy(*key_cols).orderBy(*order)
-    us = F.unix_micros(F.col(ts_col))
+    ts_type = dict(df.dtypes).get(ts_col)
+    us = F.col(ts_col) if ts_type in ("bigint", "int") else F.unix_micros(F.col(ts_col))
     prev = F.lag(us).over(w)
     flag = F.when(
         prev.isNull() | ((us - prev) > F.lit(gap_seconds * 1_000_000)), F.lit(1)

@@ -6101,84 +6101,39 @@ ORDER BY s_suppkey
 # after position 50 — they are still run by tests/bench, just not
 # spending driver correctness slots on already-proven components.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- driver window (first 50): one proving query per component ---
-    # round-10 window rotation (VERDICT r9 item 1): a01_csv_scan,
-    # b10_ranks, evt08_scd2, t01_text_stats, t03_quality rotate out
-    # after 4+ driver-green rounds each (all stay oracle-checked by
-    # tests/test_oracle.py past the window); their slots promote the
-    # five round-9 continuation rows that never held a driver slot —
-    # t20 (C4 rule cleaning), t21 (overlapping token-window chunking),
-    # t22 (epoch-weighted up-sampling), s09 (product-quantization ANN),
-    # mm04 (video near-dup).  The verdict's example swap list named b33
-    # instead of t03, but b33 has held its slot only since round 9 (one
-    # green round) — the standing discipline rotates rows out after
-    # 4-5+ green rounds, so the long-green t03 goes instead.
-    "t20_c4_clean": t20_c4_clean,
-    "t21_chunking": t21_chunking,
-    "t22_epoch_mix": t22_epoch_mix,
-    "s09_pq_topk": s09_pq_topk,
-    "mm04_video_neardup": mm04_video_neardup,
-    # round-8 window rotation (VERDICT r7 item 6): a06_union_all,
-    # a08_dedup, a16_join (driver-green since round 1) and
-    # st01_tumbling/st02_sessions/st03_watermark (green since round 3)
-    # and b08_intersect (green since round 1) rotate out after 5-7
-    # driver-green rounds — all stay oracle-checked by
-    # tests/test_oracle.py past the window; their slots promote seven
-    # rows that never held a driver slot: b40 (table diff), b43 (NEW:
-    # bloom-filter needle lookup, this round's A18 lever face),
-    # t17 (temperature mixture), t18 (novelty vs reference corpus),
-    # t19 (vocab-overlap matrix), s08 (hard-negative mining),
-    # st11 (streaming rollup MERGE sink through the real engine).
-    "b40_table_diff": b40_table_diff,
-    "b43_bloom_needle": b43_bloom_needle,
-    "t17_temperature_mix": t17_temperature_mix,
-    # round-6 window rotation (VERDICT r5 item 4): a07_fill_nulls,
-    # a10_replace, a11_filter_contains, a15_cast rotate out after 5
-    # driver-green rounds (still oracle-checked by tests/test_oracle.py
-    # past the window); their slots promote four never-windowed rows —
-    # evt08 (batch SCD2), st09 (stream-incremental dedup through the
-    # REAL engine, the 100 TB production dedup shape), t13 (Gopher
-    # repetition filters), b31 (MERGE upsert).
-    "st09_stream_incremental_dedup": st09_stream_incremental_dedup,
-    "t13_repetition": t13_repetition,
-    # round-11 window rotation (VERDICT r10 item 5): b31_merge_upsert,
-    # q21_sole_failing_supplier, d01_dup_groups, d02_jaccard_pairs,
-    # st05_stream_replay, st06_stateful rotate out after 5-8
-    # driver-green rounds each (all stay oracle-checked by
-    # tests/test_oracle.py past the window); their slots promote four
-    # never-slotted oracle-proven rows — evt06 (gap-fill), evt07
-    # (interpolation), b37 (ordered LISTAGG), st10 (streaming DQ
-    # monitor) — plus the two round-11 newcomers proving themselves at
-    # the driver gate in their first round: t24 (deterministic
-    # training-order shuffle) and st15 (streaming packed-span dedup).
+    # --- driver window (first 50) ---
+    # Round-12 HARD rotation (VERDICT r11 item 1: "31 oracle rows have
+    # never held a CORRECTNESS slot in 11 rounds ... rotate out every
+    # row >=3 consecutive green rounds and fill with never-slotted
+    # rows").  This round promotes ALL 31 never-slotted oracle-bearing
+    # rows at once, which closes the backlog in ONE round: cumulative
+    # driver verification reaches 146 of 146 oracles (115 previously
+    # green + these 31).  Rotated out to make room: 31 rows with 3-11
+    # consecutive driver-green rounds (q01, q05, d07, b09_asof/range,
+    # b10_running_sum, b40, b41, b42, b43, d03v, d04v, d06, d09, d10,
+    # evt09, mm01, mm02, mm03, s01, s02v, s07, s08, st09, st11, st12,
+    # st13, t13, t17, t18, t19 — all stay oracle-checked every test run
+    # by tests/test_oracle.py past the window).  Kept in-window: the 12
+    # rows with <3 green rounds (r10/r11 promotions) and the 7 round-9
+    # promotions at exactly 3 green rounds.  The two-round re-rotation
+    # schedule is written in COVERAGE.md ("Driver-window schedule").
+    #
+    # Group 1 — round-11 promotions/newcomers (1 driver-green round):
     "evt06_gapfill": evt06_gapfill,
     "evt07_interpolate": evt07_interpolate,
     "b37_string_agg": b37_string_agg,
     "st10_stream_dq_monitor": st10_stream_dq_monitor,
     "t24_shuffle_shards": t24_shuffle_shards,
     "st15_stream_packed_span_dedup": st15_stream_packed_span_dedup,
-    # round-5 window rotation (VERDICT r4 item 6): a09_count (A9),
-    # a12_transpose (A12), a13_split_merge (A13/A14) were driver-green
-    # for three straight rounds and stay oracle-checked by
-    # tests/test_oracle.py past the window; their slots now exercise
-    # flagship plans that were pytest-only — the q05 star join
-    # (4 broadcast dims, single fact scan), q21's bounded collect_set
-    # single-pass plan, and d07's incremental-vs-persisted-index dedup
-    # (the production 100 TB dedup shape).
-    "q05_region_revenue": q05_region_revenue,
-    "d07_incremental_dedup": d07_incremental_dedup,
-    # Part B relational core
-    # round-9 window rotation (VERDICT r8 item 6): the relational-core
-    # rows b01_sql/b02_projection/b03_general_filter/b05_count_distinct/
-    # b06_grouping_sets/b07_topk_group (driver-green since round 1, 8
-    # straight rounds) and t02_token_count (7 rounds) rotate out — all
-    # stay oracle-checked past the window; their slots promote seven
-    # oracle-backed rows that never held a driver slot: st14 (the
-    # partition-pruned production streaming ANN probe, new in r8),
-    # b33 (fuzzy/edit-distance pairs, the B9 fuzzy-join face),
-    # b34 (DQ rule engine), b39 (statistical aggregate family),
-    # evt05 (cohort retention), t06 (TF-IDF top terms),
-    # t08 (train/eval contamination report).
+    # Group 2 — round-10 promotions (2 driver-green rounds):
+    "t20_c4_clean": t20_c4_clean,
+    "t21_chunking": t21_chunking,
+    "t22_epoch_mix": t22_epoch_mix,
+    "s09_pq_topk": s09_pq_topk,
+    "mm04_video_neardup": mm04_video_neardup,
+    "t23_packed_span_dedup": t23_packed_span_dedup,
+    # Group 3 — round-9 promotions (3 green rounds; the newest of the
+    # >=3 cohort, kept so the window does not churn 100% in one round):
     "st14_stream_probe_partition_pruned": st14_stream_probe_partition_pruned,
     "b33_fuzzy_pairs": b33_fuzzy_pairs,
     "b34_dq_checks": b34_dq_checks,
@@ -6186,97 +6141,105 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "evt05_cohort_retention": evt05_cohort_retention,
     "t06_tfidf_topterms": t06_tfidf_topterms,
     "t08_contamination": t08_contamination,
-    "q01_pricing_summary": q01_pricing_summary,  # B4 hash aggregate
-    "t18_novelty": t18_novelty,
-    "b09_asof": b09_asof,
-    # b09_anti (3rd B9 row) and b15_json (2nd B15 row) rotated past the
-    # window late in round 6 after five driver-green rounds — their
-    # families keep window rows (b09_asof/b09_range, b15_from_json) and
-    # both stay oracle-checked by tests/test_oracle.py; the freed slots
-    # promote the two new round-6 dedup modes, d09 (SemDeDup semantic)
-    # and d10 (duplicated spans), so every dedup family member proves
-    # itself at the driver gate in its first round.
-    "b09_range": b09_range,
-    "b10_running_sum": b10_running_sum,
-    # round-7 window rotation (VERDICT r6 item 8): the scalar-function
-    # family rows b11_strings/b12_dates/b13_math/b14_arrays/
-    # b15_from_json/b16_pivot/b18_pandas_udf rotate out after 5+
-    # driver-green rounds (all stay oracle-checked past the window);
-    # their slots promote seven oracle-proven rows that never held a
-    # driver slot — b41 (interval overlap join), b42 (PSI drift),
-    # evt09 (as-of SCD2 attribution join), s07 (prototype pruning),
-    # mm03 (audio near-dup through the real WAV codec), st12 (streaming
-    # semantic dedup), and the brand-new st13 (stream probing an index
-    # APPENDED mid-stream — this round's production-ANN-loop proof).
-    "b41_interval_join": b41_interval_join,
-    "b42_drift_psi": b42_drift_psi,
-    "evt09_scd2_join": evt09_scd2_join,
-    "s07_prototype_prune": s07_prototype_prune,
-    "mm03_audio_neardup": mm03_audio_neardup,
-    "st12_stream_semantic_dedup": st12_stream_semantic_dedup,
-    # b16_unpivot (2nd B16 row) demoted in round 4 to free a window slot
-    # for a01_csv_scan — A1 had no driver-level proof; unpivot stays
-    # oracle-checked by tests/test_oracle.py.
-    # b17_sample (RNG, no cross-engine oracle by design) was demoted past
-    # the window in round 4 so all 50 driver rows are oracle-bearing; its
-    # B17 slot is proven by seed-deterministic pytest, and the freed slot
-    # promotes d06_dup_clusters (B23 cluster resolution, recursive-CTE
-    # oracle).
-    "d06_dup_clusters": d06_dup_clusters,
-    "st13_stream_probe_appended_index": st13_stream_probe_appended_index,
-    # streaming: batch twins (B20 windows, B21 watermark cutoff) plus
-    # REAL-engine replay rows (B19 source/sink, B22 custom state run
-    # through readStream/availableNow inside the query callable); the
-    # engine also has replay goldens in tests
-    "t19_vocab_overlap": t19_vocab_overlap,
-    "s08_hard_negatives": s08_hard_negatives,
-    "st11_stream_rollup": st11_stream_rollup,
-    # LLM-pipeline: dedup / similarity / text / multimodal / profiling
-    "d03v_minhash_verified": d03v_minhash_verified,
-    "d04v_simhash_verified": d04v_simhash_verified,
-    "d09_semantic_dedup": d09_semantic_dedup,
-    "d10_duplicated_spans": d10_duplicated_spans,
-    "s01_cosine_topk": s01_cosine_topk,
-    "s02v_lsh_verified": s02v_lsh_verified,
-    # round-10 late rotation: t04_language_id (driver-green since round
-    # 1) frees the slot for the brand-new t23 so it proves itself at
-    # the driver gate in its first round (the d09/d10/st13/b43 pattern)
-    "t23_packed_span_dedup": t23_packed_span_dedup,
-    "mm01_binary_meta": mm01_binary_meta,
-    "mm02_image_neardup": mm02_image_neardup,
-    "b27_profile": b27_profile,
-    # --- past the driver window: redundant shapes + rows-only family ---
-    # (b06_cube / b08_except / b09_theta / b14_explode / b10_range_frame
-    # are second rows of already-proven B6/B8/B9/B14/B10 — demoted in
-    # round 3 to make window room for st03/s02v/st05/st06/d04v, still
-    # oracle-checked by tests/test_oracle.py)
-    "b06_cube": b06_cube,
-    "b08_except": b08_except,
-    "b09_theta": b09_theta,
-    "b09_notin": b09_notin,
-    "b10_range_frame": b10_range_frame,
-    "b14_explode": b14_explode,
+    # Group 4 — the 31 first-slot promotions (never driver-verified in
+    # rounds 1-11; all oracle-green in tests/test_oracle.py since they
+    # landed).  TPC-H plan shapes first:
+    "q02_min_cost_supplier": q02_min_cost_supplier,
+    "q08_market_share": q08_market_share,
+    "q09_product_type_profit": q09_product_type_profit,
+    "q11_important_parts": q11_important_parts,
+    "q16_supplier_relationship": q16_supplier_relationship,
+    "q20_heavy_shippers": q20_heavy_shippers,
+    # ... the event-analytics family (rollup/funnel/sessionize/Markov):
+    "evt01_time_rollup": evt01_time_rollup,
+    "evt02_funnel": evt02_funnel,
+    "evt03_sessionize": evt03_sessionize,
+    "evt04_transitions": evt04_transitions,
+    # ... streaming rows (batch-twin sliding window + REAL-engine
+    # stream-stream join and watermarked streaming dedup):
     "st04_sliding": st04_sliding,
     "st07_stream_join": st07_stream_join,
     "st08_stream_dedup": st08_stream_dedup,
-    # round-11: b31/q21/d01/d02/st05/st06 rotated out after 5-8
-    # driver-green rounds; still oracle-checked here
+    # ... the remaining dedup mode (containment pairs):
+    "d08_containment_pairs": d08_containment_pairs,
+    # ... relational rows (NULL-aware NOT-IN, ordinal explode, UDTF,
+    # exact percentile, salted agg/join, CDC keep-latest, histogram,
+    # Tukey outliers):
+    "b09_notin": b09_notin,
+    "b14p_posexplode": b14p_posexplode,
+    "b18t_chunk_udtf": b18t_chunk_udtf,
+    "b28_percentile": b28_percentile,
+    "b29_salted_agg": b29_salted_agg,
+    "b30_salted_join": b30_salted_join,
+    "b32_keep_latest": b32_keep_latest,
+    "b35_histogram": b35_histogram,
+    "b36_outliers": b36_outliers,
+    # ... text/corpus-curation rows (fingerprint, hash split, PII
+    # redaction, quota sampling, normalization, shard packing,
+    # surprisal, mixture sampling):
+    "t05_fingerprint": t05_fingerprint,
+    "t07_hash_split": t07_hash_split,
+    "t09_pii_redact": t09_pii_redact,
+    "t10_quota_sample": t10_quota_sample,
+    "t11_normalize": t11_normalize,
+    "t12_pack_shards": t12_pack_shards,
+    "t14_surprisal": t14_surprisal,
+    "t15_mixture": t15_mixture,
+    # --- past the driver window (ALL still oracle-checked on every
+    # test run by tests/test_oracle.py; rotation history in COVERAGE.md
+    # and git) ---
+    # round-12 rotation: out after 3-11 consecutive driver-green rounds
+    "q01_pricing_summary": q01_pricing_summary,
+    "q05_region_revenue": q05_region_revenue,
+    "d07_incremental_dedup": d07_incremental_dedup,
+    "b09_asof": b09_asof,
+    "b09_range": b09_range,
+    "b10_running_sum": b10_running_sum,
+    "b40_table_diff": b40_table_diff,
+    "b41_interval_join": b41_interval_join,
+    "b42_drift_psi": b42_drift_psi,
+    "b43_bloom_needle": b43_bloom_needle,
+    "d03v_minhash_verified": d03v_minhash_verified,
+    "d04v_simhash_verified": d04v_simhash_verified,
+    "d06_dup_clusters": d06_dup_clusters,
+    "d09_semantic_dedup": d09_semantic_dedup,
+    "d10_duplicated_spans": d10_duplicated_spans,
+    "evt09_scd2_join": evt09_scd2_join,
+    "mm01_binary_meta": mm01_binary_meta,
+    "mm02_image_neardup": mm02_image_neardup,
+    "mm03_audio_neardup": mm03_audio_neardup,
+    "s01_cosine_topk": s01_cosine_topk,
+    "s02v_lsh_verified": s02v_lsh_verified,
+    "s07_prototype_prune": s07_prototype_prune,
+    "s08_hard_negatives": s08_hard_negatives,
+    "st09_stream_incremental_dedup": st09_stream_incremental_dedup,
+    "st11_stream_rollup": st11_stream_rollup,
+    "st12_stream_semantic_dedup": st12_stream_semantic_dedup,
+    "st13_stream_probe_appended_index": st13_stream_probe_appended_index,
+    "t13_repetition": t13_repetition,
+    "t17_temperature_mix": t17_temperature_mix,
+    "t18_novelty": t18_novelty,
+    "t19_vocab_overlap": t19_vocab_overlap,
+    # earlier rotations (rounds 3-11): redundant family second rows +
+    # long-green component rows
+    "b27_profile": b27_profile,
+    "b06_cube": b06_cube,
+    "b08_except": b08_except,
+    "b09_theta": b09_theta,
+    "b10_range_frame": b10_range_frame,
+    "b14_explode": b14_explode,
     "b31_merge_upsert": b31_merge_upsert,
     "q21_sole_failing_supplier": q21_sole_failing_supplier,
     "d01_dup_groups": d01_dup_groups,
     "d02_jaccard_pairs": d02_jaccard_pairs,
     "st05_stream_replay": st05_stream_replay,
     "st06_stateful": st06_stateful,
-    # round-10: a01/b10_ranks/evt08/t01/t03/t04 rotated out after 4+
-    # driver-green rounds; still oracle-checked here
     "t04_language_id": t04_language_id,
     "a01_csv_scan": a01_csv_scan,
     "b10_ranks": b10_ranks,
     "evt08_scd2": evt08_scd2,
     "t01_text_stats": t01_text_stats,
     "t03_quality": t03_quality,
-    # round-9: the relational-core rows rotated out after 7-8
-    # driver-green rounds; still oracle-checked here
     "b01_sql": b01_sql,
     "b02_projection": b02_projection,
     "b03_general_filter": b03_general_filter,
@@ -6284,8 +6247,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "b06_grouping_sets": b06_grouping_sets,
     "b07_topk_group": b07_topk_group,
     "t02_token_count": t02_token_count,
-    # round-8: a06/a08/a16/b08_intersect/st01/st02/st03 rotated out
-    # after 5-7 driver-green rounds; still oracle-checked here
     "a06_union_all": a06_union_all,
     "a08_dedup": a08_dedup,
     "a16_join": a16_join,
@@ -6293,8 +6254,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st01_tumbling": st01_tumbling,
     "st02_sessions": st02_sessions,
     "st03_watermark": st03_watermark,
-    # round-7: the scalar-function family rows rotated out after 5+
-    # driver-green rounds; still oracle-checked here
     "b11_strings": b11_strings,
     "b12_dates": b12_dates,
     "b13_math": b13_math,
@@ -6302,33 +6261,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "b15_from_json": b15_from_json,
     "b16_pivot": b16_pivot,
     "b18_pandas_udf": b18_pandas_udf,
-    # round-6: a07/a10/a11/a15 rotated out after five driver-green
-    # rounds; still oracle-checked here
     "a07_fill_nulls": a07_fill_nulls,
     "a10_replace": a10_replace,
     "a11_filter_contains": a11_filter_contains,
     "a15_cast": a15_cast,
     "b16_unpivot": b16_unpivot,
     "b17_sample": b17_sample,
-    "b18t_chunk_udtf": b18t_chunk_udtf,
-    "q02_min_cost_supplier": q02_min_cost_supplier,
     "q03_top_orders": q03_top_orders,
     "q04_priority_with_late_lines": q04_priority_with_late_lines,
     "q06_revenue_delta": q06_revenue_delta,
     "q07_nation_volume": q07_nation_volume,
-    "q08_market_share": q08_market_share,
-    "q09_product_type_profit": q09_product_type_profit,
     "q10_returned_items": q10_returned_items,
-    "q11_important_parts": q11_important_parts,
     "q12_shipmode_priority": q12_shipmode_priority,
     "q13_customer_distribution": q13_customer_distribution,
     "q14_promo_share": q14_promo_share,
     "q15_top_supplier": q15_top_supplier,
-    "q16_supplier_relationship": q16_supplier_relationship,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q18_large_orders": q18_large_orders,
     "q19_disjunctive_predicates": q19_disjunctive_predicates,
-    "q20_heavy_shippers": q20_heavy_shippers,
     "q22_idle_rich_customers": q22_idle_rich_customers,
     "b06_rollup": b06_rollup,
     "b09_semi": b09_semi,
@@ -6336,11 +6286,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d03_minhash": d03_minhash,
     "d04_simhash": d04_simhash,
     "d05_embedding_neardup": d05_embedding_neardup,
-    "d08_containment_pairs": d08_containment_pairs,
     "b09_anti": b09_anti,
     "b15_json": b15_json,
-    # a09/a12/a13 rotated out of the window in round 5 (three rounds
-    # driver-green); still oracle-checked here
     "a09_count": a09_count,
     "a12_transpose": a12_transpose,
     "a13_split_merge": a13_split_merge,
@@ -6348,33 +6295,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s03_ivf_topk": s03_ivf_topk,
     "s04_kmeans": s04_kmeans,
     "s05_quantized_topk": s05_quantized_topk,
-    "t05_fingerprint": t05_fingerprint,
-    "t11_normalize": t11_normalize,
-    "t12_pack_shards": t12_pack_shards,
-    "t14_surprisal": t14_surprisal,
-    "t15_mixture": t15_mixture,
     "t16_bpe_fertility": t16_bpe_fertility,
     "s06_pca": s06_pca,
-    "b28_percentile": b28_percentile,
     "b28a_approx_percentile": b28a_approx_percentile,
-    "b29_salted_agg": b29_salted_agg,
-    "b30_salted_join": b30_salted_join,
-    "b32_keep_latest": b32_keep_latest,
-    "b35_histogram": b35_histogram,
-    "b36_outliers": b36_outliers,
     "b38_cms_frequencies": b38_cms_frequencies,
-    "b14p_posexplode": b14p_posexplode,
     "b05h_hll_merge": b05h_hll_merge,
-    "evt01_time_rollup": evt01_time_rollup,
-    "evt02_funnel": evt02_funnel,
-    "evt03_sessionize": evt03_sessionize,
-    "evt04_transitions": evt04_transitions,
-    # corpus curation (round 4): split / contamination / PII / quota
-    # (evt06/evt07/b37/st10 promoted into the driver window in round 11)
-    "t07_hash_split": t07_hash_split,
-    "t09_pii_redact": t09_pii_redact,
-    "t10_quota_sample": t10_quota_sample,
-    # (t20/t21/t22/s09/mm04 promoted into the driver window in round 10)
 }
 
 # The driver's correctness gate checks the first N registry entries at

@@ -82,115 +82,72 @@ def test_driver_window_query_is_not_vacuous(spark, name):
     )
 
 
+# Round-12 window contract (VERDICT r11 item 1: burn down the
+# driver-verification backlog).  The window is pinned as an EXACT set:
+# the 12 rows with <3 driver-green rounds (r10/r11 promotions), the 7
+# round-9 promotions at exactly 3 green rounds, and ALL 31 oracle rows
+# that had never held a driver slot in rounds 1-11 — after this round,
+# cumulative driver verification reaches 146/146 oracles.  Rotation
+# history lives in COVERAGE.md and git (the accreted per-round
+# assertions this test used to carry were folded into the exact-set
+# form at the r12 rotation).
+EXPECTED_WINDOW = {
+    # <3 green rounds, kept
+    "evt06_gapfill", "evt07_interpolate", "b37_string_agg",
+    "st10_stream_dq_monitor", "t24_shuffle_shards",
+    "st15_stream_packed_span_dedup",
+    "t20_c4_clean", "t21_chunking", "t22_epoch_mix", "s09_pq_topk",
+    "mm04_video_neardup", "t23_packed_span_dedup",
+    # exactly 3 green rounds (round-9 promotions), kept
+    "st14_stream_probe_partition_pruned", "b33_fuzzy_pairs",
+    "b34_dq_checks", "b39_stat_aggs", "evt05_cohort_retention",
+    "t06_tfidf_topterms", "t08_contamination",
+    # the 31 first-slot promotions
+    "q02_min_cost_supplier", "q08_market_share",
+    "q09_product_type_profit", "q11_important_parts",
+    "q16_supplier_relationship", "q20_heavy_shippers",
+    "evt01_time_rollup", "evt02_funnel", "evt03_sessionize",
+    "evt04_transitions",
+    "st04_sliding", "st07_stream_join", "st08_stream_dedup",
+    "d08_containment_pairs",
+    "b09_notin", "b14p_posexplode", "b18t_chunk_udtf",
+    "b28_percentile", "b29_salted_agg", "b30_salted_join",
+    "b32_keep_latest", "b35_histogram", "b36_outliers",
+    "t05_fingerprint", "t07_hash_split", "t09_pii_redact",
+    "t10_quota_sample", "t11_normalize", "t12_pack_shards",
+    "t14_surprisal", "t15_mixture",
+}
+
+
 def test_driver_window_covers_expected_components():
-    """The window is a contract: exactly DRIVER_WINDOW_SIZE entries, and
-    the round-3 additions (st03 watermark twin, s02v verified ANN) sit
-    inside it."""
+    """The window is a contract: exactly DRIVER_WINDOW_SIZE entries,
+    every one oracle-bearing, matching the round-12 rotation set; every
+    rotated-out row must remain registered AND oracle-checked."""
     assert len(DRIVER_WINDOW) == workload.DRIVER_WINDOW_SIZE
-    for required in (
-        "s02v_lsh_verified",
-        "d04v_simhash_verified",
-        "d06_dup_clusters",
-        # round-5 rotation: the flagship plans now spend driver slots
-        "q05_region_revenue",
-        "d07_incremental_dedup",
-        # round-6 rotation: never-windowed components now spend slots
-        # (evt08_scd2 rotated out in r10 after 4 green rounds)
-        "st09_stream_incremental_dedup",
-        "t13_repetition",
-        # late round-6: the oracle-backed image-dedup face (real codec
-        # chain under a SQL ground truth) takes b27_profile's slot
-        "mm02_image_neardup",
-        # late round-6: the two new dedup modes prove themselves at the
-        # driver gate in their first round (b09_anti/b15_json demoted —
-        # redundant family rows, five driver-green rounds)
-        "d09_semantic_dedup",
-        "d10_duplicated_spans",
-        # round-7 rotation (VERDICT r6 item 8): never-windowed
-        # oracle-proven rows promoted, plus the new st13 append-
-        # visibility proof in its first round
-        "b41_interval_join",
-        "b42_drift_psi",
-        "evt09_scd2_join",
-        "s07_prototype_prune",
-        "mm03_audio_neardup",
-        "st12_stream_semantic_dedup",
-        "st13_stream_probe_appended_index",
-        # round-8 rotation (VERDICT r7 item 6): never-windowed
-        # oracle-proven rows promoted, plus the new b43 bloom-filter
-        # needle-lookup face in its first round
-        "b40_table_diff",
-        "b43_bloom_needle",
-        "t17_temperature_mix",
-        "t18_novelty",
-        "t19_vocab_overlap",
-        "s08_hard_negatives",
-        "st11_stream_rollup",
-        # round-9 rotation (VERDICT r8 item 6): never-windowed
-        # oracle-proven rows promoted, led by st14 — the r8-new
-        # partition-pruned streaming ANN probe's first driver slot
-        "st14_stream_probe_partition_pruned",
-        "b33_fuzzy_pairs",
-        "b34_dq_checks",
-        "b39_stat_aggs",
-        "evt05_cohort_retention",
-        "t06_tfidf_topterms",
-        "t08_contamination",
-        # round-10 rotation (VERDICT r9 item 1): the five round-9
-        # continuation rows take their first driver slots
-        "t20_c4_clean",
-        "t21_chunking",
-        "t22_epoch_mix",
-        "s09_pq_topk",
-        "mm04_video_neardup",
-        # round-10 new op (VERDICT r9 item 7): packed-shard span dedup
-        # proves itself at the driver gate in its first round
-        "t23_packed_span_dedup",
-        # round-11 rotation (VERDICT r10 item 5): four never-slotted
-        # oracle-proven rows promoted, plus the two round-11 newcomers
-        # in their first driver round
-        "evt06_gapfill",
-        "evt07_interpolate",
-        "b37_string_agg",
-        "st10_stream_dq_monitor",
-        "t24_shuffle_shards",
-        "st15_stream_packed_span_dedup",
-    ):
-        assert required in DRIVER_WINDOW
-    # rotations: rows demoted after multiple driver-green rounds stay
-    # oracle-checked past the window (r5: a09/a12/a13; r6: a07/a10/a11/
-    # a15, then b27_profile for mm02, then b09_anti/b15_json for d09/d10)
+    assert len(EXPECTED_WINDOW) == workload.DRIVER_WINDOW_SIZE
+    assert set(DRIVER_WINDOW) == EXPECTED_WINDOW
+    # every window row is oracle-bearing (round-4 rule; b17's RNG query
+    # is proven by seed-deterministic pytest instead)
+    assert "b17_sample" not in DRIVER_WINDOW
+    assert all(n in workload.ORACLE_SQL for n in DRIVER_WINDOW)
+    # rotated-out rows stay registered and oracle-checked past the
+    # window — spot-pin the round-12 demotions
     for rotated_out in (
-        "a09_count", "a12_transpose", "a13_split_merge",
-        "a07_fill_nulls", "a10_replace", "a11_filter_contains", "a15_cast",
-        "b27_profile", "b09_anti", "b15_json",
-        # r7: the scalar-function family (5+ driver-green rounds each)
-        "b11_strings", "b12_dates", "b13_math", "b14_arrays",
-        "b15_from_json", "b16_pivot", "b18_pandas_udf",
-        # r8: a-series/streaming long-green rows (5-7 rounds each)
-        "a06_union_all", "a08_dedup", "a16_join", "b08_intersect",
-        "st01_tumbling", "st02_sessions", "st03_watermark",
-        # r9: the relational core (7-8 driver-green rounds each)
-        "b01_sql", "b02_projection", "b03_general_filter",
-        "b05_count_distinct", "b06_grouping_sets", "b07_topk_group",
-        "t02_token_count",
-        # r10: long-green rows freeing slots for t20/t21/t22/s09/mm04
-        # (b33 kept in-window — only one green round since its r9
-        # promotion; t03 rotates in its place per the 4+-round rule)
-        "a01_csv_scan", "b10_ranks", "evt08_scd2",
-        "t01_text_stats", "t03_quality", "t04_language_id",
-        # r11: long-green rows (5-8 driver rounds) freeing slots for
-        # evt06/evt07/b37/st10/t24/st15
-        "b31_merge_upsert", "q21_sole_failing_supplier",
-        "d01_dup_groups", "d02_jaccard_pairs",
-        "st05_stream_replay", "st06_stateful",
+        "q01_pricing_summary", "q05_region_revenue",
+        "d07_incremental_dedup", "b09_asof", "b09_range",
+        "b10_running_sum", "b40_table_diff", "b41_interval_join",
+        "b42_drift_psi", "b43_bloom_needle", "d03v_minhash_verified",
+        "d04v_simhash_verified", "d06_dup_clusters",
+        "d09_semantic_dedup", "d10_duplicated_spans", "evt09_scd2_join",
+        "mm01_binary_meta", "mm02_image_neardup", "mm03_audio_neardup",
+        "s01_cosine_topk", "s02v_lsh_verified", "s07_prototype_prune",
+        "s08_hard_negatives", "st09_stream_incremental_dedup",
+        "st11_stream_rollup", "st12_stream_semantic_dedup",
+        "st13_stream_probe_appended_index", "t13_repetition",
+        "t17_temperature_mix", "t18_novelty", "t19_vocab_overlap",
     ):
         assert rotated_out not in DRIVER_WINDOW
         assert rotated_out in workload.QUERIES and rotated_out in workload.ORACLE_SQL
-    # round-4: every window row is oracle-bearing (b17's RNG query was
-    # demoted; its component is proven by seed-deterministic pytest)
-    assert "b17_sample" not in DRIVER_WINDOW
-    assert all(n in workload.ORACLE_SQL for n in DRIVER_WINDOW)
 
 
 def test_registry_counts_match_documentation():
