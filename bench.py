@@ -8,11 +8,21 @@ Runs the headline queries from the declared workload at
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Per-query timing is wall-clock of plan-build + execution to a driver-side
-fetch (``toPandas``), **min of BENCH_RUNS runs** after one warm-up, one
+fetch (``toArrow``), **min of BENCH_RUNS runs** after one warm-up, one
 reused SparkSession, JVM startup excluded — matching BASELINE.md's
 protocol section. Min, not median: this machine shows multi-second
 GC/neighbor pauses that would dominate a median (see the inline comment
 in ``time_query``); min is the per-query capability floor.
+
+Fetch destination (round 12): Arrow, on BOTH engines of every pair —
+the matched interchange format a downstream consumer reads zero-copy.
+Rounds 1-11 fetched Spark→pandas vs DuckDB→Python tuples, which is
+destination-MISMATCHED and, on multi-million-row results, measures
+object conversion instead of the engine: evt03's 5.7M-row result at
+sf10 read 32 s toPandas / 16.5 s after the r12 narrow-row rewrite —
+but 1.3 s toArrow — against DuckDB's 10.1 s fetchall / 5.3 s arrow()
+(EVT03_DECOMP_r12.json + BASELINE.md round-12 protocol note).  For the
+typical headline row (KB-scale results) the change is sub-noise.
 
 The run also measures ``floor_sec``: the fixed cost of ANY Spark query on
 this machine (plan analysis + DAG/task scheduling + Arrow fetch for a
@@ -183,14 +193,15 @@ def _sf_from_dir(d: str) -> float:
 
 def time_query(spark, name: str) -> float:
     fn = workload.QUERIES[name]
-    # toPandas (Arrow batches), not collect (per-row Python objects):
-    # result-transfer parity with DuckDB's C-native fetchall
-    fn(spark, SF_DIR).toPandas()  # per-query warm-up (plan, codegen, IO cache)
+    # toArrow, not collect (per-row Python objects) and not toPandas
+    # (a second, pandas-side materialization DuckDB's fetch never
+    # pays): matched-destination transfer — see module docstring
+    fn(spark, SF_DIR).toArrow()  # per-query warm-up (plan, codegen, IO cache)
     samples = []
     for _ in range(RUNS):
         spark.catalog.clearCache()  # release intermediates persisted by
         t0 = time.perf_counter()    # dedup ops — each run pays its own cost
-        fn(spark, SF_DIR).toPandas()
+        fn(spark, SF_DIR).toArrow()
         samples.append(time.perf_counter() - t0)
     spark.catalog.clearCache()
     # broadcast/state hygiene: ContextCleaner reclaims broadcasts only on
@@ -205,11 +216,11 @@ def time_query(spark, name: str) -> float:
 
 def measure_floor(spark) -> float:
     """Fixed per-query overhead on this machine: min wall-clock of a
-    1-row parquet scan fetched via toPandas. Any real query pays at
+    1-row parquet scan fetched via toArrow. Any real query pays at
     least this much regardless of data scanned; complex plans pay more
     (analysis is plan-size-proportional), so this is a conservative
     lower bound for the BASELINE.md gate."""
-    fn = lambda: workload.load(spark, SF_DIR, "region").limit(1).toPandas()  # noqa: E731
+    fn = lambda: workload.load(spark, SF_DIR, "region").limit(1).toArrow()  # noqa: E731
     for _ in range(3):  # enough warm-up that the START floor is not
         fn()            # JIT-inflated vs the end-of-run re-probe
     samples = []

@@ -32,9 +32,16 @@ def register_duck_views(con, sf_dir: str) -> None:
     """Register the oracle tables as DuckDB views over a testdata dir
     (the driver's exact naming contract).  The path is quoted into the
     SQL literal with single-quote doubling so a directory containing
-    ``'`` cannot silently break view registration (ADVICE r11)."""
+    ``'`` cannot silently break view registration (ADVICE r11).
+
+    ``{t}.parquet`` may be a single FILE (the driver's testdata) or a
+    DIRECTORY of part files (the round-12 order-preserving multi-file
+    fact layout, MULTIFILE_SF10_r11.json's ship rule — what
+    ``write_parquet`` produces); directories register as a glob so both
+    engines read the identical bytes in a pair."""
     safe_dir = sf_dir.replace("'", "''")
     for t in ORACLE_TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{safe_dir}/{t}.parquet')"
-        )
+        target = f"{safe_dir}/{t}.parquet"
+        if os.path.isdir(f"{sf_dir}/{t}.parquet"):
+            target += "/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{target}')")

@@ -1904,6 +1904,17 @@ def pq_fit(
             [[float(x) for x in X[j, s * dsub : (s + 1) * dsub]] for j in range(n_codes)]
             for s in range(n_subspaces)
         ]
+    return _fit_books_numpy(X, n_subspaces, n_codes, kmeans_iters)
+
+
+def _fit_books_numpy(X, n_subspaces: int, n_codes: int, kmeans_iters: int) -> list:
+    """Per-subspace Lloyd's on an in-memory training matrix — the exact
+    arithmetic :func:`pq_fit`'s ``method="kmeans"`` face has always run
+    (extracted in round 12 so :func:`pq_suggest_m` trains candidate
+    codebooks on the same sample without re-stating the loop)."""
+    import numpy as np
+
+    dsub = X.shape[1] // n_subspaces
     books = []
     for s in range(n_subspaces):
         S = X[:, s * dsub : (s + 1) * dsub]
@@ -1917,6 +1928,190 @@ def pq_fit(
                     C[j] = S[mask].mean(axis=0)
         books.append([[float(x) for x in C[j]] for j in range(n_codes)])
     return books
+
+
+def pq_suggest_m(
+    corpus: DataFrame,
+    candidate_ms: tuple = (8, 16, 32, 64),
+    k: int = 10,
+    n_queries: int = 20,
+    train_n: int = 4096,
+    n_codes: int = 128,
+    kmeans_iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    residual_cents: list | None = None,
+    gap_quantile: float = 0.9,
+    margin_factor: float = 1.0,
+) -> dict:
+    """Frontier-driven PQ byte-budget selection (round 12, VERDICT r11
+    item 4) — encode the "ADC error vs true rank-gap" decision so users
+    don't rediscover it per corpus.
+
+    The round-11 frontier (``IVFPQ_FRONTIER_r11.json``, 2M×64d): a PQ
+    code can only rank what its quantization error doesn't drown.  The
+    corpus-intrinsic quantity is the exact-cosine gap between the true
+    rank-``k`` and rank-``k+1`` neighbors — if the median |ADC error|
+    of an ``m``-byte code exceeds that gap, NO implementation of that
+    byte budget (FAISS's included) can resolve the near-ties, and
+    recall collapses no matter how good the codebooks are (measured:
+    m=32 residual err p50 0.0022 vs gap 0.00014 → recall 0.585; m=64
+    err p50 0.0002 ≈ the gap → recall 0.88).
+
+    Decision rule (documented, tunable): ``m`` is RATE-DISTORTION
+    FEASIBLE iff its median ADC error over the true top-``k`` pairs is
+    ≤ ``margin_factor ×`` the ``gap_quantile``-quantile of the rank-gap
+    distribution; ``suggested_m`` is the smallest feasible candidate
+    (smallest code that can still rank), ``None`` if none — then use
+    over-retrieve + exact rerank (the frontier's 8-16× pattern) or a
+    bigger budget (SQ8/float).
+
+    Cost contract: ONE distributed exact top-(k+1) search over
+    ``corpus`` (the only corpus-sized job — the same BLAS single-scan
+    plan as :func:`cosine_topk`); everything else runs driver-side on
+    bounded md5-deterministic samples (``train_n`` training rows,
+    ``n_queries`` queries, ``n_queries·k`` neighbor vectors — the
+    :func:`pq_fit` bounded-collect discipline).  At 100 TB pass a
+    sampled-down corpus for the truth scan; the gap estimate needs the
+    true neighbor DENSITY, so sample uniformly (never by cluster).
+
+    ``residual_cents``: the ``[(cell_id, [floats]), ...]`` list every
+    IVF face shares — candidates are then evaluated as RESIDUAL
+    encodings (assign by the index's cosine-argmax rule, subtract,
+    fit/encode on residuals, reconstruct ``x̂ = cent + decode(code)``),
+    matching ``ivf_write_index(pq=..., pq_residual=True)``.
+
+    Returns a report dict: ``suggested_m``, ``rank_gap`` stats, and
+    per-candidate ``{err_p50, err_p90, feasible, code_bytes}``.
+    Advisory only — no index state is touched (s09's oracle face and
+    hash are unaffected)."""
+    import numpy as np
+
+    if not 1 <= n_codes <= 128:
+        raise ValueError("n_codes must be in [1, 128] (codes are tinyint)")
+    if not candidate_ms:
+        raise ValueError("candidate_ms is empty")
+    if not 0.0 <= gap_quantile <= 1.0:
+        raise ValueError("gap_quantile must be in [0, 1]")
+
+    # deterministic bounded query sample (the pq_fit md5 discipline)
+    q_ids = [
+        r[id_col]
+        for r in corpus.filter(F.col(vec_col).isNotNull())
+        .select(id_col, F.md5(F.col(id_col).cast("string")).alias("__h"))
+        .orderBy("__h")
+        .limit(n_queries)
+        .collect()
+    ]
+    queries = corpus.filter(F.col(id_col).isin(q_ids))
+
+    # the one corpus-sized job: exact top-(k+1) — ranks k and k+1 give
+    # the margin every candidate must beat, ranks 1..k give the pairs
+    # the ADC error is measured on
+    truth = cosine_topk(corpus, queries, k=k + 1, id_col=id_col, vec_col=vec_col)
+    truth_rows = truth.collect()
+    by_q: dict = {}
+    for r in truth_rows:
+        by_q.setdefault(r["query_id"], {})[r["rank"]] = (r["neighbor_id"], r["cosine"])
+    gaps = [
+        ranks[k][1] - ranks[k + 1][1]
+        for ranks in by_q.values()
+        if k in ranks and k + 1 in ranks
+    ]
+    if not gaps:
+        raise ValueError(
+            f"corpus too small for k={k}: no query returned {k + 1} neighbors"
+        )
+    gap_ref = float(np.quantile(gaps, gap_quantile))
+
+    # bounded collects: query vectors, true-neighbor vectors, train rows
+    qvec = {
+        r[id_col]: np.array(list(r[vec_col]), dtype=np.float64)
+        for r in queries.select(id_col, vec_col).collect()
+    }
+    nbr_ids = list({ranks[rk][0] for ranks in by_q.values() for rk in ranks if rk <= k})
+    nvec = {
+        r[id_col]: np.array(list(r[vec_col]), dtype=np.float64)
+        for r in corpus.filter(F.col(id_col).isin(nbr_ids))
+        .select(id_col, vec_col)
+        .collect()
+    }
+    train_rows = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(F.col(vec_col), F.md5(F.col(id_col).cast("string")).alias("__h"))
+        .orderBy("__h")
+        .limit(train_n)
+        .collect()
+    )
+    X = np.array([list(r[vec_col]) for r in train_rows], dtype=np.float64)
+    d = X.shape[1]
+
+    def _residualize_rows(M):
+        """cosine-argmax assign (the _assign_to_cents metric) + subtract."""
+        C = np.array([v for _i, v in residual_cents], dtype=np.float64)
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+        cell = (Mn @ Cn.T).argmax(axis=1)
+        return M - C[cell], C[cell]
+
+    if residual_cents is not None:
+        X_fit, _ = _residualize_rows(X)
+    else:
+        X_fit = X
+    N = np.array([nvec[i] for i in nbr_ids], dtype=np.float64)
+    if residual_cents is not None:
+        N_fit, N_cent = _residualize_rows(N)
+    else:
+        N_fit, N_cent = N, np.zeros_like(N)
+    nbr_pos = {i: p for p, i in enumerate(nbr_ids)}
+
+    report: dict = {
+        "dim": d,
+        "k": k,
+        "n_queries": len(qvec),
+        "residual": residual_cents is not None,
+        "rank_gap": {
+            "mean": float(np.mean(gaps)),
+            f"p{int(gap_quantile * 100)}": gap_ref,
+        },
+        "decision_rule": (
+            f"feasible iff err_p50 <= {margin_factor} * rank-gap "
+            f"p{int(gap_quantile * 100)}"
+        ),
+        "per_m": {},
+    }
+    for m in sorted(candidate_ms):
+        if d % m != 0:
+            report["per_m"][m] = {"skipped": f"dim {d} not divisible by m={m}"}
+            continue
+        books = [np.array(b) for b in _fit_books_numpy(X_fit, m, n_codes, kmeans_iters)]
+        dsub = d // m
+        Nhat = np.empty_like(N_fit)
+        for s, C in enumerate(books):
+            S = N_fit[:, s * dsub : (s + 1) * dsub]
+            code = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+            Nhat[:, s * dsub : (s + 1) * dsub] = C[code]
+        Nhat = Nhat + N_cent  # x̂ = centroid + decode(code) in residual mode
+        errs = []
+        for q, ranks in by_q.items():
+            qv = qvec[q]
+            qn = np.linalg.norm(qv) or 1.0
+            for rk, (nid, cos_exact) in ranks.items():
+                if rk > k or nid not in nbr_pos:
+                    continue
+                xh = Nhat[nbr_pos[nid]]
+                denom = (np.linalg.norm(xh) * qn) or 1.0
+                errs.append(abs(cos_exact - float(qv @ xh) / denom))
+        p50 = float(np.quantile(errs, 0.5))
+        report["per_m"][m] = {
+            "code_bytes": m,
+            "err_p50": p50,
+            "err_p90": float(np.quantile(errs, 0.9)),
+            "feasible": bool(p50 <= margin_factor * gap_ref),
+        }
+    feasible = [m for m, v in report["per_m"].items() if v.get("feasible")]
+    report["suggested_m"] = min(feasible) if feasible else None
+    return report
 
 
 def residualize(

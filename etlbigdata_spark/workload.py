@@ -862,16 +862,36 @@ def evt03_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     is satisfied by the same hash partitioning (user_id ⊆ group keys),
     so Catalyst inserts no second Exchange. Gap arithmetic in integer
     MICROSECONDS (unix_micros / epoch_us) so both engines compare
-    identical longs; ordering ties pinned by (ts, event_id)."""
-    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    identical longs; ordering ties pinned by (ts, event_id).
+
+    Round 12 (EVT03_DECOMP_r12.json, the q21 playbook): the shuffled
+    row is encoded MAP-SIDE — ``ts → unix_micros`` long and ``value →
+    scaled_long(value, 4)`` (events.value is exactly 2dp in the
+    testdata; operators/fixedpoint.py exactness contract) — so the
+    exchange, both window passes, and the session aggregate run
+    entirely on longs with zero BigDecimal allocations; the handful of
+    output columns decode via ``timestamp_micros`` (exact — monotone
+    under min/max) and ``unscale_to_double`` (bit-identical to the
+    oracle's ``CAST(SUM(DECIMAL(18,4)) AS DOUBLE)``).  Measured at
+    sf10: the sessionize stage 2.16 → 1.46 s, full plan 2.45 → 2.03 s
+    (noop sink; result-identical to the wide face at sf0.01, 5725
+    rows).  The remainder of the old 47.9 s reading was DRIVER-FETCH
+    format asymmetry on the 5.7 M-row result, fixed in the bench
+    protocol itself — see BASELINE.md round-12 protocol note."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+        fx.scaled_long("value", 4).alias("value4"),
+    )
     sess = aggregates.sessionize(
-        ev, ["user_id"], "ts", gap_seconds=21600, tiebreakers=["event_id"]
+        ev, ["user_id"], "ts_us", gap_seconds=21600, tiebreakers=["event_id"]
     )
     return sess.groupBy("user_id", "session_idx").agg(
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
+        F.timestamp_micros(F.min("ts_us")).alias("session_start"),
+        F.timestamp_micros(F.max("ts_us")).alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(D("value")).cast("double").alias("sum_value"),
+        fx.unscale_to_double(F.sum("value4"), 4).alias("sum_value"),
     )
 
 

@@ -69,15 +69,22 @@ def _median(fn) -> float:
 def duckdb_times() -> dict[str, float]:
     import duckdb
 
+    from etlbigdata_spark.benchutil import register_duck_views
+
     con = duckdb.connect()
-    for t in workload.TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    # shared helper (round 12): handles single-file AND multi-file
+    # (directory) table layouts identically for both engines
+    register_duck_views(con, SF_DIR)
     out = {}
     for name in HEADLINE:
         sql = workload.ORACLE_SQL.get(name)
         if sql is None:
             continue
-        out[name] = round(_median(lambda: con.sql(sql).fetchall()), 4)
+        # .arrow(), not .fetchall(): matched Arrow destination on both
+        # engines (round-12 protocol, bench.py docstring) — fetchall
+        # builds 10^7s of Python tuples on big results and measures
+        # object conversion, not the engine
+        out[name] = round(_median(lambda: con.sql(sql).arrow()), 4)
     return out
 
 

@@ -354,6 +354,15 @@ def test_round4_plan_shapes_pinned(spark, sf_dir):
     assert len(re.findall(r"Exchange hashpartitioning", final_tree)) == 1, (
         "evt03 grew a second shuffle"
     )
+    # round 12 (EVT03_DECOMP_r12.json): the shuffled row is encoded
+    # map-side — epoch-us long + scaled_long(value,4) — so the window
+    # passes and the session aggregate never touch a decimal; a decimal
+    # cast reappearing in the plan is the BigDecimal slow path coming
+    # back (operators/fixedpoint.py)
+    assert "unix_micros" in p, "evt03 lost the map-side epoch-us encode"
+    assert not re.search(r"cast\(value(#\d+)? as decimal", p), (
+        "evt03's per-row decimal cast is back — windows/agg must stay on longs"
+    )
 
     q02 = workload.QUERIES["q02_min_cost_supplier"](spark, sf_dir)
     p = _final_plan(q02)

@@ -2018,3 +2018,97 @@ def test_video_near_dups_frame_rules_and_gain_invariance(spark):
         multimodal.video_near_dups(df, "vid", "blob", n_frames=0)
     assert set(got) == {("1", "2"), ("1", "3"), ("2", "3")}
     assert all(v == (3, 0) for v in got.values())
+
+
+# ---------------------------------------------------------------------
+# pq_suggest_m — frontier-driven byte-budget selection (round 12)
+# ---------------------------------------------------------------------
+def test_pq_suggest_m_structure_and_determinism(emb):
+    """Report contract on the real 64-d corpus: every divisor candidate
+    gets err stats, non-divisors are recorded as skipped (not silently
+    dropped), feasibility follows the documented rule, suggested_m is
+    the smallest feasible candidate, and the whole report is
+    deterministic (md5 sampling + fixed Lloyd's init — two calls must
+    agree exactly)."""
+    kwargs = dict(
+        candidate_ms=(4, 16, 63), k=5, n_queries=6, train_n=256,
+        n_codes=32, kmeans_iters=4,
+    )
+    rep = fsim.pq_suggest_m(emb, **kwargs)
+    assert rep["dim"] == 64 and rep["residual"] is False
+    assert rep["per_m"][63] == {"skipped": "dim 64 not divisible by m=63"}
+    gap_ref = rep["rank_gap"]["p90"]
+    assert gap_ref >= 0
+    for m in (4, 16):
+        v = rep["per_m"][m]
+        assert v["code_bytes"] == m and v["err_p50"] >= 0
+        assert v["feasible"] == (v["err_p50"] <= gap_ref)
+    # finer subspaces quantize (weakly) better on real embeddings
+    assert rep["per_m"][16]["err_p50"] <= rep["per_m"][4]["err_p50"]
+    feasible = [m for m in (4, 16) if rep["per_m"][m]["feasible"]]
+    assert rep["suggested_m"] == (min(feasible) if feasible else None)
+    assert fsim.pq_suggest_m(emb, **kwargs) == rep
+
+
+def test_pq_suggest_m_rejects_bad_args(emb):
+    with pytest.raises(ValueError, match="n_codes"):
+        fsim.pq_suggest_m(emb, n_codes=300)
+    with pytest.raises(ValueError, match="candidate_ms"):
+        fsim.pq_suggest_m(emb, candidate_ms=())
+    with pytest.raises(ValueError, match="gap_quantile"):
+        fsim.pq_suggest_m(emb, gap_quantile=1.5)
+
+
+def test_pq_suggest_m_planted_near_ties_reject_coarse_budget(spark):
+    """The decision the helper exists for, on a corpus built to force
+    it: tight clusters of near-ties (tiny rank-10 gaps) make a coarse
+    byte budget infeasible while scalar-per-dimension codes (m=dim)
+    stay inside the margin — the 2M-harness frontier shape at unit-test
+    size."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = rng.normal(size=(8, 16))
+    rows = []
+    vid = 0
+    for c in range(8):
+        for _ in range(150):  # 150 near-ties per cluster
+            v = centers[c] + rng.normal(scale=0.01, size=16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    rep = fsim.pq_suggest_m(
+        df, candidate_ms=(2, 16), k=10, n_queries=6, train_n=600,
+        n_codes=64, kmeans_iters=6,
+    )
+    assert rep["per_m"][2]["feasible"] is False  # 2 bytes can't rank the ties
+    assert rep["per_m"][16]["feasible"] is True
+    assert rep["suggested_m"] == 16
+
+
+@pytest.mark.slow
+def test_pq_suggest_m_reproduces_r11_frontier_decision(spark):
+    """VERDICT r11 item 4's done-condition: on the 2M x 64d harness
+    corpus (with the persisted k-means cells, residual mode — the
+    IVFPQ_FRONTIER_r11.json configuration) the helper must reach the
+    frontier's decision: m=32 rate-distortion-infeasible, m=64
+    feasible, suggested_m == 64.  Skip-gated on the harness data
+    (built by scripts/ivfpq_scale_r11.py)."""
+    import os
+
+    corpus_path = "/tmp/scaled/ivfpq/corpus_n2000000"
+    idx_path = "/tmp/scaled/ivfpq/ivf_pq64_res_km_n2000000/centroids"
+    if not (os.path.isdir(corpus_path) and os.path.isdir(idx_path)):
+        pytest.skip("2M IVF-PQ harness data not present")
+    corpus = spark.read.parquet(corpus_path)
+    cents = [
+        (r["centroid"], list(r["vec"]))
+        for r in spark.read.parquet(idx_path).orderBy("centroid").collect()
+    ]
+    rep = fsim.pq_suggest_m(
+        corpus, candidate_ms=(32, 64), k=10, n_queries=20,
+        residual_cents=cents,
+    )
+    assert rep["per_m"][32]["feasible"] is False
+    assert rep["per_m"][64]["feasible"] is True
+    assert rep["suggested_m"] == 64
