@@ -132,6 +132,7 @@ HEADLINE = [
     "d03_minhash",
     "d04_simhash",
     "s01_cosine_topk",
+    "s10_bm25_topk",
     "st02_sessions",
     "st03_watermark",
 ]

@@ -549,3 +549,119 @@ def source_vocab_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """B24/B25 — Okapi BM25 lexical retrieval (round 12): per query, the
+    top-``k`` corpus documents by the classic BM25 score — the
+    sparse-retrieval complement to the embedding family
+    (:func:`similarity.cosine_topk` / IVF / PQ); production pipelines
+    run BOTH and fuse (the standard hybrid-retrieval pattern), so an
+    engine that only ships dense ANN leaves half the retriever behind.
+
+    Formula (Lucene's always-positive idf variant):
+    ``score(q, d) = Σ_{t ∈ distinct(q)} ln(1 + (N − df_t + 0.5)/(df_t
+    + 0.5)) · tf_td·(k1+1) / (tf_td + k1·(1 − b + b·dl_d/avgdl))``
+    with ``N`` = corpus document count, ``dl`` = whitespace-token count
+    (:func:`tokens_col` — identical tokenization to the tf-idf /
+    surprisal faces), ``avgdl = Σdl / N`` (exact integer sum, one
+    correctly-rounded division).  Repeated query terms count ONCE (the
+    short-query convention); queries whose terms miss the corpus emit
+    no rows.
+
+    Cross-engine determinism (the t14 micro-unit discipline): ``ln`` is
+    the only libm call — each term's idf is rounded ONCE to
+    integer micro-units; every later per-(doc, term) contribution is
+    again rounded to a micro-unit LONG, so the per-(query, doc) sum is
+    exact integer aggregation (associative, partial-agg-safe), and the
+    final score is micro-units / 1e6 rounded to 6 dp, ranked with the
+    s01 round-before-rank discipline (score desc, doc_id asc).
+
+    Plan (linear — the inverted-index shape, no corpus×query join):
+    the DISTINCT query-term set broadcasts into the exploded token
+    stream as a map-side semi filter, so only matching (doc, term)
+    pairs ever shuffle — one hash shuffle for tf (dl rides along in
+    the projection: no corpus-sized dl join), a term-keyed reduction
+    of that already-small table for df, and corpus N/Σdl as a map-side
+    1-row aggregate broadcast in.  At 100 TB the only corpus-sized
+    stages are the scan+explode (map-side) and the matched-pair
+    shuffle, which scales with hits, not corpus."""
+    d = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__doc"), tokens_col(F.col(text_col)).alias("__toks")
+    )
+    qt = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(tokens_col(F.col(query_text_col))).alias("term"),
+        )
+        .distinct()
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.sum(F.size("__toks")).alias("__sum_dl"),
+    )
+    pairs = d.select(
+        "__doc", F.size("__toks").alias("__dl"), F.explode("__toks").alias("term")
+    )
+    matched = pairs.join(
+        F.broadcast(qt.select("term").distinct()), "term"
+    )
+    # scope-persisted (the surprisal discipline): BOTH consumers below
+    # (the df reduction and the contribution join) read tf — without
+    # the persist Catalyst rebuilds each branch from the corpus-sized
+    # explode, doubling the only expensive stage of the plan
+    tf = _persist_scoped(
+        matched.groupBy("__doc", "term").agg(
+            F.count(F.lit(1)).alias("__tf"), F.first("__dl").alias("__dl")
+        )
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.round(
+            F.log(
+                1.0
+                + (F.col("__n_docs") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("__idf_u"),
+        (F.col("__sum_dl").cast("double") / F.col("__n_docs")).alias("__avgdl"),
+    )
+    contrib = (
+        tf.join(F.broadcast(idf), "term")
+        .join(F.broadcast(qt), "term")
+        .select(
+            "query_id",
+            "__doc",
+            F.round(
+                F.col("__idf_u")
+                * (F.col("__tf") * (1.0 + k1))
+                / (F.col("__tf") + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl")))
+            )
+            .cast("long")
+            .alias("__c_u"),
+        )
+    )
+    scores = contrib.groupBy("query_id", "__doc").agg(
+        F.round(F.sum("__c_u") / 1e6, 6).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("__doc").asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("__doc").alias(id_col), "score", "rank")
+    )

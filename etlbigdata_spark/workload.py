@@ -2862,6 +2862,89 @@ WHERE rank <= 5
 """
 
 
+# The s10 query set: three short lexical queries over the documents
+# corpus's vocabulary (common words at every SF, so every query matches
+# at every scale and the row is non-vacuous).  Shared verbatim by the
+# Spark face and the SQL oracle.
+_S10_QUERIES = [
+    (1, "fast table scan"),
+    (2, "spark stream join window"),
+    (3, "customer order query"),
+]
+
+
+def s10_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24/B25 — Okapi BM25 lexical retrieval (round 12,
+    functions/text.bm25_topk): the sparse complement to the dense ANN
+    family — per query, the top-10 documents by the classic BM25
+    formula (Lucene always-positive idf, k1=1.2, b=0.75,
+    whitespace-token tf/dl with the library's shared tokenization).
+    Plan is the inverted-index shape: the distinct query-term set
+    broadcasts as a map-side semi filter on the exploded token stream,
+    so only matching (doc, term) pairs shuffle; dl rides the explode
+    projection (no corpus-sized dl join); N and Σdl arrive as a 1-row
+    broadcast.  Cross-engine hashes via the t14 micro-unit discipline
+    (idf and per-pair contributions quantized to integer micro-units,
+    per-(query, doc) sums exact integer aggregation, s01
+    round-before-rank)."""
+    docs = load(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(_S10_QUERIES, "query_id int, query_text string")
+    return ftext.bm25_topk(docs, queries, k=10)
+
+
+S10_SQL = f"""
+WITH q(query_id, query_text) AS (
+  VALUES {", ".join(f"({i}, '{t}')" for i, t in _S10_QUERIES)}
+),
+qt AS (
+  SELECT DISTINCT query_id, t.term
+  FROM q, unnest(list_filter(string_split_regex(lower(query_text), '\\s+'),
+                             x -> x <> '')) AS t(term)
+),
+d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM d
+),
+tf AS (
+  SELECT d.doc_id, len(d.toks) AS dl, t.term, COUNT(*) AS tf
+  FROM d, unnest(d.toks) AS t(term)
+  WHERE t.term IN (SELECT DISTINCT term FROM qt)
+  GROUP BY 1, 2, 3
+),
+idf AS (
+  SELECT term,
+         CAST(round(ln(1 + (s.n_docs - df + 0.5) / (df + 0.5)) * 1e6) AS BIGINT)
+           AS idf_u
+  FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), stats s
+),
+contrib AS (
+  SELECT qt.query_id, t.doc_id,
+         CAST(round(i.idf_u * (t.tf * (1 + 1.2))
+                    / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / s.avgdl)))
+              AS BIGINT) AS c_u
+  FROM tf t
+  JOIN idf i USING (term)
+  JOIN qt ON qt.term = t.term
+  CROSS JOIN stats s
+),
+scores AS (
+  SELECT query_id, doc_id, round(SUM(c_u) / 1e6, 6) AS score
+  FROM contrib GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id ASC) AS rank
+      FROM scores)
+WHERE rank <= 10
+"""
+
+
 def t16_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B25 — BPE tokenizer training + application (round 6,
     functions.bpe): distributed word count (the only corpus-sized
@@ -6159,8 +6242,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "b34_dq_checks": b34_dq_checks,
     "b39_stat_aggs": b39_stat_aggs,
     "evt05_cohort_retention": evt05_cohort_retention,
-    "t06_tfidf_topterms": t06_tfidf_topterms,
     "t08_contamination": t08_contamination,
+    # round-12 newcomer proving itself at the driver gate in its first
+    # round (the d09/d10/st13/b43/t23/t24 pattern): BM25 lexical
+    # retrieval; t06 (3 driver-green rounds) rotates out for the slot
+    "s10_bm25_topk": s10_bm25_topk,
     # Group 4 — the 31 first-slot promotions (never driver-verified in
     # rounds 1-11; all oracle-green in tests/test_oracle.py since they
     # landed).  TPC-H plan shapes first:
@@ -6240,6 +6326,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t17_temperature_mix": t17_temperature_mix,
     "t18_novelty": t18_novelty,
     "t19_vocab_overlap": t19_vocab_overlap,
+    "t06_tfidf_topterms": t06_tfidf_topterms,
     # earlier rotations (rounds 3-11): redundant family second rows +
     # long-green component rows
     "b27_profile": b27_profile,
@@ -6471,6 +6558,7 @@ ORACLE_SQL: dict[str, str] = {
     "s07_prototype_prune": S07_SQL,
     "s08_hard_negatives": S08_SQL,
     "s09_pq_topk": S09_SQL,
+    "s10_bm25_topk": S10_SQL,
     "t05_fingerprint": T05_SQL,
     "t11_normalize": T11_SQL,
     "t12_pack_shards": T12_SQL,

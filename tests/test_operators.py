@@ -1603,3 +1603,76 @@ def test_epoch_sample_upsampling_semantics(spark, sf_dir):
     nulled = spark.createDataFrame([(900, None)], "doc_id long, source string")
     got = key(fcorpus.epoch_sample(nulled, {"src0": 0.0}, default_rate=2.0))
     assert got == {(900, 0), (900, 1)}
+
+
+# ---------------------------------------------------------------------
+# bm25_topk — lexical retrieval (round 12)
+# ---------------------------------------------------------------------
+def test_bm25_semantics_and_edges(spark):
+    """Hand-checkable corpus: repeated query terms count once, rarer
+    terms out-score common ones at equal tf, tf saturates (k1), long
+    docs are penalized (b), non-matching queries emit nothing, NULL
+    text is ignored, ranks are contiguous from 1 with the doc_id
+    tie-break."""
+    from etlbigdata_spark.functions import text as ftext
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),          # tf(apple)=2, dl=3
+            (2, "apple cherry"),                # cherry is rare
+            (3, "banana banana banana banana"),  # long, saturated tf
+            (4, None),                           # ignored
+            (5, "durian"),                       # matches nothing asked
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(1, "apple apple"), (2, "cherry"), (3, "missingword"), (4, "banana")],
+        "query_id int, query_text string",
+    )
+    rows = ftext.bm25_topk(docs, queries, k=10).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # q3 matches nothing; q2 hits only doc 2
+    assert 3 not in by_q
+    assert [r["doc_id"] for r in by_q[2]] == [2]
+    # q1 "apple apple" == "apple" (distinct terms): docs 1 and 2 only,
+    # doc 1 wins on tf=2
+    assert [r["doc_id"] for r in by_q[1]] == [1, 2]
+    assert [r["rank"] for r in by_q[1]] == [1, 2]
+    # q4 banana: doc 1 (tf=1, dl=3) vs doc 3 (tf=4, dl=4) — tf
+    # saturation + length norm still rank the 4-hit doc first
+    assert [r["doc_id"] for r in by_q[4]] == [3, 1]
+    # identical invocation is deterministic (micro-unit integer sums)
+    again = ftext.bm25_topk(docs, queries, k=10).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_bm25_plan_is_inverted_index_shaped(spark):
+    """Scale pin: the only corpus-sized stages are scan+explode and the
+    matched-pair shuffle — the query side reaches the token stream as a
+    BROADCAST semi-side (no corpus x query cartesian, no sort-merge of
+    the corpus against queries)."""
+    from etlbigdata_spark.functions import text as ftext
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(100)], "doc_id long, text string"
+    )
+    queries = spark.createDataFrame([(1, "alpha")], "query_id int, query_text string")
+    df = ftext.bm25_topk(docs, queries, k=5)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE prints final AND initial trees; inspect the final tree only
+    final_tree = plan.split("+- == Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    # the only nested-loop is the 1-row corpus-stats broadcast cross
+    assert final_tree.count("BroadcastNestedLoopJoin") <= 1
+    assert "BroadcastHashJoin" in plan  # the query-term semi filter + idf joins
+    # the corpus-sized explode runs ONCE: both consumers of the tf
+    # table (df reduction, contribution join) read the scoped persist
+    assert final_tree.count("explode(__toks") == 1, (
+        "bm25 tf persist lost — the corpus explode is being recomputed"
+    )
+    assert "InMemoryTableScan" in plan
+    ftext.release_cached()
