@@ -2400,3 +2400,62 @@ def pq_topk(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def rrf_fuse(
+    ranked: list,
+    k: int = 10,
+    k_rrf: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    round_to: int = 6,
+) -> DataFrame:
+    """B24 — reciprocal-rank fusion of N ranked retrieval legs (round
+    12): ``score(q, d) = Σ_legs 1/(k_rrf + rank_leg(q, d))`` with a
+    missing leg contributing 0 — the standard hybrid-retrieval combiner
+    (Cormack et al. 2009; k_rrf=60 is the conventional constant) for
+    fusing sparse BM25 (:func:`text.bm25_topk`) with dense ANN
+    (:func:`cosine_topk` / the IVF/PQ probes), or any mix of ranked
+    (query, id, rank) frames.
+
+    Rank-based by construction, so fusion needs NO score calibration
+    across legs — and it is exactly cross-engine-deterministic: every
+    term is one correctly-rounded double division on integer ranks and
+    the per-row sum is a single fixed-order projection expression (no
+    aggregation reordering), rounded then ranked with the s01
+    round-before-rank discipline (score desc, id asc).
+
+    Scale shape: each leg is already a per-query top-k (bounded rows);
+    the fusion is full-outer joins + one window over ≤ |queries|·k·N
+    rows — negligible next to the retrieval legs at any corpus size."""
+    if len(ranked) < 2:
+        raise ValueError("rrf_fuse needs at least two ranked legs")
+    if k_rrf <= 0:
+        raise ValueError("k_rrf must be positive")
+    legs = [
+        df.select(
+            F.col(query_col).alias("query_id"),
+            F.col(id_col).alias("__id"),
+            F.col(rank_col).alias(f"__r{i}"),
+        )
+        for i, df in enumerate(ranked)
+    ]
+    fused = legs[0]
+    for leg in legs[1:]:
+        fused = fused.join(leg, ["query_id", "__id"], "full_outer")
+    score = None
+    for i in range(len(legs)):
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(float(k_rrf)) + F.col(f"__r{i}")), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    fused = fused.withColumn("rrf_score", F.round(score, round_to))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("__id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("__id").alias(id_col), "rrf_score", "rank")
+    )

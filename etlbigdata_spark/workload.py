@@ -2945,6 +2945,127 @@ WHERE rank <= 10
 """
 
 
+# s11 seed documents: hybrid retrieval treats each seed doc as a query
+# (its TEXT feeds the sparse BM25 leg, its EMBEDDING the dense cosine
+# leg) — the related-document curation pattern.  doc_id == vec_id in
+# the testdata, so both legs query the same entity.
+_S11_SEEDS = [1, 2, 3]
+
+
+def s11_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24 — HYBRID retrieval via reciprocal-rank fusion (round 12,
+    functions/similarity.rrf_fuse): for each seed document, fuse the
+    sparse leg (BM25 over the seed's own text, top-20, self filtered
+    out post-rank) with the dense leg (exact cosine over the seed's
+    embedding, top-20, self excluded by construction) as
+    ``Σ 1/(60 + rank_leg)`` and keep the top-10 — the standard
+    hybrid-retrieval combiner (rank-based, so no cross-leg score
+    calibration) and the related-document mining shape a curation
+    pipeline runs over a seed set.  Every fusion term is one
+    correctly-rounded double division on integer ranks summed in a
+    fixed-order projection — exactly deterministic cross-engine; legs
+    inherit their own pinned disciplines (micro-unit BM25, rounded
+    cosine)."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    sq = docs.filter(F.col("doc_id").isin(_S11_SEEDS)).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    sparse = ftext.bm25_topk(docs, sq, k=20).filter(
+        F.col("doc_id") != F.col("query_id")
+    )
+    dq = emb.filter(F.col("vec_id").isin(_S11_SEEDS))
+    dense = fsim.cosine_topk(emb, dq, k=20, round_to=6).withColumnRenamed(
+        "neighbor_id", "doc_id"
+    )
+    return fsim.rrf_fuse([sparse, dense], k=10)
+
+
+S11_SQL = f"""
+WITH seeds(sid) AS (VALUES {", ".join(f"({s})" for s in _S11_SEEDS)}),
+q AS (
+  SELECT doc_id AS query_id, text AS query_text FROM documents
+  WHERE doc_id IN (SELECT sid FROM seeds)
+),
+qt AS (
+  SELECT DISTINCT query_id, t.term
+  FROM q, unnest(list_filter(string_split_regex(lower(query_text), '\\s+'),
+                             x -> x <> '')) AS t(term)
+),
+d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM d
+),
+tf AS (
+  SELECT d.doc_id, len(d.toks) AS dl, t.term, COUNT(*) AS tf
+  FROM d, unnest(d.toks) AS t(term)
+  WHERE t.term IN (SELECT DISTINCT term FROM qt)
+  GROUP BY 1, 2, 3
+),
+idf AS (
+  SELECT term,
+         CAST(round(ln(1 + (s.n_docs - df + 0.5) / (df + 0.5)) * 1e6) AS BIGINT)
+           AS idf_u
+  FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), stats s
+),
+contrib AS (
+  SELECT qt.query_id, t.doc_id,
+         CAST(round(i.idf_u * (t.tf * (1 + 1.2))
+                    / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / s.avgdl)))
+              AS BIGINT) AS c_u
+  FROM tf t
+  JOIN idf i USING (term)
+  JOIN qt ON qt.term = t.term
+  CROSS JOIN stats s
+),
+bm25_scores AS (
+  SELECT query_id, doc_id, round(SUM(c_u) / 1e6, 6) AS score
+  FROM contrib GROUP BY 1, 2
+),
+sparse AS (
+  SELECT query_id, doc_id, rank
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) AS rank
+        FROM bm25_scores)
+  WHERE rank <= 20 AND doc_id <> query_id
+),
+dq AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+  WHERE vec_id IN (SELECT sid FROM seeds)
+),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+dense AS (
+  SELECT query_id, neighbor_id AS doc_id, rank
+  FROM (SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC,
+                                           neighbor_id ASC) AS rank
+        FROM dq, c WHERE neighbor_id <> query_id)
+  WHERE rank <= 20
+),
+fused AS (
+  SELECT COALESCE(s.query_id, de.query_id) AS query_id,
+         COALESCE(s.doc_id, de.doc_id) AS doc_id,
+         round(COALESCE(1.0 / (60.0 + s.rank), 0)
+               + COALESCE(1.0 / (60.0 + de.rank), 0), 6) AS rrf_score
+  FROM sparse s
+  FULL OUTER JOIN dense de
+    ON s.query_id = de.query_id AND s.doc_id = de.doc_id
+)
+SELECT query_id, doc_id, rrf_score, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, doc_id ASC) AS rank
+      FROM fused)
+WHERE rank <= 10
+"""
+
+
 def t16_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B25 — BPE tokenizer training + application (round 6,
     functions.bpe): distributed word count (the only corpus-sized
@@ -6238,15 +6359,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Group 3 — round-9 promotions (3 green rounds; the newest of the
     # >=3 cohort, kept so the window does not churn 100% in one round):
     "st14_stream_probe_partition_pruned": st14_stream_probe_partition_pruned,
-    "b33_fuzzy_pairs": b33_fuzzy_pairs,
     "b34_dq_checks": b34_dq_checks,
     "b39_stat_aggs": b39_stat_aggs,
     "evt05_cohort_retention": evt05_cohort_retention,
     "t08_contamination": t08_contamination,
-    # round-12 newcomer proving itself at the driver gate in its first
-    # round (the d09/d10/st13/b43/t23/t24 pattern): BM25 lexical
-    # retrieval; t06 (3 driver-green rounds) rotates out for the slot
+    # round-12 newcomers proving themselves at the driver gate in their
+    # first round (the d09/d10/st13/b43/t23/t24 pattern): BM25 lexical
+    # retrieval and hybrid RRF fusion; t06 and b33 (3 driver-green
+    # rounds each) rotate out for the slots
     "s10_bm25_topk": s10_bm25_topk,
+    "s11_hybrid_rrf": s11_hybrid_rrf,
     # Group 4 — the 31 first-slot promotions (never driver-verified in
     # rounds 1-11; all oracle-green in tests/test_oracle.py since they
     # landed).  TPC-H plan shapes first:
@@ -6327,6 +6449,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t18_novelty": t18_novelty,
     "t19_vocab_overlap": t19_vocab_overlap,
     "t06_tfidf_topterms": t06_tfidf_topterms,
+    "b33_fuzzy_pairs": b33_fuzzy_pairs,
     # earlier rotations (rounds 3-11): redundant family second rows +
     # long-green component rows
     "b27_profile": b27_profile,
@@ -6559,6 +6682,7 @@ ORACLE_SQL: dict[str, str] = {
     "s08_hard_negatives": S08_SQL,
     "s09_pq_topk": S09_SQL,
     "s10_bm25_topk": S10_SQL,
+    "s11_hybrid_rrf": S11_SQL,
     "t05_fingerprint": T05_SQL,
     "t11_normalize": T11_SQL,
     "t12_pack_shards": T12_SQL,

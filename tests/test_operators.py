@@ -1676,3 +1676,34 @@ def test_bm25_plan_is_inverted_index_shaped(spark):
     )
     assert "InMemoryTableScan" in plan
     ftext.release_cached()
+
+
+def test_rrf_fuse_semantics(spark):
+    """Hand-checkable fusion: a doc ranked by both legs beats docs
+    ranked by one; missing legs contribute 0; ties break on id; legs
+    beyond two fuse too; <2 legs and bad k_rrf raise."""
+    import pytest as _pytest
+
+    from etlbigdata_spark.functions import similarity as fsim
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id int, doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(1, 10, 2), (1, 12, 1)], "query_id int, doc_id long, rank int"
+    )
+    rows = {r["doc_id"]: (r["rrf_score"], r["rank"])
+            for r in fsim.rrf_fuse([a, b], k=10).collect()}
+    # doc 10: 1/61 + 1/62; doc 12: 1/61; doc 11: 1/62
+    assert rows[10][1] == 1
+    assert rows[12][1] == 2 and rows[11][1] == 3  # 1/61 > 1/62
+    assert rows[10][0] == round(1 / 61 + 1 / 62, 6)
+    assert rows[11][0] == round(1 / 62, 6)
+    # three legs: a third leg ranking doc 11 first promotes it over 12
+    c3 = spark.createDataFrame([(1, 11, 1)], "query_id int, doc_id long, rank int")
+    rows3 = {r["doc_id"]: r["rank"] for r in fsim.rrf_fuse([a, b, c3], k=10).collect()}
+    assert rows3[11] == 2 and rows3[12] == 3
+    with _pytest.raises(ValueError, match="two ranked legs"):
+        fsim.rrf_fuse([a])
+    with _pytest.raises(ValueError, match="k_rrf"):
+        fsim.rrf_fuse([a, b], k_rrf=0)
