@@ -171,6 +171,12 @@ EXCLUDED_FROM_HEADLINE = {
         "span index inline every run (the d07 rebuild-inline class); "
         "production probes a PRE-BUILT index per micro-batch"
     ),
+    "s12_bm25_index_probe": (
+        "declared face re-tokenizes the corpus and re-writes the "
+        "bucket-partitioned postings index inline every run (the d07 "
+        "rebuild-inline class); production probes a PRE-BUILT index — "
+        "s10_bm25_topk, the direct-scan face, IS benched"
+    ),
 }
 
 # Optional subset filter for targeted scale points (e.g. the sf10 growth

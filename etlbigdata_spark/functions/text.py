@@ -625,6 +625,26 @@ def bm25_topk(
             F.count(F.lit(1)).alias("__tf"), F.first("__dl").alias("__dl")
         )
     )
+    return _bm25_rank_from_tf(tf, qt, stats, k, k1, b, id_col)
+
+
+def _bm25_rank_from_tf(
+    tf: DataFrame,
+    qt: DataFrame,
+    stats: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+    id_col: str,
+) -> DataFrame:
+    """Shared BM25 scoring tail (round 12): from a matched tf table
+    ``(__doc, term, __tf, __dl)``, the distinct per-query term frame
+    ``qt`` and a 1-row ``(__n_docs, __sum_dl)`` stats frame, produce
+    the ranked top-``k``.  ONE implementation serves both the direct
+    :func:`bm25_topk` corpus scan and the :func:`bm25_probe_index`
+    pruned-postings path, so the two are arithmetic-identical by
+    construction (micro-unit idf + contributions, exact integer sums,
+    s01 round-before-rank)."""
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
     idf = dfreq.crossJoin(F.broadcast(stats)).select(
         "term",
@@ -665,3 +685,131 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("__doc").alias(id_col), "score", "rank")
     )
+
+
+def bm25_write_index(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """B24/B25 — build and PERSIST the BM25 inverted index (round 12):
+    the lexical twin of :func:`similarity.ivf_write_index`.  Writes
+    ``<path>/postings`` — the full ``(term, doc, tf, dl)`` posting list
+    — partitioned by ``bucket = pmod(xxhash64(term), n_buckets)`` with
+    ONE file per bucket (repartition by the partition column before the
+    write: the IVF round-10 lesson — without it every input partition
+    slivers every bucket), plus a ``<path>/stats`` sidecar carrying
+    ``(n_docs, sum_dl, n_buckets)``.
+
+    Build once, probe every query batch with :func:`bm25_probe_index`:
+    the probe's bucket set becomes a static PARTITION filter, so a
+    probe reads ``|distinct query-term buckets| / n_buckets`` of the
+    on-disk files instead of re-exploding the corpus — at 100 TB the
+    corpus is tokenized exactly once, here.  ``k1``/``b`` are
+    scoring-time parameters (not baked in); df/idf derive exactly from
+    the probed buckets because a term's ENTIRE posting list lives in
+    its one bucket."""
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    d = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__doc"), tokens_col(F.col(text_col)).alias("__toks")
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.sum(F.size("__toks")).alias("__sum_dl"),
+    ).withColumn("__n_buckets", F.lit(n_buckets))
+    pairs = d.select(
+        "__doc", F.size("__toks").alias("__dl"), F.explode("__toks").alias("term")
+    )
+    postings = (
+        pairs.groupBy("__doc", "term")
+        .agg(F.count(F.lit(1)).alias("__tf"), F.first("__dl").alias("__dl"))
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+    )
+    (
+        postings.repartition(n_buckets, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/postings")
+    )
+    stats.write.mode("overwrite").parquet(f"{path}/stats")
+    row = _read_bm25_stats(docs.sparkSession, path)
+    return {"n_docs": row[0], "sum_dl": row[1], "n_buckets": row[2]}
+
+
+def _read_bm25_stats(spark, path: str) -> tuple:
+    rows = spark.read.parquet(f"{path}/stats").collect()
+    if len(rows) != 1:
+        raise ValueError(f"bm25 stats sidecar is torn: {len(rows)} rows")
+    r = rows[0]
+    return int(r["__n_docs"]), int(r["__sum_dl"]), int(r["__n_buckets"])
+
+
+def bm25_probe_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """B24/B25 — probe a persisted :func:`bm25_write_index` index:
+    result-identical to :func:`bm25_topk` over the same corpus (shared
+    scoring tail, pinned by test) but the corpus is never re-read — the
+    distinct query-term bucket set (one bounded job over the query
+    frame) becomes a static partition filter on the postings read, so
+    the scan touches only the query terms' buckets
+    (``PartitionFilters`` plan-asserted in tests, the
+    ``ivf_probe_index`` discipline)."""
+    n_docs, sum_dl, n_buckets = _read_bm25_stats(spark, path)
+    qt = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(tokens_col(F.col(query_text_col))).alias("term"),
+        )
+        .distinct()
+    )
+    # bounded collect (the _query_probes discipline): the probed bucket
+    # set, ≤ n_buckets values, derived with the SAME xxhash64 the write
+    # side used
+    trows = (
+        qt.select("term")
+        .distinct()
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+        .collect()
+    )
+    buckets = sorted({int(r["bucket"]) for r in trows})
+    terms = [r["term"] for r in trows]
+    if not buckets:
+        # all-whitespace/empty query texts: nothing to probe — emit an
+        # empty frame whose query_id/doc_id types mirror the normal path
+        from pyspark.sql import types as T
+
+        qid_t = qt.schema["query_id"].dataType
+        did_t = spark.read.parquet(f"{path}/postings").schema["__doc"].dataType
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("query_id", qid_t),
+                    T.StructField(id_col, did_t),
+                    T.StructField("score", T.DoubleType()),
+                    T.StructField("rank", T.IntegerType()),
+                ]
+            ),
+        )
+    tf = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("bucket").isin(buckets))  # static partition pruning
+        .filter(F.col("term").isin(terms))      # row-group pushdown inside
+        .select("__doc", "term", "__tf", "__dl")
+    )
+    stats = spark.createDataFrame(
+        [(n_docs, sum_dl)], "__n_docs long, __sum_dl long"
+    )
+    return _bm25_rank_from_tf(_persist_scoped(tf), qt, stats, k, k1, b, id_col)

@@ -2945,6 +2945,90 @@ WHERE rank <= 10
 """
 
 
+# The s12 query set (distinct from s10's so the two rows exercise
+# different vocabulary); shared verbatim by the face and the oracle.
+_S12_QUERIES = [
+    (1, "merge batch hash value"),
+    (2, "window group sort line"),
+]
+
+
+def s12_bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24/B25 — BM25 probe against a PERSISTED inverted index (round
+    12, functions/text.bm25_write_index / bm25_probe_index): the
+    production lexical-retrieval shape — postings written ONCE,
+    partitioned by ``pmod(xxhash64(term), n_buckets)`` with one file
+    per bucket, then every query batch prunes to its query-term
+    buckets via a static partition filter (PartitionFilters
+    plan-asserted in tests) instead of re-tokenizing the corpus.
+    Result-identical to :func:`text.bm25_topk` by a shared scoring
+    tail, which is what the oracle replays in SQL.  The declared face
+    REBUILDS the index inline so the driver can run it standalone (the
+    d07/st15 rebuild-inline class — bench-excluded with a written
+    reason; production probes a pre-built index)."""
+    import tempfile
+
+    ftext.release_cached()
+    docs = load(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="s12_bm25_")
+    ftext.bm25_write_index(docs, path, n_buckets=16)
+    queries = spark.createDataFrame(_S12_QUERIES, "query_id int, query_text string")
+    return ftext.bm25_probe_index(spark, path, queries, k=10)
+
+
+S12_SQL = f"""
+WITH q(query_id, query_text) AS (
+  VALUES {", ".join(f"({i}, '{t}')" for i, t in _S12_QUERIES)}
+),
+qt AS (
+  SELECT DISTINCT query_id, t.term
+  FROM q, unnest(list_filter(string_split_regex(lower(query_text), '\\s+'),
+                             x -> x <> '')) AS t(term)
+),
+d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM d
+),
+tf AS (
+  SELECT d.doc_id, len(d.toks) AS dl, t.term, COUNT(*) AS tf
+  FROM d, unnest(d.toks) AS t(term)
+  WHERE t.term IN (SELECT DISTINCT term FROM qt)
+  GROUP BY 1, 2, 3
+),
+idf AS (
+  SELECT term,
+         CAST(round(ln(1 + (s.n_docs - df + 0.5) / (df + 0.5)) * 1e6) AS BIGINT)
+           AS idf_u
+  FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), stats s
+),
+contrib AS (
+  SELECT qt.query_id, t.doc_id,
+         CAST(round(i.idf_u * (t.tf * (1 + 1.2))
+                    / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / s.avgdl)))
+              AS BIGINT) AS c_u
+  FROM tf t
+  JOIN idf i USING (term)
+  JOIN qt ON qt.term = t.term
+  CROSS JOIN stats s
+),
+scores AS (
+  SELECT query_id, doc_id, round(SUM(c_u) / 1e6, 6) AS score
+  FROM contrib GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id ASC) AS rank
+      FROM scores)
+WHERE rank <= 10
+"""
+
+
 # s11 seed documents: hybrid retrieval treats each seed doc as a query
 # (its TEXT feeds the sparse BM25 leg, its EMBEDDING the dense cosine
 # leg) — the related-document curation pattern.  doc_id == vec_id in
@@ -6359,7 +6443,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Group 3 — round-9 promotions (3 green rounds; the newest of the
     # >=3 cohort, kept so the window does not churn 100% in one round):
     "st14_stream_probe_partition_pruned": st14_stream_probe_partition_pruned,
-    "b34_dq_checks": b34_dq_checks,
     "b39_stat_aggs": b39_stat_aggs,
     "evt05_cohort_retention": evt05_cohort_retention,
     "t08_contamination": t08_contamination,
@@ -6369,6 +6452,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rounds each) rotate out for the slots
     "s10_bm25_topk": s10_bm25_topk,
     "s11_hybrid_rrf": s11_hybrid_rrf,
+    "s12_bm25_index_probe": s12_bm25_index_probe,
     # Group 4 — the 31 first-slot promotions (never driver-verified in
     # rounds 1-11; all oracle-green in tests/test_oracle.py since they
     # landed).  TPC-H plan shapes first:
@@ -6450,6 +6534,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t19_vocab_overlap": t19_vocab_overlap,
     "t06_tfidf_topterms": t06_tfidf_topterms,
     "b33_fuzzy_pairs": b33_fuzzy_pairs,
+    "b34_dq_checks": b34_dq_checks,
     # earlier rotations (rounds 3-11): redundant family second rows +
     # long-green component rows
     "b27_profile": b27_profile,
@@ -6683,6 +6768,7 @@ ORACLE_SQL: dict[str, str] = {
     "s09_pq_topk": S09_SQL,
     "s10_bm25_topk": S10_SQL,
     "s11_hybrid_rrf": S11_SQL,
+    "s12_bm25_index_probe": S12_SQL,
     "t05_fingerprint": T05_SQL,
     "t11_normalize": T11_SQL,
     "t12_pack_shards": T12_SQL,

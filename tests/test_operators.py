@@ -1707,3 +1707,52 @@ def test_rrf_fuse_semantics(spark):
         fsim.rrf_fuse([a])
     with _pytest.raises(ValueError, match="k_rrf"):
         fsim.rrf_fuse([a, b], k_rrf=0)
+
+
+def test_bm25_persisted_index_probe_equals_direct_and_prunes(spark, tmp_path):
+    """Round 12: bm25_write_index + bm25_probe_index must (a) reproduce
+    bm25_topk over the same corpus EXACTLY (shared scoring tail), and
+    (b) push the query-term bucket set down as PARTITION pruning on the
+    on-disk postings — the property that makes a probe touch
+    |query buckets|/n_buckets of a 100 TB inverted index's files
+    instead of re-tokenizing the corpus."""
+    import re
+
+    from etlbigdata_spark.functions import text as ftext
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    queries = spark.createDataFrame(
+        [(1, "fast table scan"), (2, "customer order query")],
+        "query_id int, query_text string",
+    )
+    path = str(tmp_path / "bm25_index")
+    stats = ftext.bm25_write_index(docs, path, n_buckets=16)
+    assert stats["n_buckets"] == 16 and stats["n_docs"] > 0
+
+    probed = ftext.bm25_probe_index(spark, path, queries, k=10)
+    direct = ftext.bm25_topk(docs, queries, k=10)
+    got = sorted(map(tuple, probed.collect()))
+    want = sorted(map(tuple, direct.collect()))
+    assert got == want and len(got) > 0
+
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*bucket[^\]]*\]", plan), (
+        "probe scan lost its bucket partition filter (full postings scan)"
+    )
+    # one file per bucket (the repartition-before-partitionBy rule)
+    import os
+
+    b0 = [p for p in os.listdir(f"{path}/postings") if p.startswith("bucket=")]
+    assert len(b0) <= 16
+    for bdir in b0[:4]:
+        parts = [f for f in os.listdir(f"{path}/postings/{bdir}") if f.endswith(".parquet")]
+        assert len(parts) == 1, f"{bdir} slivered into {len(parts)} files"
+
+    # scoring params stay probe-time: a different b shifts scores
+    alt = ftext.bm25_probe_index(spark, path, queries, k=10, b=0.0)
+    assert sorted(map(tuple, alt.collect())) != got
+
+    # no-match query set returns empty, torn stats raise
+    none_q = spark.createDataFrame([(9, "zzzq")], "query_id int, query_text string")
+    assert ftext.bm25_probe_index(spark, path, none_q, k=5).count() == 0
+    ftext.release_cached()
