@@ -177,6 +177,12 @@ EXCLUDED_FROM_HEADLINE = {
         "rebuild-inline class); production probes a PRE-BUILT index — "
         "s10_bm25_topk, the direct-scan face, IS benched"
     ),
+    "st16_stream_bm25_probe": (
+        "declared face re-builds the postings index AND replays the "
+        "two-chunk file stream with a mid-stream append inline every "
+        "run (the st15 rebuild-inline class); production streams "
+        "against a PRE-BUILT index"
+    ),
 }
 
 # Optional subset filter for targeted scale points (e.g. the sf10 growth

@@ -813,3 +813,59 @@ def bm25_probe_index(
         [(n_docs, sum_dl)], "__n_docs long, __sum_dl long"
     )
     return _bm25_rank_from_tf(_persist_scoped(tf), qt, stats, k, k1, b, id_col)
+
+
+def bm25_append_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Incrementally grow a persisted :func:`bm25_write_index` index —
+    the lexical twin of ``similarity.ivf_append_index``: the new batch
+    is tokenized and its postings APPEND into the existing bucket
+    partitions (same ``pmod(xxhash64(term), n_buckets)`` rule read from
+    the stats sidecar, so the layout is frozen by the build contract),
+    and the stats sidecar is rewritten with the exact summed totals.
+    Cost is O(new batch) — the existing postings are never read or
+    rewritten.  Because df/tf are COUNTS and avgdl derives from exact
+    integer totals, a probe after the append is result-identical to
+    rebuilding the index over the union (pinned by test).
+
+    Append contract (the ivf_append discipline): batch ids must be NEW
+    — re-appending an existing document double-counts its postings.
+    The postings append commits before the stats rewrite; a crash
+    between the two leaves stats stale by one batch (df/tf already
+    correct), which the next successful append repairs — stated, not
+    silent."""
+    spark = docs.sparkSession
+    n_docs, sum_dl, n_buckets = _read_bm25_stats(spark, path)
+    d = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__doc"), tokens_col(F.col(text_col)).alias("__toks")
+    )
+    batch = d.agg(
+        F.count(F.lit(1)).alias("__n"), F.sum(F.size("__toks")).alias("__dl")
+    ).collect()[0]
+    pairs = d.select(
+        "__doc", F.size("__toks").alias("__dl"), F.explode("__toks").alias("term")
+    )
+    postings = (
+        pairs.groupBy("__doc", "term")
+        .agg(F.count(F.lit(1)).alias("__tf"), F.first("__dl").alias("__dl"))
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+    )
+    (
+        postings.repartition(n_buckets, "bucket")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(f"{path}/postings")
+    )
+    new_stats = (
+        int(batch["__n"]) + n_docs,
+        int(batch["__dl"] or 0) + sum_dl,
+        n_buckets,
+    )
+    spark.createDataFrame(
+        [new_stats], "__n_docs long, __sum_dl long, __n_buckets int"
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+    return {"n_docs": new_stats[0], "sum_dl": new_stats[1], "n_buckets": n_buckets}

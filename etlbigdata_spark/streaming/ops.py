@@ -984,3 +984,41 @@ def rollup_merge_sink(
             shutil.rmtree(backup)
 
     return sink
+
+
+def foreach_batch_bm25_probe(
+    sink_fn: Callable[[DataFrame, int], None],
+    spark: SparkSession,
+    index_path: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> Callable[[DataFrame, int], None]:
+    """The PRODUCTION streaming LEXICAL retrieval loop (round 12) — the
+    BM25 twin of :func:`foreach_batch_ann_probe`: every micro-batch of
+    query texts probes a persisted
+    :func:`~etlbigdata_spark.functions.text.bm25_write_index` inverted
+    index through the bucket-PRUNED path — ``bm25_probe_index`` turns
+    the batch's query-term bucket set into a static partition filter,
+    so each batch reads only its terms' posting files, never the
+    corpus.  The index path is re-resolved INSIDE foreachBatch, so
+    postings landed by :func:`~etlbigdata_spark.functions.text.
+    bm25_append_index` between micro-batches are visible to the next
+    batch without a restart (the st13/st14 append-visibility
+    discipline, proven by the st16 oracle's chunk1×A / chunk2×(A∪B)
+    asymmetry).  ``sink_fn`` receives the ranked probe RESULT, not the
+    raw batch."""
+    from ..functions import text as ftext
+
+    def fn(df: DataFrame, epoch_id: int) -> None:
+        res = ftext.bm25_probe_index(
+            spark, index_path, df, k=k, k1=k1, b=b, id_col=id_col,
+            query_id_col=query_id_col, query_text_col=query_text_col,
+        )
+        sink_fn(res, epoch_id)
+        ftext.release_cached()
+
+    return fn

@@ -2892,9 +2892,16 @@ def s10_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ftext.bm25_topk(docs, queries, k=10)
 
 
-S10_SQL = f"""
+def _bm25_oracle_sql(query_values: list, corpus_where: str = "TRUE", k: int = 10) -> str:
+    """The DuckDB twin of the shared BM25 scoring tail, parameterized by
+    the literal query set and a corpus predicate — ONE statement serves
+    the s10 direct face, the s12 persisted-index face (identical
+    scoring by the shared tail) and each leg of st16's
+    probe-before/after-append asymmetry."""
+    values = ", ".join(f"({i}, '{t}')" for i, t in query_values)
+    return f"""
 WITH q(query_id, query_text) AS (
-  VALUES {", ".join(f"({i}, '{t}')" for i, t in _S10_QUERIES)}
+  VALUES {values}
 ),
 qt AS (
   SELECT DISTINCT query_id, t.term
@@ -2904,7 +2911,7 @@ qt AS (
 d AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
-  FROM documents WHERE text IS NOT NULL
+  FROM documents WHERE text IS NOT NULL AND ({corpus_where})
 ),
 stats AS (
   SELECT COUNT(*) AS n_docs,
@@ -2941,8 +2948,11 @@ SELECT query_id, doc_id, score, CAST(rank AS INTEGER) AS rank
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY score DESC, doc_id ASC) AS rank
       FROM scores)
-WHERE rank <= 10
+WHERE rank <= {k}
 """
+
+
+S10_SQL = _bm25_oracle_sql(_S10_QUERIES)
 
 
 # The s12 query set (distinct from s10's so the two rows exercise
@@ -2976,57 +2986,83 @@ def s12_bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ftext.bm25_probe_index(spark, path, queries, k=10)
 
 
-S12_SQL = f"""
-WITH q(query_id, query_text) AS (
-  VALUES {", ".join(f"({i}, '{t}')" for i, t in _S12_QUERIES)}
-),
-qt AS (
-  SELECT DISTINCT query_id, t.term
-  FROM q, unnest(list_filter(string_split_regex(lower(query_text), '\\s+'),
-                             x -> x <> '')) AS t(term)
-),
-d AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
-  FROM documents WHERE text IS NOT NULL
-),
-stats AS (
-  SELECT COUNT(*) AS n_docs,
-         CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl
-  FROM d
-),
-tf AS (
-  SELECT d.doc_id, len(d.toks) AS dl, t.term, COUNT(*) AS tf
-  FROM d, unnest(d.toks) AS t(term)
-  WHERE t.term IN (SELECT DISTINCT term FROM qt)
-  GROUP BY 1, 2, 3
-),
-idf AS (
-  SELECT term,
-         CAST(round(ln(1 + (s.n_docs - df + 0.5) / (df + 0.5)) * 1e6) AS BIGINT)
-           AS idf_u
-  FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), stats s
-),
-contrib AS (
-  SELECT qt.query_id, t.doc_id,
-         CAST(round(i.idf_u * (t.tf * (1 + 1.2))
-                    / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / s.avgdl)))
-              AS BIGINT) AS c_u
-  FROM tf t
-  JOIN idf i USING (term)
-  JOIN qt ON qt.term = t.term
-  CROSS JOIN stats s
-),
-scores AS (
-  SELECT query_id, doc_id, round(SUM(c_u) / 1e6, 6) AS score
-  FROM contrib GROUP BY 1, 2
+S12_SQL = _bm25_oracle_sql(_S12_QUERIES)
+
+
+# st16 query chunks: chunk 1 probes the index built over corpus A
+# (doc_id % 3 != 0); the corpus-B postings are APPENDED mid-stream, so
+# chunk 2 scores against A∪B — query-id ranges encode the chunk and the
+# oracle states the asymmetry per leg.
+_ST16_CHUNK1 = [(1, "fast table scan"), (2, "merge batch hash value")]
+_ST16_CHUNK2 = [(3, "window group sort line"), (4, "customer order query")]
+
+
+def st16_stream_bm25_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19+B24/B25 — the PRODUCTION streaming LEXICAL retrieval loop
+    (round 12): query texts arrive as a file stream and each micro-batch
+    probes a persisted BM25 inverted index through
+    ``streaming.ops.foreach_batch_bm25_probe`` → ``bm25_probe_index``
+    — the batch's query-term bucket set becomes a static PARTITION
+    filter on the postings (the st14 pruning discipline applied to the
+    lexical index), and because the index path re-resolves inside
+    foreachBatch, postings landed by ``bm25_append_index`` between
+    batches are visible to the next batch without a restart.  The
+    oracle replays the asymmetry exactly: chunk-1 queries score
+    against corpus A only, chunk-2 queries against A∪B — hash equality
+    proves the pruned probe's scoring AND mid-stream append
+    visibility, with the identical micro-unit arithmetic on both
+    engines."""
+    import shutil
+    import tempfile
+
+    from .streaming import ops as stops
+
+    ftext.release_cached()
+    docs = load(spark, sf_dir, "documents")
+    part_a = docs.filter(F.col("doc_id") % 3 != 0)
+    part_b = docs.filter(F.col("doc_id") % 3 == 0)
+    base = tempfile.mkdtemp(prefix="st16_")
+    idx, stage, results, ckpt = (f"{base}/{d}" for d in ("idx", "src", "out", "ckpt"))
+    try:
+        ftext.bm25_write_index(part_a, idx, n_buckets=16)
+        chunk1 = spark.createDataFrame(_ST16_CHUNK1, "query_id int, query_text string")
+        chunk2 = spark.createDataFrame(_ST16_CHUNK2, "query_id int, query_text string")
+        chunk1.coalesce(1).write.mode("append").parquet(stage)
+
+        def sink(res: DataFrame, epoch_id: int) -> None:
+            res.write.mode("append").parquet(results)
+
+        fn = stops.foreach_batch_bm25_probe(sink, spark, idx, k=10)
+        stream = stops.read_file_stream(spark, stage, chunk1.schema)
+        stops.run_available_now(
+            stops.write_stream_foreach_batch(stream, fn, "append").queryName(
+                "st16_d1"
+            ),
+            ckpt,
+        )
+        ftext.bm25_append_index(part_b, idx)
+        chunk2.coalesce(1).write.mode("append").parquet(stage)
+        stops.run_available_now(
+            stops.write_stream_foreach_batch(stream, fn, "append").queryName(
+                "st16_d2"
+            ),
+            ckpt,
+        )
+        rows = spark.read.parquet(results).collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "query_id int, doc_id long, score double, rank int"
+    )
+
+
+ST16_SQL = (
+    "SELECT * FROM ("
+    + _bm25_oracle_sql(_ST16_CHUNK1, corpus_where="doc_id % 3 <> 0")
+    + ") UNION ALL SELECT * FROM ("
+    + _bm25_oracle_sql(_ST16_CHUNK2)
+    + ")"
 )
-SELECT query_id, doc_id, score, CAST(rank AS INTEGER) AS rank
-FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY score DESC, doc_id ASC) AS rank
-      FROM scores)
-WHERE rank <= 10
-"""
 
 
 # s11 seed documents: hybrid retrieval treats each seed doc as a query
@@ -6444,7 +6480,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # >=3 cohort, kept so the window does not churn 100% in one round):
     "st14_stream_probe_partition_pruned": st14_stream_probe_partition_pruned,
     "b39_stat_aggs": b39_stat_aggs,
-    "evt05_cohort_retention": evt05_cohort_retention,
     "t08_contamination": t08_contamination,
     # round-12 newcomers proving themselves at the driver gate in their
     # first round (the d09/d10/st13/b43/t23/t24 pattern): BM25 lexical
@@ -6453,6 +6488,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s10_bm25_topk": s10_bm25_topk,
     "s11_hybrid_rrf": s11_hybrid_rrf,
     "s12_bm25_index_probe": s12_bm25_index_probe,
+    "st16_stream_bm25_probe": st16_stream_bm25_probe,
     # Group 4 — the 31 first-slot promotions (never driver-verified in
     # rounds 1-11; all oracle-green in tests/test_oracle.py since they
     # landed).  TPC-H plan shapes first:
@@ -6535,6 +6571,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t06_tfidf_topterms": t06_tfidf_topterms,
     "b33_fuzzy_pairs": b33_fuzzy_pairs,
     "b34_dq_checks": b34_dq_checks,
+    "evt05_cohort_retention": evt05_cohort_retention,
     # earlier rotations (rounds 3-11): redundant family second rows +
     # long-green component rows
     "b27_profile": b27_profile,
@@ -6769,6 +6806,7 @@ ORACLE_SQL: dict[str, str] = {
     "s10_bm25_topk": S10_SQL,
     "s11_hybrid_rrf": S11_SQL,
     "s12_bm25_index_probe": S12_SQL,
+    "st16_stream_bm25_probe": ST16_SQL,
     "t05_fingerprint": T05_SQL,
     "t11_normalize": T11_SQL,
     "t12_pack_shards": T12_SQL,

@@ -1756,3 +1756,51 @@ def test_bm25_persisted_index_probe_equals_direct_and_prunes(spark, tmp_path):
     none_q = spark.createDataFrame([(9, "zzzq")], "query_id int, query_text string")
     assert ftext.bm25_probe_index(spark, path, none_q, k=5).count() == 0
     ftext.release_cached()
+
+
+def test_bm25_append_index_equals_rebuild(spark, tmp_path):
+    """bm25_append_index must leave the index result-identical to a
+    full rebuild over the union: df/tf are counts and avgdl derives
+    from exact integer totals, so probe(A then append B) == probe(A∪B
+    built at once).  Also pins O(new-batch) growth: the A-era posting
+    files are untouched by the append (same names, sizes, mtimes)."""
+    import os
+
+    from etlbigdata_spark.functions import text as ftext
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    part_a = docs.filter("doc_id % 3 != 0")
+    part_b = docs.filter("doc_id % 3 == 0")
+    queries = spark.createDataFrame(
+        [(1, "fast table scan"), (2, "window group sort line")],
+        "query_id int, query_text string",
+    )
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    ftext.bm25_write_index(part_a, inc, n_buckets=8)
+
+    def snapshot(root):
+        out = {}
+        for r, _d, fs in os.walk(f"{root}/postings"):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    p = os.path.join(r, f)
+                    out[p] = (os.path.getsize(p), os.path.getmtime(p))
+        return out
+
+    before = snapshot(inc)
+    stats = ftext.bm25_append_index(part_b, inc)
+    after = snapshot(inc)
+    assert all(after[p] == v for p, v in before.items()), (
+        "append rewrote pre-existing posting files — growth is no longer O(batch)"
+    )
+    assert len(after) > len(before)
+
+    ftext.bm25_write_index(docs, full, n_buckets=8)
+    assert (
+        stats["n_docs"], stats["sum_dl"], stats["n_buckets"]
+    ) == ftext._read_bm25_stats(spark, full)
+    got = sorted(map(tuple, ftext.bm25_probe_index(spark, inc, queries, k=10).collect()))
+    want = sorted(map(tuple, ftext.bm25_probe_index(spark, full, queries, k=10).collect()))
+    direct = sorted(map(tuple, ftext.bm25_topk(docs, queries, k=10).collect()))
+    assert got == want == direct and len(got) > 0
+    ftext.release_cached()

@@ -98,17 +98,19 @@ EXPECTED_WINDOW = {
     "st15_stream_packed_span_dedup",
     "t20_c4_clean", "t21_chunking", "t22_epoch_mix", "s09_pq_topk",
     "mm04_video_neardup", "t23_packed_span_dedup",
-    # round-9 promotions kept at exactly 3 green rounds (t06, b33 and
-    # b34 rotated out late in round 12 to give the three newcomers
+    # round-9 promotions kept at exactly 3 green rounds (t06, b33, b34
+    # and evt05 rotated out late in round 12 to give the four newcomers
     # their first-round slots)
     "st14_stream_probe_partition_pruned",
-    "b39_stat_aggs", "evt05_cohort_retention",
+    "b39_stat_aggs",
     "t08_contamination",
     # round-12 newcomers in their first driver round: BM25 lexical
-    # retrieval, hybrid RRF fusion, persisted-inverted-index probe
+    # retrieval, hybrid RRF fusion, persisted-inverted-index probe,
+    # and the streaming bucket-pruned BM25 probe with mid-stream append
     "s10_bm25_topk",
     "s11_hybrid_rrf",
     "s12_bm25_index_probe",
+    "st16_stream_bm25_probe",
     # the 31 first-slot promotions
     "q02_min_cost_supplier", "q08_market_share",
     "q09_product_type_profit", "q11_important_parts",
@@ -153,6 +155,7 @@ def test_driver_window_covers_expected_components():
         "st13_stream_probe_appended_index", "t13_repetition",
         "t17_temperature_mix", "t18_novelty", "t19_vocab_overlap",
         "t06_tfidf_topterms", "b33_fuzzy_pairs", "b34_dq_checks",
+        "evt05_cohort_retention",
     ):
         assert rotated_out not in DRIVER_WINDOW
         assert rotated_out in workload.QUERIES and rotated_out in workload.ORACLE_SQL
@@ -161,8 +164,8 @@ def test_driver_window_covers_expected_components():
 def test_registry_counts_match_documentation():
     """README/COVERAGE cite these exact counts (round-3 verdict flagged
     drift); changing the registry must update the docs with it."""
-    assert len(workload.QUERIES) == 162
-    assert len(workload.ORACLE_SQL) == 149
+    assert len(workload.QUERIES) == 163
+    assert len(workload.ORACLE_SQL) == 150
 
 
 # DuckDB types the driver's canonicalization maps differently from the
@@ -235,6 +238,7 @@ def test_bench_exclusion_list_is_pinned():
         "s09_pq_topk",
         "st15_stream_packed_span_dedup",
         "s12_bm25_index_probe",
+        "st16_stream_bm25_probe",
     }
     for name, reason in bench.EXCLUDED_FROM_HEADLINE.items():
         assert name in workload.QUERIES
