@@ -367,8 +367,10 @@ def minhash_signatures(
     p = (1 << 31) - 1
     ab = _minhash_family(num_hashes)
     sh = sh.withColumn("__h0", F.pmod(F.xxhash64("shingle"), F.lit(p)))
+    # one F.expr parse per hash column instead of 6+ py4j Column calls
+    # each (round 12 planning-cost pass; identical expressions/results)
     hcols = [
-        F.min(F.pmod(F.lit(a) * F.col("__h0") + F.lit(b), F.lit(p))).alias(f"__h{i}")
+        F.expr(f"min(pmod({a} * __h0 + {b}, {p}))").alias(f"__h{i}")
         for i, (a, b) in enumerate(ab)
     ]
     return (
@@ -421,14 +423,16 @@ def _banded_signatures(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame
     text): banding is recomputed at query time rather than stored, so
     the persisted index stays one compact row per doc."""
     r = num_hashes // bands
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.xxhash64(*[F.col("sig")[i * r + j] for j in range(r)]).alias("val"),
-            )
+    # one F.expr parse for the whole band array (round 12 planning-cost
+    # pass; identical expressions/results)
+    band_structs = F.expr(
+        "array("
+        + ", ".join(
+            f"struct({i} AS band, "
+            f"xxhash64({', '.join(f'sig[{i * r + j}]' for j in range(r))}) AS val)"
             for i in range(bands)
-        ]
+        )
+        + ")"
     )
     return sig.select("id", "sig", F.explode(band_structs).alias("bv")).select(
         "id", "sig", F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
@@ -754,30 +758,38 @@ def _simhash_signatures(toks: DataFrame, hash_expr: Column, counter_bits: int = 
     is safe only when every doc has <65 536 distinct shingles — auto-
     selected by :func:`simhash_near_dups` when a cheap token-count probe
     proves the bound, opt-in here."""
+    # The packed-counter update and the 64-term signature assembly are
+    # built as SQL strings parsed by ONE F.expr call each (round 12):
+    # the Column-algebra form issued ~1500 py4j round trips per plan
+    # construction (~1.5 s of driver wall-clock per call, paid on every
+    # re-plan), while a single JVM-side parse of the identical
+    # expression tree is milliseconds. Guide §7.3 class: planning cost,
+    # not execution — the physical plan and results are unchanged.
     per_long = 64 // counter_bits
     n_agg = 64 // per_long
-    packed_cols = []
-    for g in range(n_agg):
-        expr = None
-        for j in range(per_long):
-            b = g * per_long + j
-            bit = F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1))
-            term = F.shiftleft(bit, counter_bits * j)
-            expr = term if expr is None else expr + term
-        packed_cols.append(expr.alias(f"__p{g}"))
+    packed_cols = [
+        F.expr(
+            " + ".join(
+                f"shiftleft(shiftright(__h, {g * per_long + j}) & 1, {counter_bits * j})"
+                for j in range(per_long)
+            )
+        ).alias(f"__p{g}")
+        for g in range(n_agg)
+    ]
     packed = toks.select("id", hash_expr.alias("__h")).select("id", *packed_cols)
     agg = packed.groupBy("id").agg(
         F.count(F.lit(1)).alias("__n"),
         *[F.sum(f"__p{g}").alias(f"__p{g}") for g in range(n_agg)],
     )
     mask = (1 << counter_bits) - 1
-    sig_expr = F.lit(0).cast("long")
-    for b in range(64):
-        g, j = b // per_long, b % per_long
-        cnt = F.shiftrightunsigned(F.col(f"__p{g}"), counter_bits * j).bitwiseAND(F.lit(mask))
-        sig_expr = sig_expr + F.when(
-            cnt * 2 > F.col("__n"), F.shiftleft(F.lit(1).cast("long"), b)
-        ).otherwise(F.lit(0).cast("long"))
+    sig_expr = F.expr(
+        " + ".join(
+            f"CASE WHEN (shiftrightunsigned(__p{b // per_long}, "
+            f"{counter_bits * (b % per_long)}) & {mask}) * 2 > __n "
+            f"THEN shiftleft(CAST(1 AS BIGINT), {b}) ELSE CAST(0 AS BIGINT) END"
+            for b in range(64)
+        )
+    )
     return agg.select("id", sig_expr.alias("sig"))
 
 
@@ -854,15 +866,20 @@ def simhash_near_dups(
     toks = exploded_shingles(df, id_col, text_col, shingle_n, out_col="tok")
     h = _md5_hash64(F.col("tok")) if portable_hash else F.xxhash64("tok")
     if counter_bits == "auto":
-        # distinct shingles per doc <= word count, so one narrow
-        # scan+1-row agg (no explode, no shuffle) proves whether the
-        # 16-bit packing (4 counters/long -> 1/4 the agg update columns)
-        # is safe; pass an int to skip the probe (e.g. when the corpus
-        # is re-processed often and the bound is known by contract)
-        max_words = df.agg(
-            F.max(F.size(tokens_col(F.col(text_col)))).alias("m")
-        ).collect()[0]["m"]
-        counter_bits = 16 if (max_words or 0) < (1 << 16) else 32
+        # distinct shingles per doc <= word count <= (len(text)+1)/2
+        # (every word is >=1 char plus a separator), so one narrow
+        # max(length) scan+1-row agg (no regex tokenize, no explode, no
+        # shuffle) proves whether the 16-bit packing (4 counters/long ->
+        # 1/4 the agg update columns) is safe; the length bound replaces
+        # the round-9 max(size(tokens)) probe, which paid a full regex
+        # tokenization pass just to size counters (round 12: probe job
+        # 0.53 s -> ~0.15 s at sf0.1, decision unchanged on any corpus
+        # whose docs are < 128 KiB of text; longer docs conservatively
+        # get 32-bit counters, which are always correct).  Pass an int
+        # to skip the probe entirely (e.g. when the corpus is
+        # re-processed often and the bound is known by contract).
+        max_len = df.agg(F.max(F.length(F.col(text_col))).alias("m")).collect()[0]["m"]
+        counter_bits = 16 if ((max_len or 0) + 1) // 2 < (1 << 16) else 32
     sig = _persist_scoped(_simhash_signatures(toks, h, counter_bits))
 
     return hamming_pairs_64(
@@ -888,18 +905,22 @@ def hamming_pairs_64(
     if scheme == "blocks":
         if not max_hamming < n_blocks:
             raise ValueError(f"blocks scheme needs max_hamming < n_blocks, got {max_hamming} >= {n_blocks}")
+    # Band/table arrays are one F.expr parse instead of per-struct
+    # Column algebra (round 12, same planning-cost rationale as
+    # _simhash_signatures; expressions and results unchanged).
+    if scheme == "blocks":
         base, rem = divmod(64, n_blocks)
         widths = [base + 1 if i < rem else base for i in range(n_blocks)]
         offsets = [sum(widths[:i]) for i in range(n_blocks)]
 
-        def block(i: int) -> Column:
-            return F.shiftrightunsigned("sig", offsets[i]).bitwiseAND(F.lit((1 << widths[i]) - 1))
+        def block(i: int) -> str:
+            return f"shiftrightunsigned(sig, {offsets[i]}) & {(1 << widths[i]) - 1}"
 
         import itertools
 
         combos = list(itertools.combinations(range(n_blocks), n_blocks - max_hamming))
         tables = [
-            F.struct(F.lit(t).alias("band"), F.xxhash64(F.lit(t), *[block(i) for i in c]).alias("val"))
+            f"struct({t} AS band, xxhash64({t}, {', '.join(block(i) for i in c)}) AS val)"
             for t, c in enumerate(combos)
         ]
     elif scheme == "bands":
@@ -908,16 +929,13 @@ def hamming_pairs_64(
             raise ValueError(f"bands scheme needs max_hamming < 64/band_bits, got {max_hamming} >= {n_bands}")
         mask = (1 << band_bits) - 1
         tables = [
-            F.struct(
-                F.lit(i).alias("band"),
-                F.shiftright("sig", i * band_bits).bitwiseAND(F.lit(mask)).alias("val"),
-            )
+            f"struct({i} AS band, shiftright(sig, {i * band_bits}) & {mask} AS val)"
             for i in range(n_bands)
         ]
     else:
         raise ValueError(f"unknown scheme {scheme!r} (expected 'blocks' or 'bands')")
 
-    banded = sig.select("id", "sig", F.explode(F.array(*tables)).alias("bv")).select(
+    banded = sig.select("id", "sig", F.explode(F.expr(f"array({', '.join(tables)})")).alias("bv")).select(
         "id", "sig", F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
     )
     a = banded.alias("a")

@@ -616,14 +616,12 @@ def bm25_topk(
     matched = pairs.join(
         F.broadcast(qt.select("term").distinct()), "term"
     )
-    # scope-persisted (the surprisal discipline): BOTH consumers below
-    # (the df reduction and the contribution join) read tf — without
-    # the persist Catalyst rebuilds each branch from the corpus-sized
-    # explode, doubling the only expensive stage of the plan
-    tf = _persist_scoped(
-        matched.groupBy("__doc", "term").agg(
-            F.count(F.lit(1)).alias("__tf"), F.first("__dl").alias("__dl")
-        )
+    # no persist: since the round-12 window-df rewrite of the scoring
+    # tail, tf feeds exactly ONE consumer chain (df rides in as a
+    # window over term), so the corpus-sized explode runs once with no
+    # cache materialization job
+    tf = matched.groupBy("__doc", "term").agg(
+        F.count(F.lit(1)).alias("__tf"), F.first("__dl").alias("__dl")
     )
     return _bm25_rank_from_tf(tf, qt, stats, k, k1, b, id_col)
 
@@ -645,23 +643,36 @@ def _bm25_rank_from_tf(
     pruned-postings path, so the two are arithmetic-identical by
     construction (micro-unit idf + contributions, exact integer sums,
     s01 round-before-rank)."""
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
-    idf = dfreq.crossJoin(F.broadcast(stats)).select(
-        "term",
-        F.round(
-            F.log(
-                1.0
-                + (F.col("__n_docs") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
-            )
-            * 1e6
+    # df via a whole-partition window over term instead of the round-12
+    # first-cut groupBy + broadcast-join-back: one exchange of the
+    # (already query-pruned, hit-sized) tf table replaces the dfreq
+    # shuffle AND the idf broadcast build, and with the tail now
+    # consuming tf exactly once the callers' scope-persist of tf is
+    # gone too (guide §2.4: two operations keyed the same way share one
+    # exchange; measured −3 jobs on s10 at sf0.1).  The arithmetic is
+    # unchanged: idf_u is still rounded ONCE to micro-unit longs before
+    # any contribution math, so s10/s12/st16 hashes are identical.
+    enriched = (
+        tf.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("term"))
         )
-        .cast("long")
-        .alias("__idf_u"),
-        (F.col("__sum_dl").cast("double") / F.col("__n_docs")).alias("__avgdl"),
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__idf_u",
+            F.round(
+                F.log(
+                    1.0
+                    + (F.col("__n_docs") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+                )
+                * 1e6
+            ).cast("long"),
+        )
+        .withColumn(
+            "__avgdl", F.col("__sum_dl").cast("double") / F.col("__n_docs")
+        )
     )
     contrib = (
-        tf.join(F.broadcast(idf), "term")
-        .join(F.broadcast(qt), "term")
+        enriched.join(F.broadcast(qt), "term")
         .select(
             "query_id",
             "__doc",
@@ -812,7 +823,8 @@ def bm25_probe_index(
     stats = spark.createDataFrame(
         [(n_docs, sum_dl)], "__n_docs long, __sum_dl long"
     )
-    return _bm25_rank_from_tf(_persist_scoped(tf), qt, stats, k, k1, b, id_col)
+    # tf feeds one chain since the window-df tail rewrite — no persist
+    return _bm25_rank_from_tf(tf, qt, stats, k, k1, b, id_col)
 
 
 def bm25_append_index(

@@ -1668,13 +1668,19 @@ def test_bm25_plan_is_inverted_index_shaped(spark):
     assert "CartesianProduct" not in plan
     # the only nested-loop is the 1-row corpus-stats broadcast cross
     assert final_tree.count("BroadcastNestedLoopJoin") <= 1
-    assert "BroadcastHashJoin" in plan  # the query-term semi filter + idf joins
-    # the corpus-sized explode runs ONCE: both consumers of the tf
-    # table (df reduction, contribution join) read the scoped persist
+    assert "BroadcastHashJoin" in plan  # the query-term semi filter + qt join
+    # the corpus-sized explode runs ONCE: since the round-12 window-df
+    # tail rewrite, tf feeds exactly one consumer chain (df rides in as
+    # a count over a term-partitioned window), so no persist is needed
+    # and the explode must not be duplicated by a re-derived branch
     assert final_tree.count("explode(__toks") == 1, (
-        "bm25 tf persist lost — the corpus explode is being recomputed"
+        "bm25 corpus explode duplicated — the single-consumer tail regressed"
     )
-    assert "InMemoryTableScan" in plan
+    assert "InMemoryTableScan" not in plan, (
+        "bm25 re-grew a cache: the window-df tail made the tf persist "
+        "(and its materialization job) unnecessary"
+    )
+    assert "Window" in final_tree  # the df-over-term window
     ftext.release_cached()
 
 
