@@ -394,17 +394,16 @@ def minhash_signatures(
     p = (1 << 31) - 1
     ab = _minhash_family(num_hashes)
     sh = sh.withColumn("__h0", F.pmod(F.xxhash64("shingle"), F.lit(p)))
-    # one F.expr parse per hash column instead of 6+ py4j Column calls
-    # each (round 12 planning-cost pass; identical expressions/results)
-    hcols = [
-        F.expr(f"min(pmod({a} * __h0 + {b}, {p}))").alias(f"__h{i}")
-        for i, (a, b) in enumerate(ab)
-    ]
-    return (
-        sh.groupBy("id")
-        .agg(*hcols)
-        .select("id", F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("sig"))
-    )
+    # ONE F.expr parse for the whole signature — an array of the
+    # num_hashes min-aggregates — instead of one Column chain per hash
+    # function plus a follow-up array() select (round 12 planning-cost
+    # pass; identical aggregates/results)
+    sig = F.expr(
+        "array("
+        + ", ".join(f"min(pmod({a} * __h0 + {b}, {p}))" for a, b in ab)
+        + ")"
+    ).alias("sig")
+    return sh.groupBy("id").agg(sig)
 
 
 def shingle_hashes_col(toks_col, n: int = 3) -> Column:
@@ -642,9 +641,13 @@ def minhash_candidates(
         .dropDuplicates(["id_a", "id_b"])
     )
     # literal-indexed comparisons instead of zip_with+aggregate: same
-    # value, stays in whole-stage codegen (the repo's HOF lint rule)
-    agree = sum(
-        (F.col("sig_a")[i] == F.col("sig_b")[i]).cast("int") for i in range(num_hashes)
+    # value, stays in whole-stage codegen (the repo's HOF lint rule);
+    # one F.expr parse instead of ~100 Column calls (round 12
+    # planning-cost pass, identical expression/results)
+    agree = F.expr(
+        " + ".join(
+            f"CAST(sig_a[{i}] = sig_b[{i}] AS INT)" for i in range(num_hashes)
+        )
     )
     return (
         cand.withColumn("jaccard_dist", 1 - agree / F.lit(num_hashes))

@@ -77,6 +77,17 @@ def build_session(
         # site (workload.load, which also sets this conf for foreign
         # sessions).
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # PySpark 4 captures a Python call-site origin for EVERY
+        # DataFrame/Column API call (a stack inspection plus an extra
+        # py4j round trip each) so error messages can point at user
+        # code. On expression-heavy plans this is the dominant plan-
+        # CONSTRUCTION cost — measured round 12 at sf0.1: d03 plan
+        # build 1.4 s -> 0.5 s, t23 1.4 s -> 0.9 s with it off, every
+        # query's construction shrinks. Driver-side planning cost is
+        # paid per query regardless of data size (guide §7.3), so this
+        # is a win at any scale; the only loss is the call-site line in
+        # error messages, which tests re-enable per-session if needed.
+        "spark.python.sql.dataFrameDebugging.enabled": "false",
         "spark.ui.showConsoleProgress": "false",
         "spark.ui.enabled": "false",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
