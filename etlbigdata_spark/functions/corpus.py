@@ -494,6 +494,7 @@ def packed_sequences(
     text_col: str = "text",
     budget: int = 4096,
     n_groups: int = 8,
+    tokens_out: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Materialize :func:`pack_shards` output as TRAINING SEQUENCES: one
     row per (group, shard) holding the pack's documents concatenated in
@@ -508,6 +509,15 @@ def packed_sequences(
     * ``docs`` — ``(pack_id, <id_col>, doc_start, doc_end)``: 1-based
       inclusive token offsets of each document inside its pack
       (zero-token documents get an empty range and never overlap).
+
+    With ``tokens_out=True`` ``seqs`` additionally carries
+    ``packed_toks`` — the concatenated token ARRAY the join produced
+    ``packed_text`` from — so a downstream shingle pass can skip
+    re-splitting the packed text (round 12: tokens are canonical —
+    lowercase, whitespace-free, no empties — so
+    ``tokens_col(packed_text) == packed_toks`` exactly; the span
+    finder consumes the array and saves one full regex pass over the
+    packed corpus).
 
     Token accounting uses the library tokenizer
     (:func:`text.tokens_col`, lowercased whitespace tokens) so offsets
@@ -545,30 +555,34 @@ def packed_sequences(
             (F.col("__start") + F.col("__ntok")).alias("doc_end"),
         )
     )
+    # flatten token ARRAYS (not join text fragments): zero-token docs
+    # vanish instead of leaving a double space, so packed_text is
+    # strictly the canonical token stream
+    arr = F.flatten(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("i"), F.col("__ctoks").alias("t"))
+                )
+            ),
+            lambda s: s["t"],
+        )
+    )
+    out_cols = [pid, "group", "shard", "packed_text", "n_docs", "n_tokens"]
+    aggs = [
+        arr.alias("__parr"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__ntok").alias("n_tokens"),
+    ]
     seqs = (
         packed.groupBy("group", "shard")
-        .agg(
-            # flatten token ARRAYS (not join text fragments): zero-token
-            # docs vanish instead of leaving a double space, so
-            # packed_text is strictly the canonical token stream
-            F.array_join(
-                F.flatten(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.struct(F.col(id_col).alias("i"), F.col("__ctoks").alias("t"))
-                            )
-                        ),
-                        lambda s: s["t"],
-                    )
-                ),
-                " ",
-            ).alias("packed_text"),
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("__ntok").alias("n_tokens"),
-        )
-        .select(pid, "group", "shard", "packed_text", "n_docs", "n_tokens")
+        .agg(*aggs)
+        .withColumn("packed_text", F.array_join("__parr", " "))
     )
+    if tokens_out:
+        seqs = seqs.withColumnRenamed("__parr", "packed_toks")
+        out_cols.append("packed_toks")
+    seqs = seqs.select(*out_cols)
     return seqs, docs
 
 
@@ -607,9 +621,13 @@ def packed_span_dedup(
     """
     from .dedup import duplicated_spans
 
-    seqs, docs = packed_sequences(df, id_col, text_col, budget, n_groups)
+    seqs, docs = packed_sequences(
+        df, id_col, text_col, budget, n_groups, tokens_out=True
+    )
     spans = duplicated_spans(
-        seqs, id_col="pack_id", text_col="packed_text",
+        # the token ARRAY, not the joined text: skips re-splitting the
+        # packed corpus (round 12; exactly equal — see packed_sequences)
+        seqs, id_col="pack_id", text_col="packed_toks",
         n=n, min_tokens=min_tokens, min_docs=2,
     )
     touched = (

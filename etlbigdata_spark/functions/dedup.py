@@ -1199,11 +1199,22 @@ def positional_shingles(
     is what :func:`duplicated_spans` needs to merge hits back into
     contiguous spans; the 8-byte hash is what keeps the wide stages
     narrow (same discipline as d02's inverted index — a 64-bit
-    collision would need ~2³² distinct shingles per corpus to matter)."""
+    collision would need ~2³² distinct shingles per corpus to matter).
+
+    ``text_col`` may already be an ``array<string>`` of canonical
+    tokens (round 12 — e.g. ``corpus.packed_sequences(...,
+    tokens_out=True)``); the tokenizer is then skipped, which for the
+    packed-span pipeline saves a full regex re-split of text that was
+    itself just built by joining token arrays (tokens are canonical —
+    lowercase, whitespace-free, non-empty — so the two forms are
+    exactly equal)."""
+    from pyspark.sql.types import ArrayType
+
     df = rebalance_for_expansion(df)
-    toked = df.select(
-        F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("__toks")
-    )
+    src = F.col(text_col)
+    if not isinstance(df.schema[text_col].dataType, ArrayType):
+        src = tokens_col(src)
+    toked = df.select(F.col(id_col).alias("doc_id"), src.alias("__toks"))
     grams = F.when(
         F.size("__toks") < n, F.array().cast("array<string>")
     ).otherwise(
