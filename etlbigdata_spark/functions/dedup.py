@@ -156,16 +156,15 @@ def ngram_jaccard_pairs(
     with the frequency cutoff still counted corpus-wide (see
     :func:`_shared_counts_and_sizes`).
 
-    NOTE: with ``max_doc_freq`` set, construction runs one NARROW probe
-    job (round 12; previously a full tokenize+explode count) — a
-    ``sum(length(text))`` agg whose char bound sizes the self-join so
-    hash builds stay bounded as the corpus grows; the guarded shingle
-    table is then repartitioned by shingle BEFORE its scoped persist,
-    so the doc-freq aggregate and both self-join sides share that one
-    exchange (see the inline block in ``_shared_counts_and_sizes``).
-    With ``max_doc_freq=None`` construction stays lazy and the join
-    stays spill-safe sort-merge (no per-key bound exists to justify
-    the hash hint).
+    NOTE: with ``max_doc_freq`` set, construction EAGERLY runs one
+    Spark job (round 9) — a count on the persisted shingle table sizes
+    the self-join so hash builds stay bounded as the corpus grows; the
+    cache it materializes is the one every consumer of the plan needs
+    anyway.  With ``max_doc_freq=None`` construction stays lazy and the
+    join stays spill-safe sort-merge (no per-key bound exists to
+    justify the hash hint).  (A round-12 restructure that pre-
+    partitioned the cache by shingle was measured and REVERTED — the
+    negative result is recorded in ``_shared_counts_and_sizes``.)
     """
     shared = _shared_counts_and_sizes(df, id_col, text_col, n, max_doc_freq, restrict_ids)
     return (
@@ -216,70 +215,59 @@ def _shared_counts_and_sizes(
     # partition count the per-partition build grows linearly with the
     # corpus (first real failure at sf30/75 M shingle rows on 32
     # partitions: "Can't acquire ... bytes to build hash relation").
-    # So the join's width scales with the data.  Round 12 restructure
-    # (guide §2.4 — operations keyed the same way share one exchange):
-    # the shingle stream is repartitioned by shingle ONCE, *before* the
-    # doc-freq guard and the scoped persist, so (a) the guard's
-    # frequency aggregate runs with NO exchange of its own, (b) the
-    # cached table's partitioning satisfies the self-join's
-    # distribution on BOTH sides — the two exec-time
-    # `Exchange hashpartitioning(shingle)` nodes the round-9 plan paid
-    # (one per join input, the full table each) are gone, the single
-    # build-time exchange riding the cache materialization.  The width
-    # comes from a narrow probe — shingle rows ≤ tokens ≤
-    # (Σ length(text)+1)/2, one sum-agg scan with NO regex tokenize —
-    # replacing the round-9 count() (which forced an EAGER full
-    # tokenize+explode job at plan construction; the probe's char bound
-    # overshoots rows ~3×, which only makes builds smaller, never
-    # bigger, so the OOM guard is conservative).  If even
-    # _SHJ_MAX_PARTS partitions cannot bound the build the hint is
-    # DROPPED and Catalyst's sort-merge join spills gracefully instead
-    # of dying.  Repartition width bounds the AVERAGE build; only the
-    # doc-freq guard bounds a single KEY (all rows of one hot shingle
-    # land in one partition no matter the width).  So the hint is
-    # forced only when BOTH bounds hold — unguarded callers
-    # (max_doc_freq=None) get the spill-safe sort-merge default instead
-    # of a possible build OOM, and skip the probe entirely; with the
-    # count() gone, construction is now lazy for guarded callers too
-    # apart from the 1-row probe agg.
+    # So the join's width now scales with the data: one count() on the
+    # already-persisted shingle table (materializes the cache every
+    # consumer needs anyway — the same eager-probe discipline as the
+    # simhash auto-probe, stated here) sizes an explicit
+    # repartition-by-shingle keeping builds at ~BUILD_ROWS rows per
+    # task; if the cap is ever insufficient the hint is DROPPED and
+    # Catalyst's sort-merge join spills gracefully instead of dying.
+    # Repartition width bounds the AVERAGE build; only the doc-freq
+    # guard bounds a single KEY (all rows of one hot shingle land in one
+    # partition no matter the width).  So the hint is forced only when
+    # BOTH bounds hold — unguarded callers (max_doc_freq=None) get the
+    # spill-safe sort-merge default instead of a possible build OOM,
+    # and skip the sizing count entirely: their branch outcome does not
+    # depend on it, so their construction stays LAZY (round-9 review).
+    #
+    # Round 12 NEGATIVE RESULT, kept as a warning: repartitioning the
+    # stream by shingle BEFORE the guard+persist (so the self-join
+    # reads a pre-partitioned cache with zero exec-time exchanges —
+    # guide §2.4) measured FASTER in stage isolation (join+pair-agg
+    # 2.05 -> 1.18 s at sf1) but SLOWER end-to-end (d02 4.3 -> 7.6 s
+    # at sf1): with the repartition absorbed into the cached plan, the
+    # doc-freq anti-join statically planned as a sort-merge instead of
+    # broadcast, and the two sizes joins lost their broadcast
+    # conversion — two extra full shuffles (~120 MB each at sf1) of
+    # the candidate-pair table, dwarfing the two ~32 MB shingle
+    # exchanges the rewrite removed.  The round-9 shape below is the
+    # measured optimum; see OPTIMIZATION_r12.md.
+    if max_doc_freq is not None:
+        sh = df_freq_cutoff(sh, max_doc_freq)
+    if restrict_ids is not None:
+        sh = sh.join(restrict_ids.toDF("id"), "id", "left_semi")
+    # the shingle table feeds three consumers (sizes + both join sides);
+    # persist it so the tokenizer runs once, not four times
+    sh = _persist_scoped(sh)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
     if max_doc_freq is None:
-        if restrict_ids is not None:
-            sh = sh.join(restrict_ids.toDF("id"), "id", "left_semi")
-        sh = _persist_scoped(sh)
         a, b = sh.alias("a"), sh.alias("b")  # SMJ: sorts, but spills
     else:
-        total_len = df.agg(
-            F.sum(F.length(F.col(text_col))).alias("c")
-        ).collect()[0]["c"]
-        est_rows = (int(total_len or 0) + 1) // 2  # ≥ true shingle rows
+        n_rows = sh.count()
         try:
             session_parts = int(
                 sh.sparkSession.conf.get("spark.sql.shuffle.partitions")
             )
         except ValueError:  # e.g. "auto" under managed AQE shuffles
             session_parts = 200
-        need = -(-est_rows // _SHJ_BUILD_ROWS)  # ceil
-        hinted = need <= _SHJ_MAX_PARTS
-        if hinted:
-            sh = sh.repartition(max(int(need), session_parts), "shingle")
-        sh = df_freq_cutoff(sh, max_doc_freq)
-        if restrict_ids is not None:
-            sh = sh.join(restrict_ids.toDF("id"), "id", "left_semi")
-        sh = _persist_scoped(sh)
-        if hinted:
-            # materialize the cache NOW (one count, the r9 eager job):
-            # a plan built over a not-yet-materialized AQE cached
-            # relation cannot see the cache's hash partitioning
-            # (isFinalPlan=false hides outputPartitioning), so
-            # EnsureRequirements would conservatively re-exchange BOTH
-            # self-join inputs — exactly the two full-table shuffles
-            # the repartition-before-persist exists to remove.  After
-            # the count the join plans exchange-free (verified in
-            # plans/r12/d02_jaccard_pairs_after.txt).
-            sh.count()
-        a = sh.alias("a")
-        b = (sh.hint("shuffle_hash") if hinted else sh).alias("b")
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+        need = -(-n_rows // _SHJ_BUILD_ROWS)  # ceil
+        if need > _SHJ_MAX_PARTS:
+            a, b = sh.alias("a"), sh.alias("b")  # SMJ: sorts, but spills
+        elif need > session_parts:
+            sh = sh.repartition(int(need), "shingle")
+            a, b = sh.alias("a"), sh.hint("shuffle_hash").alias("b")
+        else:
+            a, b = sh.alias("a"), sh.hint("shuffle_hash").alias("b")
     shared = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
