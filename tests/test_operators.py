@@ -1810,3 +1810,33 @@ def test_bm25_append_index_equals_rebuild(spark, tmp_path):
     direct = sorted(map(tuple, ftext.bm25_topk(docs, queries, k=10).collect()))
     assert got == want == direct and len(got) > 0
     ftext.release_cached()
+
+
+def test_positional_shingles_array_input_equals_text_input(spark):
+    """Round-12 internals pin: duplicated_spans/positional_shingles over
+    an already-tokenized array<string> column (the packed_sequences
+    tokens_out path) must equal the text-column path exactly — the
+    equivalence that lets packed_span_dedup skip re-splitting text that
+    was just built by joining canonical token arrays.  Includes the
+    edge cases the guard matters for: doc shorter than n, empty doc."""
+    from pyspark.sql import functions as F
+
+    from etlbigdata_spark.functions import dedup as fdedup
+
+    rows = [
+        (1, "alpha beta gamma delta alpha beta gamma"),
+        (2, "x alpha beta gamma delta end marker"),
+        (3, "tiny"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from etlbigdata_spark.functions.text import tokens_col
+
+    arr = df.select("doc_id", tokens_col(F.col("text")).alias("text"))
+    for fn, kw in (
+        (fdedup.positional_shingles, dict(n=3)),
+        (fdedup.duplicated_spans, dict(n=2, min_tokens=3, min_docs=2)),
+    ):
+        got_text = sorted(tuple(r) for r in fn(df, "doc_id", "text", **kw).collect())
+        got_arr = sorted(tuple(r) for r in fn(arr, "doc_id", "text", **kw).collect())
+        assert got_text == got_arr, (fn.__name__, got_text[:5], got_arr[:5])
