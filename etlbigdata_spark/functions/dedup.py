@@ -1200,7 +1200,11 @@ def positional_shingles(
 
     df = rebalance_for_expansion(df)
     src = F.col(text_col)
-    if not isinstance(df.schema[text_col].dataType, ArrayType):
+    # resolve the type through the ANALYZER, not df.schema[text_col]:
+    # the exact top-level StructType lookup raised KeyError for names
+    # F.col resolves fine (nested 'meta.text', case-variant 'TEXT') —
+    # ADVICE r12. select() is plan-only, no job.
+    if not isinstance(df.select(src).schema[0].dataType, ArrayType):
         src = tokens_col(src)
     toked = df.select(F.col(id_col).alias("doc_id"), src.alias("__toks"))
     grams = F.when(
@@ -1263,12 +1267,28 @@ def duplicated_spans(
     # the token stream feeds BOTH the doc-freq agg and the hit semi-join;
     # scoped-persist it (d02's discipline) so tokenize+explode runs once
     pos = _persist_scoped(positional_shingles(df, id_col, text_col, n))
-    dup = (
-        pos.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("__nd"))
-        .filter(F.col("__nd") >= min_docs)
-        .select("h")
-    )
+    if min_docs == 2:
+        # "seen in >= 2 distinct docs" == "min(doc_id) != max(doc_id)":
+        # min/max partial-aggregate map-side with O(1) state per hash,
+        # so the doc-freq agg is ONE exchange of one row per distinct
+        # hash per map partition — countDistinct expands to TWO
+        # exchanges ((h, doc) dedup shuffle, then the per-h count) and
+        # ships a row per distinct (h, doc) pair (round 13, guide
+        # §2.3/§2.4; the d02 lesson applied where it does pay).  Exact,
+        # not approximate: both sides ignore NULL ids identically.
+        dup = (
+            pos.groupBy("h")
+            .agg(F.min("doc_id").alias("__lo"), F.max("doc_id").alias("__hi"))
+            .filter(F.col("__lo") != F.col("__hi"))
+            .select("h")
+        )
+    else:
+        dup = (
+            pos.groupBy("h")
+            .agg(F.countDistinct("doc_id").alias("__nd"))
+            .filter(F.col("__nd") >= min_docs)
+            .select("h")
+        )
     hits = pos.join(dup, "h", "left_semi").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     isl = hits.withColumn("__grp", F.col("pos") - F.row_number().over(w))

@@ -460,7 +460,14 @@ def ngram_novelty(
             "id", F.xxhash64("shingle").alias("h")
         )
     )
-    dfreq = sh.groupBy("h").agg(F.countDistinct("id").alias("__df"))
+    # plain count, NOT countDistinct: exploded_shingles emits DISTINCT
+    # shingles per doc (array_distinct before the explode), so (id, h)
+    # rows are already unique and the two agree exactly — modulo the
+    # same intra-doc 64-bit collision class the hashing note above
+    # already accepts.  count partial-aggregates map-side with O(1)
+    # state and ONE exchange; countDistinct planned as TWO exchanges
+    # ((h, id) dedup shuffle, then the per-h count) — round 13, §2.4.
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
     per_doc = (
         sh.join(dfreq, "h")
         .groupBy("id")

@@ -86,7 +86,11 @@ def build_session(
         # query's construction shrinks. Driver-side planning cost is
         # paid per query regardless of data size (guide §7.3), so this
         # is a win at any scale; the only loss is the call-site line in
-        # error messages, which tests re-enable per-session if needed.
+        # error messages. NOTE (ADVICE r12): pyspark caches this flag in
+        # a process-global on first use (pyspark.errors.utils
+        # ._enable_debugging_cache), so re-enabling needs a fresh Python
+        # process or resetting that cache — a later per-session conf
+        # change alone is a silent no-op.
         "spark.python.sql.dataFrameDebugging.enabled": "false",
         "spark.ui.showConsoleProgress": "false",
         "spark.ui.enabled": "false",

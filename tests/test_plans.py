@@ -197,7 +197,14 @@ def test_d10_no_pair_join_and_hashed_stream(plans):
     for part in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "__sh" not in part and "shingle" not in part
     assert "xxhash64" in plan, "d10 no longer hashes shingles"
-    assert "partial_count" in plan, "doc-freq agg lost its map-side partial"
+    # round 13: the doc-freq agg is min/max-per-hash (one exchange,
+    # O(1) map-side state) instead of countDistinct (two exchanges)
+    assert "partial_min" in plan and "partial_max" in plan, (
+        "doc-freq agg lost its single-exchange min/max map-side partial"
+    )
+    assert "partial_count" not in plan, (
+        "d10 regrew a countDistinct-style two-exchange doc-freq agg"
+    )
 
 
 def test_q03_q05_reduce_first(plans):
