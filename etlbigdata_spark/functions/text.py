@@ -641,6 +641,7 @@ def _bm25_rank_from_tf(
     k1: float,
     b: float,
     id_col: str,
+    dfreq: DataFrame | None = None,
 ) -> DataFrame:
     """Shared BM25 scoring tail (round 12): from a matched tf table
     ``(__doc, term, __tf, __dl)``, the distinct per-query term frame
@@ -650,19 +651,29 @@ def _bm25_rank_from_tf(
     pruned-postings path, so the two are arithmetic-identical by
     construction (micro-unit idf + contributions, exact integer sums,
     s01 round-before-rank)."""
-    # df via a whole-partition window over term instead of the round-12
-    # first-cut groupBy + broadcast-join-back: one exchange of the
-    # (already query-pruned, hit-sized) tf table replaces the dfreq
-    # shuffle AND the idf broadcast build, and with the tail now
-    # consuming tf exactly once the callers' scope-persist of tf is
-    # gone too (guide §2.4: two operations keyed the same way share one
-    # exchange; measured −3 jobs on s10 at sf0.1).  The arithmetic is
-    # unchanged: idf_u is still rounded ONCE to micro-unit longs before
-    # any contribution math, so s10/s12/st16 hashes are identical.
-    enriched = (
-        tf.withColumn(
-            "__df", F.count(F.lit(1)).over(Window.partitionBy("term"))
-        )
+    # df/idf ride on the QUERY-TERM frame, not on tf (round 13, guide
+    # §2.5/§2.3 — replaces the round-12 window-over-term, whose single
+    # per-term window partition was an unbounded hotspot for a
+    # stopword-class query term at corpus scale: ADVICE r12).  dfreq is
+    # a plain per-term count of the tf table — map-side partial agg,
+    # O(1) state, and AT MOST |distinct query terms| output rows
+    # (every tf producer is query-pruned by construction), so folding
+    # dfreq + corpus stats + idf into qt yields a provably tiny frame
+    # that broadcasts into tf as the tail's ONE join.  tf is never
+    # exchanged by term at all now — no window partition to overflow;
+    # the big side's only shuffle stays the well-spread (doc, term)
+    # groupBy of the producers.  In the direct-scan path tf appears
+    # twice in the plan (dfreq build + probe), but its exchange is
+    # REUSED (ReusedExchange / AQE stage reuse — plan-asserted in
+    # tests), so the corpus-sized work still runs once; the index
+    # probe path passes ``dfreq`` in from the persisted sidecar and
+    # computes no df at all.  The arithmetic is unchanged: idf_u is
+    # still rounded ONCE to micro-unit longs before any contribution
+    # math, so s10/s11/s12/st16 hashes are identical.
+    if dfreq is None:
+        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    qterms = (
+        qt.join(dfreq, "term")
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "__idf_u",
@@ -677,9 +688,10 @@ def _bm25_rank_from_tf(
         .withColumn(
             "__avgdl", F.col("__sum_dl").cast("double") / F.col("__n_docs")
         )
+        .select("query_id", "term", "__idf_u", "__avgdl")
     )
     contrib = (
-        enriched.join(F.broadcast(qt), "term")
+        tf.join(F.broadcast(qterms), "term")
         .select(
             "query_id",
             "__doc",
@@ -718,8 +730,9 @@ def bm25_write_index(
     — partitioned by ``bucket = pmod(xxhash64(term), n_buckets)`` with
     ONE file per bucket (repartition by the partition column before the
     write: the IVF round-10 lesson — without it every input partition
-    slivers every bucket), plus a ``<path>/stats`` sidecar carrying
-    ``(n_docs, sum_dl, n_buckets)``.
+    slivers every bucket), plus a ``<path>/dfreq`` term-dictionary
+    sidecar (``(term, df)`` per bucket, additive append segments) and a
+    ``<path>/stats`` sidecar carrying ``(n_docs, sum_dl, n_buckets)``.
 
     Build once, probe every query batch with :func:`bm25_probe_index`:
     the probe's bucket set becomes a static PARTITION filter, so a
@@ -751,6 +764,27 @@ def bm25_write_index(
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(f"{path}/postings")
+    )
+    # df sidecar (round 13): a real inverted index stores df in the
+    # term dictionary, so probes never aggregate posting lists to
+    # recover it — the probe-time df computation was the skew hazard
+    # ADVICE r12 flagged (a stopword-class query term funnels its
+    # corpus-scale posting list through one df task).  Derived by
+    # reading BACK the just-written postings (posting-sized columnar
+    # scan of (term, bucket) only — no corpus re-tokenize), bucketed
+    # like the postings so probes prune the same way.  Rows are
+    # ADDITIVE (term, df) segments: append writes batch deltas and
+    # probes SUM, keeping appends O(new batch).
+    dfr = (
+        docs.sparkSession.read.parquet(f"{path}/postings")
+        .groupBy("bucket", "term")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    (
+        dfr.repartition(n_buckets, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/dfreq")
     )
     stats.write.mode("overwrite").parquet(f"{path}/stats")
     row = _read_bm25_stats(docs.sparkSession, path)
@@ -827,11 +861,23 @@ def bm25_probe_index(
         .filter(F.col("term").isin(terms))      # row-group pushdown inside
         .select("__doc", "term", "__tf", "__dl")
     )
+    # df from the index's term-dictionary sidecar (round 13): same
+    # bucket pruning + term pushdown, SUMMED over append segments —
+    # the probe never aggregates posting lists to recover df, so a
+    # corpus-frequent query term costs a dictionary lookup, not a
+    # corpus-scale single-partition aggregation (ADVICE r12).
+    dfreq = (
+        spark.read.parquet(f"{path}/dfreq")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.sum("__df").alias("__df"))
+    )
     stats = spark.createDataFrame(
         [(n_docs, sum_dl)], "__n_docs long, __sum_dl long"
     )
-    # tf feeds one chain since the window-df tail rewrite — no persist
-    return _bm25_rank_from_tf(tf, qt, stats, k, k1, b, id_col)
+    # tf feeds one chain since the round-12 tail rewrite — no persist
+    return _bm25_rank_from_tf(tf, qt, stats, k, k1, b, id_col, dfreq=dfreq)
 
 
 def bm25_append_index(
@@ -853,9 +899,10 @@ def bm25_append_index(
 
     Append contract (the ivf_append discipline): batch ids must be NEW
     — re-appending an existing document double-counts its postings.
-    The postings append commits before the stats rewrite; a crash
-    between the two leaves stats stale by one batch (df/tf already
-    correct), which the next successful append repairs — stated, not
+    The postings append commits first, then the dfreq delta, then the
+    stats rewrite; a crash between them leaves the sidecars short by
+    the committed batch's postings (recovery = rebuild the sidecars
+    from the postings, which stay authoritative) — stated, not
     silent."""
     spark = docs.sparkSession
     n_docs, sum_dl, n_buckets = _read_bm25_stats(spark, path)
@@ -878,6 +925,21 @@ def bm25_append_index(
         .write.mode("append")
         .partitionBy("bucket")
         .parquet(f"{path}/postings")
+    )
+    # df sidecar delta (round 13): the batch's per-term doc counts
+    # APPEND as an additive segment (probes sum segments), so the
+    # existing dictionary is never read or rewritten — O(new batch),
+    # same contract as the postings append.  Exact because batch ids
+    # are new (the append contract above): df adds linearly.  Cost:
+    # one batch-sized re-explode (the postings lineage re-runs for
+    # this tiny agg) — batch-scale, not corpus-scale.
+    (
+        postings.groupBy("bucket", "term")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .repartition(n_buckets, "bucket")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(f"{path}/dfreq")
     )
     new_stats = (
         int(batch["__n"]) + n_docs,

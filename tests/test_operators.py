@@ -1654,6 +1654,8 @@ def test_bm25_plan_is_inverted_index_shaped(spark):
     matched-pair shuffle — the query side reaches the token stream as a
     BROADCAST semi-side (no corpus x query cartesian, no sort-merge of
     the corpus against queries)."""
+    import re
+
     from etlbigdata_spark.functions import text as ftext
 
     docs = spark.createDataFrame(
@@ -1669,18 +1671,25 @@ def test_bm25_plan_is_inverted_index_shaped(spark):
     # the only nested-loop is the 1-row corpus-stats broadcast cross
     assert final_tree.count("BroadcastNestedLoopJoin") <= 1
     assert "BroadcastHashJoin" in plan  # the query-term semi filter + qt join
-    # the corpus-sized explode runs ONCE: since the round-12 window-df
-    # tail rewrite, tf feeds exactly one consumer chain (df rides in as
-    # a count over a term-partitioned window), so no persist is needed
-    # and the explode must not be duplicated by a re-derived branch
-    assert final_tree.count("explode(__toks") == 1, (
-        "bm25 corpus explode duplicated — the single-consumer tail regressed"
+    # the corpus-sized work runs ONCE: since the round-13 qterms-df
+    # tail rewrite (df folded into the broadcast query-term frame), tf
+    # appears in two plan branches (dfreq build + probe) but its
+    # (doc, term) exchange is REUSED — the executed plan must show the
+    # reuse, and no persist is needed
+    assert "ReusedExchange" in final_tree or "StageReuse" in final_tree, (
+        "bm25 tf exchange no longer reused — the corpus explode would "
+        "run twice (the dfreq build and the probe side each pay it)"
     )
     assert "InMemoryTableScan" not in plan, (
-        "bm25 re-grew a cache: the window-df tail made the tf persist "
+        "bm25 re-grew a cache: the broadcast-df tail made the tf persist "
         "(and its materialization job) unnecessary"
     )
-    assert "Window" in final_tree  # the df-over-term window
+    # NO term-partitioned window anywhere: the round-12 df-over-term
+    # window was an unbounded per-term hotspot for corpus-frequent
+    # query terms (ADVICE r12); the only window left is the per-query
+    # top-k rank
+    assert not re.search(r"windowspecdefinition\(term", final_tree)
+    assert "Window" in final_tree  # the per-query top-k rank window
     ftext.release_cached()
 
 
