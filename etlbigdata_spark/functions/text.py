@@ -558,6 +558,21 @@ def source_vocab_overlap(
     )
 
 
+def _corpus_stats(docs: DataFrame, text_col: str) -> DataFrame:
+    """1-row ``(__n_docs, __sum_dl)`` corpus stats for BM25 (round 13).
+    dl is counted with ``regexp_count(text, '\\S+')`` — exactly
+    ``size(tokens_col(text))`` (maximal non-whitespace runs == split on
+    ``\\s+`` with empties removed) but with no lowercase copy and no
+    token-array materialization, so the stats pass over the corpus does
+    a fraction of the explode pass's per-byte work (guide §1.2: this
+    pass exists only to produce two numbers).  Map-side 1-row agg; the
+    caller broadcasts it."""
+    return docs.filter(F.col(text_col).isNotNull()).agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.sum(F.regexp_count(F.col(text_col), F.lit(r"\S+"))).alias("__sum_dl"),
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -613,10 +628,7 @@ def bm25_topk(
         )
         .distinct()
     )
-    stats = d.agg(
-        F.count(F.lit(1)).alias("__n_docs"),
-        F.sum(F.size("__toks")).alias("__sum_dl"),
-    )
+    stats = _corpus_stats(docs, text_col)
     pairs = d.select(
         "__doc", F.size("__toks").alias("__dl"), F.explode("__toks").alias("term")
     )
@@ -747,10 +759,9 @@ def bm25_write_index(
     d = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("__doc"), tokens_col(F.col(text_col)).alias("__toks")
     )
-    stats = d.agg(
-        F.count(F.lit(1)).alias("__n_docs"),
-        F.sum(F.size("__toks")).alias("__sum_dl"),
-    ).withColumn("__n_buckets", F.lit(n_buckets))
+    stats = _corpus_stats(docs, text_col).withColumn(
+        "__n_buckets", F.lit(n_buckets)
+    )
     pairs = d.select(
         "__doc", F.size("__toks").alias("__dl"), F.explode("__toks").alias("term")
     )
@@ -909,9 +920,7 @@ def bm25_append_index(
     d = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("__doc"), tokens_col(F.col(text_col)).alias("__toks")
     )
-    batch = d.agg(
-        F.count(F.lit(1)).alias("__n"), F.sum(F.size("__toks")).alias("__dl")
-    ).collect()[0]
+    batch = _corpus_stats(docs, text_col).collect()[0]
     pairs = d.select(
         "__doc", F.size("__toks").alias("__dl"), F.explode("__toks").alias("term")
     )
@@ -942,8 +951,8 @@ def bm25_append_index(
         .parquet(f"{path}/dfreq")
     )
     new_stats = (
-        int(batch["__n"]) + n_docs,
-        int(batch["__dl"] or 0) + sum_dl,
+        int(batch["__n_docs"]) + n_docs,
+        int(batch["__sum_dl"] or 0) + sum_dl,
         n_buckets,
     )
     spark.createDataFrame(
