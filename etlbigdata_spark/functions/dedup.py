@@ -1207,19 +1207,33 @@ def positional_shingles(
     if not isinstance(df.select(src).schema[0].dataType, ArrayType):
         src = tokens_col(src)
     toked = df.select(F.col(id_col).alias("doc_id"), src.alias("__toks"))
+    # round 13: hash each TOKEN's bytes once, then hash the n
+    # consecutive 64-bit token hashes per position — the old shape
+    # built a string per position (slice + array_join allocates ~n
+    # tokens of bytes for EVERY position, re-hashing each token's
+    # bytes n times); this hashes 8n fixed bytes per position with no
+    # allocation.  Equality is what the consumers need, and the
+    # collision class is unchanged (two positions collide only via a
+    # 64-bit hash collision, the same ~2⁻⁶⁴ budget the module already
+    # accepts; tokens are whitespace-free so the old space-join was
+    # injective, and the hash-tuple form is injective modulo the same
+    # hashes).  element_at stays in bounds by the sequence's upper
+    # limit, so the expression is ANSI-safe.
+    th = F.transform(F.col("__toks"), lambda t: F.xxhash64(t))
+    hashed = toked.select("doc_id", F.size("__toks").alias("__sz"), th.alias("__th"))
     grams = F.when(
-        F.size("__toks") < n, F.array().cast("array<string>")
+        F.col("__sz") < n, F.array().cast("array<bigint>")
     ).otherwise(
         F.transform(
-            F.sequence(F.lit(1), F.size("__toks") - F.lit(n - 1)),
-            lambda i: F.array_join(F.slice("__toks", i, n), " "),
+            F.sequence(F.lit(1), F.col("__sz") - F.lit(n - 1)),
+            lambda i: F.xxhash64(
+                *[F.element_at("__th", i + F.lit(j)) for j in range(n)]
+            ),
         )
     )
-    return toked.select(
-        "doc_id", F.posexplode(grams).alias("__p0", "__sh")
-    ).select(
-        "doc_id", (F.col("__p0") + 1).alias("pos"), F.xxhash64("__sh").alias("h")
-    )
+    return hashed.select(
+        "doc_id", F.posexplode(grams).alias("__p0", "h")
+    ).select("doc_id", (F.col("__p0") + 1).alias("pos"), "h")
 
 
 def duplicated_spans(
