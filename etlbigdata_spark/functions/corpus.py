@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import exploded_shingles
+from .dedup import exploded_shingle_hashes, exploded_shingles
 
 # -- deterministic split ----------------------------------------------
 
@@ -148,15 +148,16 @@ def contamination_report(
     distinct benchmark shingles (and a benchmark that large would need
     the join inverted anyway).
     """
+    # both sides hash identically (equality is all the join needs);
+    # hashes come straight from per-token hashes with no per-position
+    # string build — round 13, see dedup.exploded_shingle_hashes
     bsh = (
-        exploded_shingles(benchmark, id_col, text_col, n)
-        .select(F.xxhash64("shingle").alias("shingle"))
+        exploded_shingle_hashes(benchmark, id_col, text_col, n)
+        .select("shingle")
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
-    csh = exploded_shingles(corpus, id_col, text_col, n).select(
-        "id", F.xxhash64("shingle").alias("shingle")
-    )
+    csh = exploded_shingle_hashes(corpus, id_col, text_col, n)
     agg = (
         csh.join(F.broadcast(bsh), "shingle", "left")
         .groupBy("id")

@@ -130,6 +130,44 @@ def exploded_shingles(
     return toked.select("id", F.explode(shingles_from_tokens("__toks", n)).alias(out_col))
 
 
+def exploded_shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, out_col: str = "shingle"
+) -> DataFrame:
+    """(id, shingle-HASH) rows — :func:`exploded_shingles` for consumers
+    that only ever compare shingles for equality (round 13: every pair
+    finder hashed the exploded strings immediately anyway).  Each
+    token's bytes hash once (xxhash64 per element), each position
+    hashes its n consecutive 64-bit token hashes — 8n fixed bytes, no
+    per-position string build — and array_distinct dedups 8-byte longs
+    instead of ~30-byte strings.  Collision class unchanged: two
+    distinct shingles collide only via a 64-bit hash collision, the
+    ~|shingles|²/2⁶⁴ budget the module already accepts (the
+    string-exact oracles would catch one if it fired).  element_at
+    stays in bounds by the sequence's upper limit (ANSI-safe)."""
+    df = rebalance_for_expansion(df)
+    toked = df.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("__toks")
+    )
+    hashed = toked.select(
+        "id",
+        F.size("__toks").alias("__sz"),
+        F.transform(F.col("__toks"), lambda t: F.xxhash64(t)).alias("__th"),
+    )
+    grams = F.when(
+        F.col("__sz") < n, F.array().cast("array<bigint>")
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.col("__sz") - F.lit(n - 1)),
+                lambda i: F.xxhash64(
+                    *[F.element_at("__th", i + F.lit(j)) for j in range(n)]
+                ),
+            )
+        )
+    )
+    return hashed.select("id", F.explode(grams).alias(out_col))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -194,13 +232,14 @@ def _shared_counts_and_sizes(
     order matters: doc frequency must be counted over the full corpus
     or the guard's semantics (and any oracle mirroring it) drift with
     the subset."""
-    sh = exploded_shingles(df, id_col, text_col, n)
     # shuffle 8-byte shingle HASHES, not ~30-byte strings: the join,
     # frequency guard and size agg only need equality, and a 64-bit
     # collision altering a count has probability ~|shingles|²/2⁶⁴ —
     # unobservable below ~10⁹ distinct shingles, and the DuckDB oracle
-    # (string-exact) would catch one if it ever fired
-    sh = sh.select("id", F.xxhash64("shingle").alias("shingle"))
+    # (string-exact) would catch one if it ever fired.  Round 13: the
+    # hashes are built straight from per-token hashes (no per-position
+    # string materialization) — see exploded_shingle_hashes.
+    sh = exploded_shingle_hashes(df, id_col, text_col, n)
     # shuffle_hash hint on the self-join: sort-merge would SORT both
     # multi-million-row sides by shingle hash only to feed a pair-count
     # aggregate that doesn't need order — the sorts dominated the query.

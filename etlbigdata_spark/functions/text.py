@@ -450,15 +450,15 @@ def ngram_novelty(
     """
     from pyspark.sql import functions as F
 
-    from .dedup import exploded_shingles
+    from .dedup import exploded_shingle_hashes
 
     # the shingle stream feeds the doc-freq agg AND the join-back —
     # scoped-persist so the highest-expansion stage runs once (the
-    # unigram_surprisal / source_vocab_overlap convention)
+    # unigram_surprisal / source_vocab_overlap convention); hashes are
+    # built straight from per-token hashes (round 13, no per-position
+    # string materialization — see exploded_shingle_hashes)
     sh = _persist_scoped(
-        exploded_shingles(df, id_col, text_col, n).select(
-            "id", F.xxhash64("shingle").alias("h")
-        )
+        exploded_shingle_hashes(df, id_col, text_col, n, out_col="h")
     )
     # plain count, NOT countDistinct: exploded_shingles emits DISTINCT
     # shingles per doc (array_distinct before the explode), so (id, h)
