@@ -10,6 +10,8 @@ weeks.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -60,21 +62,46 @@ def tokens_col(text: Column | str, lowercase: bool = True) -> Column:
     return F.array_remove(F.split(c, r"\s+"), "")
 
 
+# Expansion-stage sizing: how many COMPRESSED input bytes one task of a
+# tokenize → shingle → explode stage should own.  ~128 KB zstd text is
+# ~0.5-1 MB raw, fanning out to ~5-10 MB of shingle rows — enough work
+# to amortize task overhead, small enough to keep every slot busy.  The
+# constant only matters at the SMALL end: for any real corpus
+# bytes/128 KB vastly exceeds cluster parallelism and the cap below
+# wins, so this is not a local[32] tune (round 13, guide §2.1/§2.2 —
+# the r12 scaling block showed the heavy dedup rows running ~2× faster
+# at 8 cores than 32 at sf0.1: 32 tasks of a few KB each pay more in
+# per-task fixed cost than they gain in parallelism).
+_EXPANSION_BYTES_PER_TASK = int(
+    os.environ.get("SPARK_GRAFT_EXPANSION_BYTES_PER_TASK", str(128 * 1024))
+)
+
+
 def rebalance_for_expansion(df: DataFrame) -> DataFrame:
-    """Round-robin a narrow text frame up to full cluster parallelism
-    before a high-expansion projection (tokenize → shingle → explode).
+    """Round-robin a narrow text frame up to the width its BYTES need —
+    capped at cluster parallelism — before a high-expansion projection
+    (tokenize → shingle → explode).
 
     Input-split counts are sized to COMPRESSED bytes
     (``spark.sql.files.maxPartitionBytes``), but explode-style
     projections amplify the work per input byte ~100× (a 6 MB zstd text
     table fans out to tens of millions of shingle rows), so a small
     compressed scan can leave nearly every slot idle for the single most
-    expensive stage of a dedup pipeline.  If the scan already yields at
-    least ``defaultParallelism`` partitions — true for any real
-    100 TB-scale input — this is a NO-OP returning ``df`` unchanged; the
-    round-robin shuffle it otherwise inserts moves only the raw
-    pre-explosion rows.  Measured at sf1 (round 6, BASELINE.md): d02
-    end-to-end 11.8 → 6.2 s with result-identical output.
+    expensive stage of a dedup pipeline.  If the scan already yields
+    enough partitions — true for any real 100 TB-scale input — this is
+    a NO-OP returning ``df`` unchanged; the round-robin shuffle it
+    otherwise inserts moves only the raw pre-explosion rows.  Measured
+    at sf1 (round 6, BASELINE.md): d02 end-to-end 11.8 → 6.2 s with
+    result-identical output.
+
+    The width derives from the optimizer's size estimate
+    (``optimizedPlan().stats().sizeInBytes`` — driver-side plan
+    metadata, no job: file-scan relations report their file byte sum)
+    at ``_EXPANSION_BYTES_PER_TASK`` per task, clamped to
+    [1, defaultParallelism].  Round 13: at sf0.1 this stops a 0.6 MB
+    corpus from being sliced into 32 few-KB tasks (measured 1.5-2×
+    on d02/d04/d10/t23 at 32 cores); an unknown estimate (8 EiB
+    sentinel) falls back to full parallelism, the scale-safe default.
 
     Streaming frames pass through untouched (micro-batch sizing is the
     trigger's job, and ``.rdd`` is undefined for them).
@@ -82,6 +109,12 @@ def rebalance_for_expansion(df: DataFrame) -> DataFrame:
     if df.isStreaming:
         return df
     target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        if 0 < size < (1 << 50):  # a real estimate, not the unknown sentinel
+            target = max(1, min(target, -(-size // _EXPANSION_BYTES_PER_TASK)))
+    except Exception:
+        pass  # keep the full-parallelism default on any estimate failure
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

@@ -922,15 +922,23 @@ def test_scd2_history_roundtrips_through_scd2_join(spark):
     assert bad == 0 and joined.count() == len(rows)
 
 
-def test_rebalance_for_expansion_noop_and_upscale(spark):
+def test_rebalance_for_expansion_noop_and_upscale(spark, monkeypatch):
     """Pre-explode rebalance: a frame already at >= defaultParallelism
     partitions passes through UNCHANGED (same plan object — no exchange
-    inserted at real scale), while a partition-starved frame comes back
-    at cluster parallelism with identical rows."""
+    inserted at real scale); the upscale width is BYTES-derived
+    (round 13): a tiny frame is not sliced into cluster-parallelism
+    few-KB tasks, while a frame whose size estimate exceeds the
+    per-task byte budget comes back at full parallelism with identical
+    rows."""
     df = spark.range(1000).selectExpr("id", "repeat('w ', 20) as text")
     wide = df.repartition(spark.sparkContext.defaultParallelism + 4)
     assert ftext.rebalance_for_expansion(wide) is wide
     narrow = df.coalesce(1)
+    out_small = ftext.rebalance_for_expansion(narrow)
+    assert out_small.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    assert out_small.count() == 1000
+    # shrink the per-task budget: the same bytes now demand full width
+    monkeypatch.setattr(ftext, "_EXPANSION_BYTES_PER_TASK", 16)
     out = ftext.rebalance_for_expansion(narrow)
     assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
     assert out.count() == 1000
