@@ -388,24 +388,27 @@ def unigram_surprisal(
     sum — associative, partial-aggregation-safe, bit-identical to a
     sequential SQL engine; the final mean rounds to 6 dp.
 
-    Plan: ONE explode of the token stream, hashed to 8-byte xxhash64
-    keys (the d02 discipline — the count/join need equality only, and a
-    64-bit collision merging two counts is ~|vocab|²/2⁶⁴, unobservable
-    below ~10⁹ distinct tokens; the string-exact oracle would catch one
-    if it fired) and scope-persisted because both passes read it (vocab
-    counts; join token surprisals → per-doc mean).  Corpus totals ride
-    in as a broadcast 1-row cross join (no driver action, plan stays
-    lazy until the caller materializes).  The vocab-keyed join shuffles
-    16-byte rows — at production vocab sizes (~10⁷ distinct) the scored
-    vocab table is ~100 MB total, far below any per-partition bound.
-    With ``broadcast_vocab`` (default "auto": an eager approx-distinct
-    probe over the persisted stream proves the bound) the scored vocab
-    BROADCASTS instead, so the full token stream never shuffles by
-    token — measured round 6 at sf1: hashing + the shared persist cut
-    4.1 → 2.4 s min-of-3, then the broadcast join 2.76 → 1.95 s
-    (alternating pairs, result-identical; the (doc, tok) pre-aggregation
-    alternative measured 2.21 s and was rejected as strictly worse than
-    the broadcast).
+    Plan (round 13): token stream hashed to 8-byte xxhash64 keys (the
+    d02 discipline — the count/join need equality only, and a 64-bit
+    collision merging two counts is ~|vocab|²/2⁶⁴, unobservable below
+    ~10⁹ distinct tokens; the string-exact oracle would catch one if it
+    fired); the PERSISTED artifact is the VOCAB-SIZED ``freqs`` table,
+    not the corpus-token stream — rounds 6-12 cached every (doc, tok)
+    row (a corpus-scale memory/disk artifact, guide §5) so the explode
+    ran once; re-running the map-side tokenize+explode for the scoring
+    pass measured CHEAPER than writing + thrice-reading the
+    corpus-width cache (alternating pairs at sf1: 2.13 → 1.88 s,
+    result-identical; sf0.1 flat), and at 100 TB a corpus-scale cache
+    is a non-starter while a second map pass is linear CPU on data
+    already being read.  Corpus totals ride in as a broadcast 1-row
+    cross join.  The vocab-keyed join shuffles 16-byte rows — at
+    production vocab sizes (~10⁷ distinct) the scored vocab table is
+    ~100 MB total, far below any per-partition bound.  With
+    ``broadcast_vocab`` (default "auto": the probe is now an EXACT
+    ``freqs.count()`` — vocab-sized, and it doubles as the persist
+    materialization) the scored vocab BROADCASTS instead, so the full
+    token stream never shuffles by token (round-6 measurement: the
+    broadcast join 2.76 → 1.95 s).
     Documents with zero tokens produce no output row (no distribution
     to score them under); left-join downstream if they must be kept.
     """
@@ -413,21 +416,19 @@ def unigram_surprisal(
         F.col(id_col).alias("__id"),
         F.explode(tokens_col(F.col(text_col))).alias("tok"),
     )
-    toks = _persist_scoped(toks.select("__id", F.xxhash64("tok").alias("tok")))
+    toks = toks.select("__id", F.xxhash64("tok").alias("tok"))
+    freqs = _persist_scoped(
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__cnt"))
+    )
     if broadcast_vocab == "auto":
-        # EAGER probe (documented, same discipline as simhash_near_dups'
-        # counter_bits="auto"): one approx-distinct over the persisted
-        # token stream (map-side partials, no shuffle) decides whether
-        # the scored vocab is broadcast-safe. ~2M distinct ≈ 32 MB —
-        # comfortably under executor broadcast budgets; natural-language
-        # vocab passes at any corpus size, adversarial random-string
-        # corpora fall back to the shuffle join. Pass True/False to skip
-        # the probe when the corpus is known.
-        approx_vocab = toks.agg(
-            F.approx_count_distinct("tok").alias("v")
-        ).collect()[0]["v"]
-        broadcast_vocab = approx_vocab < 2_000_000
-    freqs = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__cnt"))
+        # EAGER probe: exact vocab count off the persisted freqs table
+        # (one vocab-sized job that also materializes the cache every
+        # later consumer reads). ~2M distinct ≈ 32 MB — comfortably
+        # under executor broadcast budgets; natural-language vocab
+        # passes at any corpus size, adversarial random-string corpora
+        # fall back to the shuffle join. Pass True/False to skip the
+        # probe when the corpus is known.
+        broadcast_vocab = freqs.count() < 2_000_000
     stats = freqs.agg(
         F.sum("__cnt").alias("__total"), F.count(F.lit(1)).alias("__vocab")
     )
