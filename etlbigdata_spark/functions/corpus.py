@@ -522,14 +522,22 @@ def packed_sequences(
 
     Token accounting uses the library tokenizer
     (:func:`text.tokens_col`, lowercased whitespace tokens) so offsets
-    align EXACTLY with every shingle operator downstream.  Scale shape:
-    md5 grouping and token sizing are map-side; the corpus shuffles
-    once into packs (scoped-persisted so the sequence and offset
-    branches don't re-tokenize), and the only ordered scan is the
-    per-(group, shard) sort both branches share — no global sort,
+    align EXACTLY with every shingle operator downstream.  Scale shape
+    (round 13): md5 grouping and token sizing are map-side; the two
+    branches recompute their pack assignment INDEPENDENTLY instead of
+    sharing a corpus-token-scale cache (guide §5 — the t14 lesson:
+    writing + re-reading every document's token array cost more at
+    every measured scale than a second map pass, and at 100 TB a
+    corpus-wide cache is a non-starter).  The offsets branch is fully
+    NARROW — ``regexp_count(text, '\\S+')`` is exactly
+    ``size(tokens_col(text))`` (maximal non-whitespace runs == split
+    on ``\\s+`` with empties removed), so no token arrays exist there
+    at all; the sequence branch alone carries arrays through its one
+    (group, shard) exchange.  Both branches are deterministic from
+    (id, text), so their (group, shard, __ntok) agree exactly.  The
+    only ordered scan is the per-(group, shard) sort — no global sort,
     parallelism = number of packs.
     """
-    from .dedup import _persist_scoped
     from .text import tokens_col
 
     toks = tokens_col(F.col(text_col))
@@ -538,8 +546,15 @@ def packed_sequences(
         toks.alias("__ctoks"),
         F.size(toks).cast("long").alias("__ntok"),
     )
-    packed = _persist_scoped(
-        pack_shards(sized, id_col=id_col, token_col="__ntok", budget=budget, n_groups=n_groups)
+    packed = pack_shards(
+        sized, id_col=id_col, token_col="__ntok", budget=budget, n_groups=n_groups
+    )
+    sized_narrow = df.select(
+        F.col(id_col),
+        F.regexp_count(F.col(text_col), F.lit(r"\S+")).cast("long").alias("__ntok"),
+    )
+    packed_narrow = pack_shards(
+        sized_narrow, id_col=id_col, token_col="__ntok", budget=budget, n_groups=n_groups
     )
     pid = (F.col("group").cast("long") * _PACK_STRIDE + F.col("shard")).alias("pack_id")
     w = (
@@ -548,7 +563,9 @@ def packed_sequences(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     docs = (
-        packed.withColumn("__start", F.coalesce(F.sum("__ntok").over(w), F.lit(0)))
+        packed_narrow.withColumn(
+            "__start", F.coalesce(F.sum("__ntok").over(w), F.lit(0))
+        )
         .select(
             pid,
             F.col(id_col),

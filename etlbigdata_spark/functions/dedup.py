@@ -1317,9 +1317,15 @@ def duplicated_spans(
             f"need n >= 1, min_docs >= 2 and min_tokens >= n, got "
             f"n={n}, min_tokens={min_tokens}, min_docs={min_docs}"
         )
-    # the token stream feeds BOTH the doc-freq agg and the hit semi-join;
-    # scoped-persist it (d02's discipline) so tokenize+explode runs once
-    pos = _persist_scoped(positional_shingles(df, id_col, text_col, n))
+    # the token stream feeds BOTH the doc-freq agg and the hit semi-join
+    # — but it is NOT persisted (round 13): the dup set is tiny and
+    # broadcasts, so the semi-join consumes pos map-side, and re-running
+    # the (now string-free, token-hash) explode for the second consumer
+    # measured cheaper at sf0.1 AND sf1 than writing + twice-reading a
+    # corpus-token-scale cache (guide §5 — the t14 lesson; identical
+    # rows, both branches are deterministic).  Shared upstream
+    # exchanges still dedup via ReusedExchange where they exist.
+    pos = positional_shingles(df, id_col, text_col, n)
     if min_docs == 2:
         # "seen in >= 2 distinct docs" == "min(doc_id) != max(doc_id)":
         # min/max partial-aggregate map-side with O(1) state per hash,
